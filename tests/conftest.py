@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize may have imported jax and registered the TPU plugin
+# before this conftest runs; env vars alone are then too late.  Force the
+# platform through jax.config (the XLA_FLAGS above are still read when the
+# CPU client is created, which hasn't happened yet at collection time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 FIXTURES = "/root/reference/tests"
 
 

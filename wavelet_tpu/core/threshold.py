@@ -1,0 +1,106 @@
+"""Coefficient thresholding with exact reference parity, TPU-friendly.
+
+Reference rule (``compressor.cpp:212-234``): per (box, component),
+
+    max_val = the *signed* coefficient whose |value| is largest (first on ties)
+    thresh  = max_val * (1 - keep)          # in double
+    keep c  iff |c| > thresh                # |c| widened to double
+
+Quirk preserved: if the largest-magnitude coefficient is negative, ``thresh``
+is negative and *every* coefficient (zeros included) survives (SURVEY.md §5.2).
+
+TPU strategy: ``signed_absmax`` is a cheap on-device reduction (an ``argmax``
+— the degenerate quantile; the general histogram-quantile for the new global
+threshold modes lives in :func:`global_histogram_threshold`).  The double-
+precision comparison is reproduced *without* f64 device math via a rounding
+trick: for float32 ``|c|``, ``|c| > thresh_f64`` iff ``|c| > t32`` where
+``t32`` is the largest float32 ≤ ``thresh_f64``.  ``exact_threshold32``
+computes that on host from the per-box maxima (an [N]-sized op).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "signed_absmax",
+    "exact_threshold32",
+    "mask_coefficients",
+    "global_histogram_threshold",
+]
+
+
+def signed_absmax(coeffs: jax.Array, axis: int = -1) -> jax.Array:
+    """Signed value of the largest-|.| element along ``axis`` (first on ties).
+
+    Matches ``std::max_element`` with an |a|<|b| comparator
+    (compressor.cpp:212-215): strict-less keeps the earliest maximum.
+    ``jnp.argmax`` also returns the first occurrence.
+    """
+    idx = jnp.argmax(jnp.abs(coeffs), axis=axis)
+    return jnp.take_along_axis(
+        coeffs, jnp.expand_dims(idx, axis), axis=axis
+    ).squeeze(axis)
+
+
+def exact_threshold32(max_vals: np.ndarray, keep: float) -> np.ndarray:
+    """float32 thresholds reproducing the double comparison exactly.
+
+    ``thresh64 = f64(max_val) * (1 - keep)`` as the reference computes it;
+    returns the largest float32 ≤ thresh64, so that a float32 magnitude
+    compares ``> t32`` exactly when it compares ``> thresh64``.
+    """
+    thresh64 = max_vals.astype(np.float64) * (1.0 - float(keep))
+    t32 = thresh64.astype(np.float32)
+    too_high = t32.astype(np.float64) > thresh64
+    t32 = np.where(too_high, np.nextafter(t32, np.float32(-np.inf)), t32)
+    return np.asarray(t32, dtype=np.float32)
+
+
+def mask_coefficients(coeffs: jax.Array, t32: jax.Array) -> jax.Array:
+    """Boolean keep-mask: ``|c| > t32`` broadcast over trailing axes."""
+    return jnp.abs(coeffs) > t32[..., None]
+
+
+def global_histogram_threshold(coeffs: jax.Array,
+                               keep_fraction: float,
+                               *,
+                               n_bins: int = 4096,
+                               axis_name: str | None = None) -> jax.Array:
+    """Global coefficient-magnitude quantile via an all-reduced histogram.
+
+    This is the *new* TPU-native thresholding mode mandated by BASELINE.json's
+    north star ("on-device global coefficient-magnitude quantile computed via
+    all-reduce histograms across the pod") — the reference has no equivalent
+    (its rule is per-box, see above).  Given sharded ``coeffs`` and a target
+    kept fraction, returns the scalar magnitude threshold such that
+    approximately ``keep_fraction`` of all coefficients (across every shard)
+    exceed it.
+
+    Inside ``shard_map``/``pmap`` pass ``axis_name`` to reduce over the mesh
+    with ``lax.psum``/``lax.pmax`` (ICI collectives); outside, the reductions
+    are process-local.
+    """
+    mags = jnp.abs(coeffs).reshape(-1)
+    mmax = jnp.max(mags)
+    if axis_name is not None:
+        mmax = jax.lax.pmax(mmax, axis_name)
+    # log-spaced histogram is robust to dynamic range; guard zero max
+    mmax = jnp.maximum(mmax, jnp.asarray(1e-30, mags.dtype))
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=jnp.float32)[1:] * mmax
+    bins = jnp.searchsorted(edges, mags)
+    hist = jnp.zeros((n_bins + 1,), jnp.int32).at[bins].add(1)
+    total = mags.size
+    if axis_name is not None:
+        hist = jax.lax.psum(hist, axis_name)
+        total = total * jax.lax.axis_size(axis_name)
+    # number to keep (from the top); find smallest threshold bin such that
+    # count-above <= target
+    target = jnp.asarray(round(float(keep_fraction) * 1.0), jnp.float32)
+    target_n = (keep_fraction * total)
+    above = jnp.cumsum(hist[::-1])[::-1]  # above[i] = # mags in bins >= i
+    keep_bin = jnp.argmax(above <= jnp.asarray(target_n, above.dtype))
+    keep_bin = jnp.maximum(keep_bin, 1)
+    return edges[keep_bin - 1]

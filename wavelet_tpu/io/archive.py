@@ -1,0 +1,301 @@
+"""Compressed-archive byte formats: sidecar files and per-box ``.xz`` payloads.
+
+Byte-compatible with the reference so either tool can read the other's
+archives (the compatibility contract of SURVEY.md §4.2):
+
+- ``runinfo.raw``       (readandwrite.cpp:362-395)
+- ``locations.raw`` / ``dimensions.raw``  (:226-269 — ints stored as float32!)
+- ``boxcounts.raw``     (:273-317 — counts stored as float32)
+- ``amrexinfo.raw``     (:321-358 — incl. 16-byte x86 ``long double`` times)
+- ``compressed-wavelet-{t}-{lev}-{compidx}-{box}.xz``  (compressor.cpp:250-291)
+  where *compidx is the plotfile-Header component index*, not 0..C-1.
+
+Payload inside each ``.xz`` (serialize_compressed_wavelet,
+compressor.cpp:55-80):
+
+    int32 x3   box shape (x, y, z)
+    int32      total coefficient count (= x*y*z)
+    int32      number of RLE pairs
+    repeat     { int32 zeros_before, float32 value }
+
+LZMA parameters match ``lzma_easy_encoder(6, LZMA_CHECK_CRC64)``.
+
+Note: the reference computes a ``need32`` flag but never serializes it
+(box-structs.h:69, SURVEY.md §4.2 quirk); the format has no such field and we
+don't reproduce the dead flag.
+"""
+
+from __future__ import annotations
+
+import lzma
+import os
+import struct
+
+import numpy as np
+
+__all__ = [
+    "RunInfo", "AMReXInfo",
+    "serialize_payload", "deserialize_payload",
+    "xz_compress", "xz_decompress",
+    "payload_filename",
+    "write_runinfo", "read_runinfo",
+    "write_locdim", "read_locdim",
+    "write_boxcounts", "read_boxcounts",
+    "write_amrexinfo", "read_amrexinfo",
+]
+
+_XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
+
+
+# ---------------------------------------------------------------------------
+# .xz payloads
+# ---------------------------------------------------------------------------
+
+def serialize_payload(shape, runs: np.ndarray, vals: np.ndarray) -> bytes:
+    """Pack one box's compressed coefficients (compressor.cpp:55-80 layout)."""
+    x, y, z = (int(v) for v in shape)
+    n_pairs = len(runs)
+    head = struct.pack("<5i", x, y, z, x * y * z, n_pairs)
+    if n_pairs == 0:
+        return head
+    pairs = np.empty(n_pairs, dtype=np.dtype([("run", "<i4"), ("val", "<f4")]))
+    pairs["run"] = runs
+    pairs["val"] = vals
+    return head + pairs.tobytes()
+
+
+def deserialize_payload(data: bytes):
+    """Unpack -> (shape (x,y,z), total_coeffs, runs int32[], vals f32[])."""
+    x, y, z, total, n_pairs = struct.unpack_from("<5i", data, 0)
+    pairs = np.frombuffer(data, dtype=np.dtype([("run", "<i4"), ("val", "<f4")]),
+                          count=n_pairs, offset=20)
+    return (x, y, z), total, pairs["run"], pairs["val"]
+
+
+def xz_compress(payload: bytes) -> bytes:
+    """xz container, LZMA2 preset 6, CRC64 — matching lzma_easy_encoder(6, CRC64)."""
+    return lzma.compress(payload, format=lzma.FORMAT_XZ,
+                         check=lzma.CHECK_CRC64, filters=_XZ_FILTERS)
+
+
+def xz_decompress(blob: bytes) -> bytes:
+    return lzma.decompress(blob, format=lzma.FORMAT_XZ)
+
+
+def payload_filename(t: int, level: int, comp_idx: int, box: int) -> str:
+    """File naming contract (compressor.cpp:250-254): comp_idx is the
+    plotfile-Header component index (e.g. 6), preserved for interop."""
+    return f"compressed-wavelet-{t}-{level}-{comp_idx}-{box}.xz"
+
+
+# ---------------------------------------------------------------------------
+# primitive (de)serializers — layouts of readandwrite.cpp:11-196
+# ---------------------------------------------------------------------------
+
+class _Writer:
+    def __init__(self):
+        self.parts = []
+
+    def u64(self, v):  # size_t
+        self.parts.append(struct.pack("<Q", int(v)))
+
+    def i32(self, v):
+        self.parts.append(struct.pack("<i", int(v)))
+
+    def f32(self, v):
+        self.parts.append(struct.pack("<f", float(v)))
+
+    def f64(self, v):
+        self.parts.append(struct.pack("<d", float(v)))
+
+    def f80(self, v):
+        # x86-64 long double: 80-bit extended padded to 16 bytes
+        self.parts.append(np.asarray([v], dtype=np.longdouble).tobytes())
+
+    def string(self, s: str):
+        b = s.encode()
+        self.u64(len(b))
+        self.parts.append(b)
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.off = 0
+
+    def _take(self, fmt):
+        v = struct.unpack_from(fmt, self.data, self.off)[0]
+        self.off += struct.calcsize(fmt)
+        return v
+
+    def u64(self):
+        return self._take("<Q")
+
+    def i32(self):
+        return self._take("<i")
+
+    def f32(self):
+        return self._take("<f")
+
+    def f64(self):
+        return self._take("<d")
+
+    def f80(self):
+        v = np.frombuffer(self.data, dtype=np.longdouble, count=1,
+                          offset=self.off)[0]
+        self.off += np.dtype(np.longdouble).itemsize
+        return v
+
+    def string(self) -> str:
+        n = self.u64()
+        s = self.data[self.off : self.off + n].decode()
+        self.off += n
+        return s
+
+
+# ---------------------------------------------------------------------------
+# sidecar files
+# ---------------------------------------------------------------------------
+
+class RunInfo:
+    """Reference ``RunInfo`` (box-structs.h:22-28)."""
+
+    def __init__(self, files, min_level, max_level, components, comp_idxs):
+        self.files = list(files)
+        self.min_level = int(min_level)
+        self.max_level = int(max_level)
+        self.components = list(components)
+        self.comp_idxs = list(comp_idxs)
+
+    def __eq__(self, other):
+        return (self.files == other.files and self.min_level == other.min_level
+                and self.max_level == other.max_level
+                and self.components == other.components
+                and self.comp_idxs == other.comp_idxs)
+
+
+def write_runinfo(info: RunInfo, path: str, name: str = "runinfo.raw"):
+    """Layout of readandwrite.cpp:362-376."""
+    w = _Writer()
+    w.u64(len(info.files))
+    for s in info.files:
+        w.string(s)
+    w.i32(info.min_level)
+    w.i32(info.max_level)
+    w.u64(len(info.components))
+    for s in info.components:
+        w.string(s)
+    w.u64(len(info.comp_idxs))
+    for v in info.comp_idxs:
+        w.i32(v)
+    with open(os.path.join(path, name), "wb") as f:
+        f.write(w.getvalue())
+
+
+def read_runinfo(path: str, name: str = "runinfo.raw") -> RunInfo:
+    r = _Reader(open(os.path.join(path, name), "rb").read())
+    files = [r.string() for _ in range(r.u64())]
+    min_level = r.i32()
+    max_level = r.i32()
+    components = [r.string() for _ in range(r.u64())]
+    comp_idxs = [r.i32() for _ in range(r.u64())]
+    return RunInfo(files, min_level, max_level, components, comp_idxs)
+
+
+def write_locdim(data, path: str, name: str):
+    """``locations.raw``/``dimensions.raw``: 3 float32 per box in (t, lev, box)
+    iteration order — ints stored as floats, faithfully reproducing
+    readandwrite.cpp:226-242 (SURVEY.md §5.6 quirk 5: corrupts > 2^24)."""
+    flat = []
+    for per_t in data:
+        for per_lev in per_t:
+            for triple in per_lev:
+                flat.extend(float(v) for v in triple[:3])
+    np.asarray(flat, dtype=np.float32).tofile(os.path.join(path, name))
+
+
+def read_locdim(path: str, name: str, box_counts):
+    """-> nested [t][lev][box] int triples (readandwrite.cpp:246-269)."""
+    raw = np.fromfile(os.path.join(path, name), dtype=np.float32)
+    out, k = [], 0
+    for per_lev_counts in box_counts:
+        t_list = []
+        for count in per_lev_counts:
+            lev_list = []
+            for _ in range(count):
+                lev_list.append(tuple(int(v) for v in raw[k : k + 3]))
+                k += 3
+            t_list.append(lev_list)
+        out.append(t_list)
+    return out
+
+
+def write_boxcounts(counts, path: str, name: str = "boxcounts.raw"):
+    """num_times x num_levels counts as float32 (readandwrite.cpp:273-291)."""
+    flat = [float(c) for per_t in counts for c in per_t]
+    np.asarray(flat, dtype=np.float32).tofile(os.path.join(path, name))
+
+
+def read_boxcounts(path: str, num_times: int, num_levels: int,
+                   name: str = "boxcounts.raw"):
+    raw = np.fromfile(os.path.join(path, name), dtype=np.float32)
+    it = iter(raw)
+    return [[int(next(it)) for _ in range(num_levels)] for _ in range(num_times)]
+
+
+class AMReXInfo:
+    """Reference ``AMReXInfo`` (box-structs.h:42-50): geometry + times needed
+    to regenerate plotfiles."""
+
+    def __init__(self, geomcellinfo, ref_ratios, true_times, level_steps,
+                 x_dim, y_dim, z_dim):
+        self.geomcellinfo = [list(map(float, g)) for g in geomcellinfo]
+        self.ref_ratios = [int(v) for v in ref_ratios]
+        self.true_times = list(true_times)  # np.longdouble preserved
+        self.level_steps = [[int(v) for v in ls] for ls in level_steps]
+        self.x_dim = int(x_dim)
+        self.y_dim = int(y_dim)
+        self.z_dim = int(z_dim)
+
+
+def write_amrexinfo(info: AMReXInfo, path: str, name: str = "amrexinfo.raw"):
+    """Layout of readandwrite.cpp:321-338."""
+    w = _Writer()
+    w.u64(len(info.geomcellinfo))
+    for vec in info.geomcellinfo:
+        w.u64(len(vec))
+        for v in vec:
+            w.f64(v)
+    w.u64(len(info.ref_ratios))
+    for v in info.ref_ratios:
+        w.i32(v)
+    w.u64(len(info.true_times))
+    for v in info.true_times:
+        w.f80(v)
+    w.u64(len(info.level_steps))
+    for vec in info.level_steps:
+        w.u64(len(vec))
+        for v in vec:
+            w.i32(v)
+    w.i32(info.x_dim)
+    w.i32(info.y_dim)
+    w.i32(info.z_dim)
+    with open(os.path.join(path, name), "wb") as f:
+        f.write(w.getvalue())
+
+
+def read_amrexinfo(path: str, name: str = "amrexinfo.raw") -> AMReXInfo:
+    r = _Reader(open(os.path.join(path, name), "rb").read())
+    geom = []
+    for _ in range(r.u64()):
+        geom.append([r.f64() for _ in range(r.u64())])
+    ref_ratios = [r.i32() for _ in range(r.u64())]
+    true_times = [r.f80() for _ in range(r.u64())]
+    level_steps = []
+    for _ in range(r.u64()):
+        level_steps.append([r.i32() for _ in range(r.u64())])
+    return AMReXInfo(geom, ref_ratios, true_times, level_steps,
+                     r.i32(), r.i32(), r.i32())
