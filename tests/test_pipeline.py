@@ -1,0 +1,149 @@
+"""End-to-end pipeline tests (tier-3, SURVEY.md §6): full compress ->
+decompress round trips on the golden fixtures, estimate-mode metrics, and
+CLI contract."""
+
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+from conftest import FIXTURES, fixture
+from wavelet_tpu import cli
+from wavelet_tpu.io import archive
+from wavelet_tpu.pipeline import (Config, common, compress_run,
+                                  decompress_run, estimate_run)
+
+PLT74 = fixture("plt00074")
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(PLT74), reason="reference fixtures not available")
+
+
+def _dirs_identical(p1, p2):
+    for root, _dirs, names in os.walk(p1):
+        rel = os.path.relpath(root, p1)
+        for n in names:
+            a = os.path.join(root, n)
+            b = os.path.join(p2, rel, n)
+            if not os.path.exists(b) or not filecmp.cmp(a, b, shallow=False):
+                return False, os.path.join(rel, n)
+    return True, None
+
+
+@needs_fixtures
+def test_compress_decompress_byte_identical_roundtrip(tmp_path):
+    """BASELINE.json config 2: plt00074->plt00075, levels 0-1, full round
+    trip.  The fixtures hold constant boxes, which survive thresholding
+    exactly, so regenerated plotfiles must be byte-identical."""
+    comp_dir = str(tmp_path / "compressed") + os.sep
+    out_dir = str(tmp_path / "regen") + os.sep
+    cfg = Config(data_dir=FIXTURES, min_time="plt00074", max_time="plt00075",
+                 min_level=0, max_level=1, components=["temp", "pressure"],
+                 keep=0.999, compressed_dir=comp_dir)
+    stats = compress_run(cfg)
+    assert stats["files"] == 2 * 2 * 2 * 2  # t x lev x comp x box
+
+    # sidecars present
+    for name in ["runinfo.raw", "locations.raw", "dimensions.raw",
+                 "boxcounts.raw", "amrexinfo.raw"]:
+        assert os.path.exists(os.path.join(comp_dir, name))
+    # file naming contract: header component indices in names
+    assert os.path.exists(os.path.join(
+        comp_dir, "compressed-wavelet-0-0-0-0.xz"))
+    assert os.path.exists(os.path.join(
+        comp_dir, "compressed-wavelet-1-1-1-1.xz"))
+
+    dcfg = Config(compressed_dir=comp_dir, out_dir=out_dir)
+    decompress_run(dcfg)
+
+    for plt in ["plt00074", "plt00075"]:
+        same, diff = _dirs_identical(fixture(plt), os.path.join(out_dir, plt))
+        assert same, f"{plt}/{diff} differs after round trip"
+
+
+@needs_fixtures
+def test_runinfo_matches_reference_layout(tmp_path):
+    comp_dir = str(tmp_path) + os.sep
+    cfg = Config(data_dir=FIXTURES, min_time="plt00074", max_time="plt00074",
+                 min_level=0, max_level=0, components=["pressure"],
+                 keep=0.999, compressed_dir=comp_dir)
+    compress_run(cfg)
+    info = archive.read_runinfo(comp_dir)
+    assert info.components == ["pressure"]
+    assert info.comp_idxs == [1]      # header index of 'pressure'
+    assert info.min_level == 0 and info.max_level == 0
+    assert [os.path.basename(f) for f in info.files] == ["plt00074"]
+    counts = archive.read_boxcounts(comp_dir, 1, 1)
+    assert counts == [[2]]
+
+
+@needs_fixtures
+def test_estimate_mode_fixture_metrics(tmp_path):
+    """BASELINE.json config 1: plt00074, level 0, keep=0.999, -estimate.
+
+    Constant boxes reconstruct exactly -> RMSE and adjusted loss are 0."""
+    cfg = Config(data_dir=FIXTURES, min_time="plt00074", max_time="plt00074",
+                 min_level=0, max_level=0, components=["temp", "pressure"],
+                 keep=0.999)
+    result = estimate_run(cfg)
+    for name in ["temp", "pressure"]:
+        assert result["components"][name]["rmse"] == 0.0
+        assert result["components"][name]["adjusted_loss"] == 0.0
+    assert 0.0 < result["compressed_size_pct"] < 5.0
+
+
+@needs_fixtures
+def test_lossy_roundtrip_quality_on_synthetic_data(tmp_path):
+    """Non-constant data: verify the estimator reports sane lossy metrics and
+    that lower keep -> more loss, less size."""
+    from wavelet_tpu.io import plotfile as pf
+
+    # synthesize a 2-component plotfile with smooth + noisy fields
+    rng = np.random.default_rng(0)
+    x, y, z = np.meshgrid(np.linspace(0, 4, 32), np.linspace(0, 3, 16),
+                          np.linspace(0, 2, 8), indexing="ij")
+    smooth = (np.sin(x) * np.cos(y) + z).astype(np.float32)
+    noisy = (smooth + 0.1 * rng.standard_normal(smooth.shape)).astype(np.float32)
+    boxes = [np.stack([smooth, noisy])]
+    src = tmp_path / "data" / "plt00010"
+    pf.write_plotfile(str(src), [boxes], [[(0, 0, 0)]], [[(32, 16, 8)]],
+                      ["a", "b"], 0.5, [0., 0., 0.], [1., 1., 1.],
+                      (2, 2, 2), (32, 16, 8), [10])
+
+    losses, sizes = [], []
+    for keep in (0.99, 0.9999):
+        cfg = Config(data_dir=str(tmp_path / "data"), min_time="plt00010",
+                     max_time="plt00010", min_level=0, max_level=0,
+                     components=["a", "b"], keep=keep)
+        r = estimate_run(cfg)
+        losses.append(r["components"]["b"]["rmse"])
+        sizes.append(r["compressed_size_pct"])
+    assert losses[1] < losses[0]       # higher keep -> lower loss
+    assert sizes[1] > sizes[0]         # higher keep -> bigger archive
+    assert losses[1] < 0.05            # keep=0.9999 is near-lossless here
+
+
+@needs_fixtures
+def test_cli_parse_reference_grammar():
+    mode, cfg = cli.parse_argv([
+        'datadir=/data', 'minfile=plt07400', 'maxfile=plt07900',
+        'minlevel=0', 'maxlevel=3',
+        'components=density Temp pressure x_velocity', 'keep=0.999',
+        'compresseddir=/out', '-c'])
+    assert mode == "c"
+    assert cfg.components == ["density", "Temp", "pressure", "x_velocity"]
+    assert cfg.keep == 0.999
+    mode, cfg = cli.parse_argv(['compresseddir=/in', 'out=/regen', '-d'])
+    assert mode == "d" and cfg.out_dir == "/regen"
+    with pytest.raises(SystemExit):
+        cli.parse_argv(['datadir=/data', '-c'])
+    with pytest.raises(SystemExit):
+        cli.parse_argv(['datadir=/data'])
+
+
+def test_clean_string_reference_case():
+    """argparse.cpp:181-187 transcription."""
+    assert common.clean_string("plt07400") == 7400
+    assert common.clean_string("fff9909") == 9909
+    assert common.clean_string("doctest.h") == -1

@@ -1,0 +1,98 @@
+"""Reference-compatible command line (main.cpp + argparse.cpp).
+
+Same invocation grammar as the C++ tool: ``key=value`` pairs plus one of
+``-c`` / ``-d`` / ``-estimate``::
+
+    python -m wavelet_tpu.cli datadir=... minfile=plt00074 maxfile=plt00075 \
+        minlevel=0 maxlevel=1 components="temp pressure" keep=0.999 \
+        compresseddir=out/ -c
+
+Differences from the reference (intentional): missing keys are fatal instead
+of silently leaving fields uninitialized (SURVEY.md §5.6.7), and
+``--devices N`` selects a mesh size for sharded execution.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from wavelet_tpu.pipeline import (Config, compress_run, decompress_run,
+                                  estimate_run)
+
+__all__ = ["main", "parse_argv"]
+
+log = logging.getLogger("wavelet_tpu")
+
+
+def _kv(args):
+    out = {}
+    for a in args:
+        if "=" in a and not a.startswith("-"):
+            k, v = a.split("=", 1)
+            out[k] = v
+    return out
+
+
+def parse_argv(argv):
+    """-> (mode, Config) ; mode in {'c', 'd', 'estimate'}."""
+    flags = {a for a in argv if a.startswith("-")}
+    kv = _kv(argv)
+    if "-c" in flags:
+        mode = "c"
+    elif "-estimate" in flags:
+        mode = "estimate"
+    elif "-d" in flags:
+        mode = "d"
+    else:
+        raise SystemExit("Specify a mode: -c for compression, -d for "
+                         "decompression, or -estimate for estimate mode!")
+
+    def need(key):
+        if key not in kv:
+            raise SystemExit(f"Missing {key}!")
+        return kv[key]
+
+    cfg = Config()
+    if mode in ("c", "estimate"):
+        cfg.data_dir = need("datadir")
+        cfg.min_time = need("minfile")
+        cfg.max_time = need("maxfile") if mode == "c" else kv.get("maxfile", kv["minfile"])
+        cfg.min_level = int(need("minlevel"))
+        cfg.max_level = int(need("maxlevel")) if mode == "c" else int(kv.get("maxlevel", kv["minlevel"]))
+        cfg.components = need("components").split()
+        cfg.keep = float(need("keep"))
+        if mode == "c":
+            cfg.compressed_dir = need("compresseddir")
+        else:
+            cfg.compressed_dir = kv.get("compresseddir", "")
+    else:
+        cfg.compressed_dir = need("compresseddir")
+        cfg.out_dir = need("out")
+    return mode, cfg
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.DEBUG,
+                        format="[%(asctime)s] [%(levelname)s] %(message)s")
+    argv = list(sys.argv[1:] if argv is None else argv)
+    mode, cfg = parse_argv(argv)
+
+    mesh = None
+    kv = _kv(argv)
+    if int(kv.get("devices", "1")) > 1:
+        import jax
+        from wavelet_tpu.runtime import mesh as mesh_lib
+        mesh = mesh_lib.data_mesh(jax.devices()[: int(kv["devices"])])
+
+    if mode == "c":
+        compress_run(cfg, mesh=mesh)
+    elif mode == "estimate":
+        estimate_run(cfg, mesh=mesh)
+    else:
+        decompress_run(cfg, mesh=mesh)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Shared pipeline pieces: config, file/level discovery, data collection.
+
+CLI contract mirrors the reference (argparse.cpp): ``datadir= minfile=
+maxfile= minlevel= maxlevel= components="..." keep= compresseddir= out=``
+plus the ``-c/-d/-estimate`` mode flags, so the same invocations drive both
+tools.  Unlike the reference (which logs missing keys and continues with
+uninitialized fields, SURVEY.md §5.6.7), missing keys raise.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from wavelet_tpu.io import archive, plotfile
+
+__all__ = ["Config", "clean_string", "format_files", "format_levels",
+           "RunData", "collect_run"]
+
+
+@dataclass
+class Config:
+    """Reference ``Config`` (argparse.h:7-16)."""
+
+    data_dir: str = ""
+    min_time: str = ""
+    max_time: str = ""
+    min_level: int = 0
+    max_level: int = 0
+    components: list = field(default_factory=list)
+    keep: float = 0.999
+    compressed_dir: str = ""
+    out_dir: str = ""
+
+
+def clean_string(filename: str) -> int:
+    """Digits-only numeric key of a file name; -1 if none (argparse.cpp:103-129)."""
+    digits = "".join(ch for ch in filename if ch.isdigit())
+    if not digits:
+        return -1
+    return int(digits)
+
+
+def format_files(data_dir: str, min_time: str, max_time: str):
+    """Discover timestep directories whose numeric key falls in
+    [clean(min), clean(max)], sorted by key (argparse.cpp:133-166)."""
+    first, last = clean_string(min_time), clean_string(max_time)
+    # deviation from the reference: it keys on the *full* path
+    # (argparse.cpp:146), so digits in parent directories pollute the numeric
+    # range; we key on the entry basename (the intended semantics).
+    files = [os.path.join(data_dir, e) for e in os.listdir(data_dir)
+             if first <= clean_string(e) <= last]
+    files.sort(key=lambda p: clean_string(os.path.basename(p)))
+    return files
+
+
+def format_levels(min_level: int, max_level: int):
+    return list(range(int(min_level), int(max_level) + 1))
+
+
+@dataclass
+class RunData:
+    """Everything one compression run needs (reference ``AllData``,
+    box-structs.h:53-62): per (t, lev) box lists + geometry sidecar info."""
+
+    levels_data: list          # [t][lev] -> plotfile.LevelBoxes
+    comp_idxs: list            # header indices of selected components
+    min_values: np.ndarray     # per component, over the whole run
+    max_values: np.ndarray
+    amrexinfo: archive.AMReXInfo
+    files: list
+    levels: list
+
+
+def collect_run(files, components, levels) -> RunData:
+    """Read the selected (timestep, level) slices of all plotfiles
+    (reference ``preprocess_data``, preprocess.cpp:107-307)."""
+    levels_data = []
+    comp_idxs = None
+    minv = np.full(len(components), np.inf, np.float64)
+    maxv = np.full(len(components), -np.inf, np.float64)
+    geom, true_times, lvl_steps = [], [], []
+    ref_ratios = None
+    base_dims = None
+    for t, f in enumerate(files):
+        h = plotfile.read_header(f)
+        if comp_idxs is None:
+            comp_idxs = h.component_indices(components)
+            # intended semantics: per-dim ratio replicated from the per-level
+            # scalar (the reference's stream-parse quirk yields {r,0,0};
+            # SURVEY.md notes its own test expects {r,r,r})
+            r = h.ref_ratio[0] if h.ref_ratio else 2
+            ref_ratios = [r, r, r]
+            base_dims = h.domain_dims(0)
+        geom.append(list(h.prob_lo) + list(h.prob_hi))
+        true_times.append(np.longdouble(h.time_str))
+        lvl_steps.append([h.level_steps[l] if l < len(h.level_steps) else 0
+                          for l in levels])
+        per_lev = []
+        for lev in levels:
+            lv = plotfile.read_level(f, lev, comp_idxs)
+            per_lev.append(lv)
+            minv = np.minimum(minv, lv.min_values.astype(np.float64))
+            maxv = np.maximum(maxv, lv.max_values.astype(np.float64))
+        levels_data.append(per_lev)
+    info = archive.AMReXInfo(geom, ref_ratios, true_times, lvl_steps,
+                             base_dims[0], base_dims[1], base_dims[2])
+    return RunData(levels_data=levels_data, comp_idxs=comp_idxs,
+                   min_values=minv.astype(np.float32),
+                   max_values=maxv.astype(np.float32),
+                   amrexinfo=info, files=list(files), levels=list(levels))

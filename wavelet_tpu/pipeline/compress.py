@@ -1,0 +1,100 @@
+"""Compression pipeline (reference: ``compress(Config)``, modes.cpp:24-112).
+
+Stages:
+  1. host: discover files, parse headers, read FAB boxes (io/plotfile)
+  2. host: write the five sidecar files first — the archive is then
+     resumable state, every later output is an independent file
+     (SURVEY.md §7 checkpoint/resume property)
+  3. device: shape-bucketed batches -> fused Haar + absmax -> exact
+     thresholds -> masks (runtime/engine)
+  4. host: RLE + serialize + xz in a thread pool
+
+Multi-host: each process takes its slice of the batch list and writes its
+own shard of ``.xz`` files (runtime/mesh.process_local_slice).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+from wavelet_tpu.io import archive
+from wavelet_tpu.pipeline import common
+from wavelet_tpu.runtime import batching, engine
+
+log = logging.getLogger("wavelet_tpu")
+
+__all__ = ["compress_run", "compress_collected"]
+
+
+def _iter_workitems(run: common.RunData):
+    """Flatten the (t, lev, comp, box) space into codec work items."""
+    for t, per_lev in enumerate(run.levels_data):
+        for li, lv in enumerate(per_lev):
+            for b, arr in enumerate(lv.boxes):
+                for c, comp_idx in enumerate(run.comp_idxs):
+                    yield (batching.WorkItem(t=t, level=li, comp_idx=comp_idx,
+                                             box=b), arr[c])
+
+
+def write_sidecars(run: common.RunData, cfg_components, min_level, max_level,
+                   out_dir: str):
+    """The five metadata files of modes.cpp:71-89, byte-compatible."""
+    info = archive.RunInfo(run.files, min_level, max_level,
+                           list(cfg_components), run.comp_idxs)
+    archive.write_runinfo(info, out_dir)
+    locations = [[lv.locations for lv in per_lev] for per_lev in run.levels_data]
+    dimensions = [[lv.dimensions for lv in per_lev] for per_lev in run.levels_data]
+    counts = [[len(lv.boxes) for lv in per_lev] for per_lev in run.levels_data]
+    archive.write_locdim(locations, out_dir, "locations.raw")
+    archive.write_locdim(dimensions, out_dir, "dimensions.raw")
+    archive.write_boxcounts(counts, out_dir)
+    archive.write_amrexinfo(run.amrexinfo, out_dir)
+
+
+def compress_collected(run: common.RunData, keep: float, out_dir: str,
+                       mesh=None, packer=None) -> dict:
+    """Device codec + host pack for already-collected data. Returns stats."""
+    eng = engine.CodecEngine(mesh=mesh)
+    packer = packer or engine.HostPacker()
+    pad = mesh.size if mesh is not None else 1
+    batches = batching.plan_batches(_iter_workitems(run), pad_multiple=pad)
+    n_files = 0
+    in_bytes = 0
+    out_bytes = 0
+    for batch in batches:
+        flat, mask = eng.compress_batch(batch.data, keep)
+        jobs = [(item, batch.shape, flat[i], mask[i])
+                for i, item in enumerate(batch.items)]
+        sizes = packer.pack_and_write(out_dir, jobs)
+        n_files += len(sizes)
+        out_bytes += sum(sizes)
+        in_bytes += batch.n_valid * flat.shape[1] * 4
+    return {"files": n_files, "input_bytes": in_bytes, "output_bytes": out_bytes}
+
+
+def compress_run(cfg: common.Config, mesh=None) -> dict:
+    """Full compression mode (modes.cpp:24-112)."""
+    files = common.format_files(cfg.data_dir, cfg.min_time, cfg.max_time)
+    levels = common.format_levels(cfg.min_level, cfg.max_level)
+    log.info("This run involves the following files:")
+    for f in files:
+        log.info("%s", f)
+
+    log.info("Processing data...")
+    t0 = time.perf_counter()
+    run = common.collect_run(files, cfg.components, levels)
+    os.makedirs(cfg.compressed_dir, exist_ok=True)
+    write_sidecars(run, cfg.components, cfg.min_level, cfg.max_level,
+                   cfg.compressed_dir)
+    t1 = time.perf_counter()
+    log.info("Successfully processed data in %s seconds. "
+             "Beginning compression...", t1 - t0)
+
+    stats = compress_collected(run, cfg.keep, cfg.compressed_dir, mesh=mesh)
+    t2 = time.perf_counter()
+    log.info("Compression completed in %s seconds.", t2 - t1)
+    stats["preprocess_seconds"] = t1 - t0
+    stats["compress_seconds"] = t2 - t1
+    return stats

@@ -1,0 +1,89 @@
+"""Estimate pipeline (reference: ``estimate(Config)``, modes.cpp:209-328).
+
+One timestep (minfile), one level (minlevel), all selected components:
+compress into a scratch dir, decompress, report per-component mean RMSE
+(unweighted over boxes, the reference's estimator), adjusted loss
+(RMSE / range over the estimated subset) and compressed size as a
+percentage of the (component-adjusted) raw level size.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+
+import numpy as np
+
+from wavelet_tpu.core import metrics
+from wavelet_tpu.io import archive, plotfile
+from wavelet_tpu.pipeline import common, compress
+from wavelet_tpu.runtime import batching, engine
+
+log = logging.getLogger("wavelet_tpu")
+
+__all__ = ["estimate_run"]
+
+
+def estimate_run(cfg: common.Config, mesh=None) -> dict:
+    files = common.format_files(cfg.data_dir, cfg.min_time, cfg.min_time)
+    levels = [cfg.min_level]
+    ncomp = len(cfg.components)
+
+    run = common.collect_run(files, cfg.components, levels)
+
+    with tempfile.TemporaryDirectory() as scratch:
+        compress.compress_collected(run, cfg.keep, scratch, mesh=mesh)
+        log.info("Compression complete.")
+
+        # decompress every work item back (modes.cpp:250-265)
+        packer = engine.HostPacker()
+        eng = engine.CodecEngine(mesh=mesh)
+        lv = run.levels_data[0][0]
+        items = []
+        for b in range(len(lv.boxes)):
+            for comp_idx in run.comp_idxs:
+                items.append(batching.WorkItem(t=0, level=0,
+                                               comp_idx=comp_idx, box=b))
+        payloads = packer.read_and_unpack(scratch, items)
+        comp_pos = {c: k for k, c in enumerate(run.comp_idxs)}
+        regen = [np.zeros_like(box) for box in lv.boxes]
+        buckets = {}
+        for i, it in enumerate(items):
+            dims = tuple(payloads[i][0])
+            buckets.setdefault(dims, []).append(i)
+        pad = mesh.size if mesh is not None else 1
+        for dims, idxs in buckets.items():
+            n_pad = batching.pad_to_multiple(len(idxs), pad)
+            flat = np.zeros((n_pad, int(np.prod(dims))), np.float32)
+            for row, i in enumerate(idxs):
+                flat[row] = payloads[i][1]
+            boxes = eng.decompress_batch(flat, dims)
+            for row, i in enumerate(idxs):
+                it = items[i]
+                regen[it.box][comp_pos[it.comp_idx]] = boxes[row]
+        log.info("Decompression complete.")
+
+        # per-box RMSE, unweighted mean per component (modes.cpp:269-291)
+        per_box = [metrics.rmse_per_box(a, p) for a, p in zip(lv.boxes, regen)]
+        mean_rmse = metrics.mean_rmse(per_box)
+        result = {"components": {}, "keep": cfg.keep}
+        for c, name in enumerate(cfg.components):
+            loss = metrics.adjusted_loss(
+                mean_rmse[c],
+                float(run.max_values[c]) - float(run.min_values[c]))
+            log.info("Predicted RMSE, %s = %s", name, mean_rmse[c])
+            log.info("Predicted Adjusted loss, %s = %s", name, loss)
+            result["components"][name] = {
+                "rmse": float(mean_rmse[c]), "adjusted_loss": float(loss)}
+
+        # size estimate (modes.cpp:294-324): raw Level dir size scaled by the
+        # fraction of components compressed
+        h = plotfile.read_header(files[0])
+        raw_path = os.path.join(files[0], f"Level_{levels[0]}")
+        raw_size = metrics.dir_size(raw_path) / h.n_comp * ncomp
+        comp_size = metrics.dir_size(scratch)
+        pct = comp_size / raw_size * 100.0
+        log.info("Predicted compressed size: %s%%", pct)
+        result["compressed_size_pct"] = pct
+    return result
