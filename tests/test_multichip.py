@@ -1,0 +1,99 @@
+"""Multi-device tests on the virtual 8-way CPU mesh (SURVEY.md §6: the
+reference offers no distributed precedent; this is a new design obligation)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wavelet_tpu.core import haar, threshold
+from wavelet_tpu.runtime import batching, distributed, engine, mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_lib.data_mesh(devs[:8])
+
+
+def test_sharded_parity_step_matches_single_device(mesh8):
+    rng = np.random.default_rng(0)
+    batch = rng.standard_normal((16, 8, 8, 8)).astype(np.float32)
+    step = distributed.make_parity_compress_step(mesh8)
+    flat_s, max_s = step(mesh_lib.shard_batch(batch, mesh8))
+    flat_1 = np.asarray(haar.forward_flat(jnp.asarray(batch)))
+    np.testing.assert_array_equal(np.asarray(flat_s), flat_1)
+    np.testing.assert_array_equal(
+        np.asarray(max_s),
+        np.asarray(threshold.signed_absmax(jnp.asarray(flat_1), axis=-1)))
+
+
+def test_global_threshold_collective_matches_unsharded(mesh8):
+    rng = np.random.default_rng(1)
+    batch = rng.standard_normal((8, 4, 4, 4)).astype(np.float32)
+    gstep = distributed.make_global_compress_step(mesh8, 0.1)
+    masked, thr, kept = gstep(mesh_lib.shard_batch(batch, mesh8))
+    # unsharded oracle: same histogram quantile over the whole batch
+    flat = haar.forward_flat(jnp.asarray(batch))
+    thr1 = threshold.global_histogram_threshold(flat, 0.1)
+    assert float(thr) == pytest.approx(float(thr1), rel=1e-6)
+    frac = float(kept) / batch.size
+    assert 0.05 < frac < 0.2
+
+
+def test_train_step_runs_and_reduces(mesh8):
+    rng = np.random.default_rng(2)
+    batch = rng.standard_normal((16, 4, 4, 8)).astype(np.float32)
+    step = distributed.make_train_step(mesh8, keep_fraction=0.25)
+    recon, thr, rmse = step(mesh_lib.shard_batch(batch, mesh8))
+    assert recon.shape == batch.shape
+    assert np.isfinite(float(rmse)) and float(rmse) > 0
+
+
+def test_engine_with_mesh_matches_engine_without(mesh8):
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((16, 8, 8, 8)).astype(np.float32)
+    e1 = engine.CodecEngine(mesh=None)
+    e8 = engine.CodecEngine(mesh=mesh8)
+    f1, m1 = e1.compress_batch(data, 0.999)
+    f8, m8 = e8.compress_batch(data, 0.999)
+    np.testing.assert_array_equal(f1, f8)
+    np.testing.assert_array_equal(m1, m8)
+    d1 = e1.decompress_batch(f1 * m1, (8, 8, 8))
+    d8 = e8.decompress_batch(f8 * m8, (8, 8, 8))
+    np.testing.assert_array_equal(d1, d8)
+
+
+def test_batch_padding_for_mesh(mesh8):
+    """Ragged counts pad up to the mesh size; padded rows are inert."""
+    items = [(batching.WorkItem(0, 0, 0, i),
+              np.full((4, 4, 4), i + 1, np.float32)) for i in range(3)]
+    batches = batching.plan_batches(items, pad_multiple=8)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.data.shape[0] == 8 and b.n_valid == 3
+    assert np.all(b.data[3:] == 0)
+    eng = engine.CodecEngine(mesh=mesh8)
+    flat, mask = eng.compress_batch(b.data, 0.999)
+    # padded rows: all-zero coeffs, max=0, thresh=0 -> nothing kept
+    assert not mask[3:].any()
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    flat, maxv = jax.jit(fn)(*args)
+    assert flat.shape == (8, 16 * 32 * 64)
+    assert maxv.shape == (8,)
