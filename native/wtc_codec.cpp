@@ -1,0 +1,209 @@
+// Native host codec for wavelet_tpu: threaded threshold+RLE+serialize+xz.
+//
+// This is the TPU framework's native runtime component replacing the
+// reference's serial C++ pack path (compressor.cpp:222-291 semantics:
+// magnitude mask, (zeros_before, value) run-length pairs, int32/float32
+// payload, .xz container with CRC64 at preset 6) — redesigned as a
+// batch-parallel library: the TPU device hands back a dense [N, XYZ]
+// coefficient batch plus per-item float32 thresholds, and a worker pool
+// packs/writes every item concurrently (LZMA is the dominant host cost and
+// scales across cores).  Exposed via a minimal C ABI consumed with ctypes
+// (wavelet_tpu/native/__init__.py); byte format identical to io/archive.py.
+//
+// Build: see native/build.sh (g++ -O3 -shared -fPIC ... -llzma).
+
+#include <lzma.h>
+
+#include <atomic>
+#include <cmath>
+#include <functional>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Pair {
+    int32_t run;
+    float   val;
+};
+
+// Serialize one item's payload: 3x int32 shape, int32 total, int32 n_pairs,
+// then (int32, float32) pairs.  Matches io/archive.serialize_payload.
+std::string serialize_payload(const int32_t shape[3], int64_t total,
+                              const std::vector<Pair>& pairs) {
+    std::string buf;
+    buf.reserve(20 + pairs.size() * 8);
+    int32_t head[5] = {shape[0], shape[1], shape[2],
+                       static_cast<int32_t>(total),
+                       static_cast<int32_t>(pairs.size())};
+    buf.append(reinterpret_cast<const char*>(head), sizeof(head));
+    if (!pairs.empty()) {
+        buf.append(reinterpret_cast<const char*>(pairs.data()),
+                   pairs.size() * sizeof(Pair));
+    }
+    return buf;
+}
+
+bool xz_encode_to_file(const std::string& payload, const char* path) {
+    size_t cap = payload.size() + payload.size() / 3 + 256;
+    std::vector<uint8_t> out(cap);
+    size_t out_pos = 0;
+    lzma_ret ret = lzma_easy_buffer_encode(
+        6 /*preset*/, LZMA_CHECK_CRC64, nullptr,
+        reinterpret_cast<const uint8_t*>(payload.data()), payload.size(),
+        out.data(), &out_pos, out.size());
+    if (ret != LZMA_OK) return false;
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return false;
+    size_t w = std::fwrite(out.data(), 1, out_pos, f);
+    std::fclose(f);
+    return w == out_pos;
+}
+
+bool xz_decode_file(const char* path, std::vector<uint8_t>& payload) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::fseek(f, 0, SEEK_END);
+    long sz = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> blob(sz > 0 ? sz : 0);
+    size_t r = blob.empty() ? 0 : std::fread(blob.data(), 1, blob.size(), f);
+    std::fclose(f);
+    if (r != blob.size()) return false;
+
+    // streaming decode with a growing buffer
+    lzma_stream strm = LZMA_STREAM_INIT;
+    if (lzma_stream_decoder(&strm, UINT64_MAX, LZMA_CONCATENATED) != LZMA_OK)
+        return false;
+    strm.next_in = blob.data();
+    strm.avail_in = blob.size();
+    payload.resize(blob.size() * 4 + 4096);
+    strm.next_out = payload.data();
+    strm.avail_out = payload.size();
+    for (;;) {
+        lzma_ret ret = lzma_code(&strm, LZMA_FINISH);
+        if (ret == LZMA_STREAM_END) break;
+        if (ret != LZMA_OK) {
+            lzma_end(&strm);
+            return false;
+        }
+        size_t old = payload.size();
+        payload.resize(old * 2);
+        strm.next_out = payload.data() + old;
+        strm.avail_out = old;
+    }
+    payload.resize(payload.size() - strm.avail_out);
+    lzma_end(&strm);
+    return true;
+}
+
+void run_pool(int n_threads, int64_t n_items,
+              const std::function<void(int64_t)>& work) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_items) return;
+            work(i);
+        }
+    };
+    std::vector<std::thread> threads;
+    int nt = n_threads > 0 ? n_threads
+                           : static_cast<int>(std::thread::hardware_concurrency());
+    if (nt < 1) nt = 1;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack n_items rows of coeffs ([n_items, n_coeffs] float32) with per-item
+// float32 thresholds (keep iff |c| > t32[i]); write one .xz per item at
+// paths[i].  All items share one box shape.  Returns total compressed bytes,
+// or -(1 + first failing item index) on error.
+int64_t wtc_pack_batch(const float* coeffs, const float* t32, int64_t n_items,
+                       int64_t n_coeffs, const int32_t* shape,
+                       const char* const* paths, int n_threads) {
+    std::atomic<int64_t> total_bytes(0);
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        const float* row = coeffs + i * n_coeffs;
+        const float thresh = t32[i];
+        std::vector<Pair> pairs;
+        int32_t run = 0;
+        for (int64_t k = 0; k < n_coeffs; ++k) {
+            if (std::fabs(row[k]) > thresh) {
+                pairs.push_back({run, row[k]});
+                run = 0;
+            } else {
+                ++run;
+            }
+        }
+        std::string payload = serialize_payload(shape, n_coeffs, pairs);
+        if (!xz_encode_to_file(payload, paths[i])) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        // account actual file size (payload shrinks under xz)
+        FILE* f = std::fopen(paths[i], "rb");
+        if (f) {
+            std::fseek(f, 0, SEEK_END);
+            total_bytes.fetch_add(std::ftell(f));
+            std::fclose(f);
+        }
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return total_bytes.load();
+}
+
+// Unpack n_items .xz files into out ([n_items, n_coeffs] float32, caller
+// zero-filled not required).  Items may have differing shapes as long as
+// each payload's coefficient count is <= n_coeffs; shapes_out (3*n_items,
+// optional) receives each item's box shape.  Returns 0, or -(1 + first
+// failing item index).
+int64_t wtc_unpack_batch(const char* const* paths, int64_t n_items,
+                         int64_t n_coeffs, float* out, int32_t* shapes_out,
+                         int n_threads) {
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        std::vector<uint8_t> payload;
+        if (!xz_decode_file(paths[i], payload) || payload.size() < 20) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        int32_t head[5];
+        std::memcpy(head, payload.data(), sizeof(head));
+        const int64_t total = head[3];
+        const int64_t n_pairs = head[4];
+        if (total > n_coeffs ||
+            payload.size() < 20 + n_pairs * sizeof(Pair)) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        if (shapes_out) std::memcpy(shapes_out + 3 * i, head, 3 * sizeof(int32_t));
+        float* row = out + i * n_coeffs;
+        std::memset(row, 0, n_coeffs * sizeof(float));
+        const Pair* pairs = reinterpret_cast<const Pair*>(payload.data() + 20);
+        int64_t idx = 0;
+        for (int64_t p = 0; p < n_pairs; ++p) {
+            idx += pairs[p].run;
+            if (idx < total) {  // bounds check as decompressor.cpp:23
+                row[idx] = pairs[p].val;
+                ++idx;
+            }
+        }
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return 0;
+}
+
+}  // extern "C"

@@ -64,12 +64,9 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
     in_bytes = 0
     out_bytes = 0
     for batch in batches:
-        flat, mask = eng.compress_batch(batch.data, keep)
-        jobs = [(item, batch.shape, flat[i], mask[i])
-                for i, item in enumerate(batch.items)]
-        sizes = packer.pack_and_write(out_dir, jobs)
-        n_files += len(sizes)
-        out_bytes += sum(sizes)
+        flat, t32 = eng.compress_batch_raw(batch.data, keep)
+        out_bytes += packer.pack(out_dir, batch.items, batch.shape, flat, t32)
+        n_files += len(batch.items)
         in_bytes += batch.n_valid * flat.shape[1] * 4
     return {"files": n_files, "input_bytes": in_bytes, "output_bytes": out_bytes}
 

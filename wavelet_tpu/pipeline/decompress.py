@@ -39,44 +39,35 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
     dimensions = archive.read_locdim(cfg.compressed_dir, "dimensions.raw", counts)
     amrex = archive.read_amrexinfo(cfg.compressed_dir)
 
-    # one work item per (t, lev, comp, box); group by box shape for the device
-    items, shapes = [], []
+    # one work item per (t, lev, comp, box), bucketed by box shape
+    buckets = {}
     for t in range(num_times):
         for li in range(num_levels):
             for b in range(counts[t][li]):
                 dims = tuple(dimensions[t][li][b])
                 for comp_idx in info.comp_idxs:
-                    items.append(batching.WorkItem(t=t, level=li,
-                                                   comp_idx=comp_idx, box=b))
-                    shapes.append(dims)
+                    buckets.setdefault(dims, []).append(
+                        batching.WorkItem(t=t, level=li, comp_idx=comp_idx,
+                                          box=b))
 
     packer = engine.HostPacker()
-    payloads = packer.read_and_unpack(cfg.compressed_dir, items)
-
     eng = engine.CodecEngine(mesh=mesh)
     pad = mesh.size if mesh is not None else 1
-    # bucket indices by shape
-    buckets = {}
-    for i, (item, dims) in enumerate(zip(items, shapes)):
-        buckets.setdefault(dims, []).append(i)
 
     comp_pos = {c: k for k, c in enumerate(info.comp_idxs)}
     ncomp = len(info.comp_idxs)
     # regenerated boxes: [t][lev][box] -> (C, X, Y, Z)
     regen = [[[None] * counts[t][li] for li in range(num_levels)]
              for t in range(num_times)]
-    for dims, idxs in buckets.items():
-        n = len(idxs)
-        n_pad = batching.pad_to_multiple(n, pad)
-        flat = np.zeros((n_pad, int(np.prod(dims))), dtype=np.float32)
-        for row, i in enumerate(idxs):
-            pshape, pflat = payloads[i]
-            assert tuple(pshape) == dims, (
-                f"payload shape {pshape} disagrees with dimensions.raw {dims}")
-            flat[row] = pflat
+    for dims, bucket_items in buckets.items():
+        flat = packer.unpack(cfg.compressed_dir, bucket_items, dims)
+        n_pad = batching.pad_to_multiple(len(bucket_items), pad)
+        if n_pad != flat.shape[0]:
+            flat = np.concatenate(
+                [flat, np.zeros((n_pad - flat.shape[0], flat.shape[1]),
+                                np.float32)])
         boxes = eng.decompress_batch(flat, dims)
-        for row, i in enumerate(idxs):
-            it = items[i]
+        for row, it in enumerate(bucket_items):
             if regen[it.t][it.level][it.box] is None:
                 regen[it.t][it.level][it.box] = np.zeros(
                     (ncomp,) + dims, dtype=np.float32)

@@ -40,27 +40,24 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
         packer = engine.HostPacker()
         eng = engine.CodecEngine(mesh=mesh)
         lv = run.levels_data[0][0]
-        items = []
+        buckets = {}
         for b in range(len(lv.boxes)):
+            dims = tuple(lv.dimensions[b])
             for comp_idx in run.comp_idxs:
-                items.append(batching.WorkItem(t=0, level=0,
-                                               comp_idx=comp_idx, box=b))
-        payloads = packer.read_and_unpack(scratch, items)
+                buckets.setdefault(dims, []).append(
+                    batching.WorkItem(t=0, level=0, comp_idx=comp_idx, box=b))
         comp_pos = {c: k for k, c in enumerate(run.comp_idxs)}
         regen = [np.zeros_like(box) for box in lv.boxes]
-        buckets = {}
-        for i, it in enumerate(items):
-            dims = tuple(payloads[i][0])
-            buckets.setdefault(dims, []).append(i)
         pad = mesh.size if mesh is not None else 1
-        for dims, idxs in buckets.items():
-            n_pad = batching.pad_to_multiple(len(idxs), pad)
-            flat = np.zeros((n_pad, int(np.prod(dims))), np.float32)
-            for row, i in enumerate(idxs):
-                flat[row] = payloads[i][1]
+        for dims, items in buckets.items():
+            flat = packer.unpack(scratch, items, dims)
+            n_pad = batching.pad_to_multiple(len(items), pad)
+            if n_pad != flat.shape[0]:
+                flat = np.concatenate(
+                    [flat, np.zeros((n_pad - flat.shape[0], flat.shape[1]),
+                                    np.float32)])
             boxes = eng.decompress_batch(flat, dims)
-            for row, i in enumerate(idxs):
-                it = items[i]
+            for row, it in enumerate(items):
                 regen[it.box][comp_pos[it.comp_idx]] = boxes[row]
         log.info("Decompression complete.")
 

@@ -20,6 +20,7 @@ from wavelet_tpu.core import rle
 from wavelet_tpu.io import archive
 from wavelet_tpu.kernels import haar_pallas
 from wavelet_tpu.runtime import mesh as mesh_lib
+from wavelet_tpu import native
 
 __all__ = ["CodecEngine", "HostPacker", "resolve_signed_absmax"]
 
@@ -97,8 +98,10 @@ class CodecEngine:
         return (self.use_pallas
                 and int(np.prod(dims)) * 4 <= self._PALLAS_MAX_BLOCK_BYTES)
 
-    def compress_batch(self, data: np.ndarray, keep: float):
-        """-> (coeffs f32 [N, XYZ], mask bool [N, XYZ]) as NumPy arrays."""
+    def compress_batch_raw(self, data: np.ndarray, keep: float):
+        """-> (coeffs f32 [N, XYZ], t32 f32 [N]): transform + exact per-item
+        thresholds; masking is left to the consumer (the host packer applies
+        ``|c| > t32`` during RLE, so no mask array crosses the wire)."""
         dev = self._put(jnp.asarray(data))
         if self._pallas_ok(data.shape[1:]):
             coeffs, maxv, minv = haar_pallas.fused_forward(dev)
@@ -109,8 +112,12 @@ class CodecEngine:
             flat, signed_dev = _compress_step(dev)
             signed = np.asarray(signed_dev)
         t32 = threshold.exact_threshold32(signed, keep)
-        mask, _counts = _mask_step(flat, self._put(jnp.asarray(t32)))
-        return np.asarray(flat), np.asarray(mask)
+        return np.asarray(flat), t32
+
+    def compress_batch(self, data: np.ndarray, keep: float):
+        """-> (coeffs f32 [N, XYZ], mask bool [N, XYZ]) as NumPy arrays."""
+        flat, t32 = self.compress_batch_raw(data, keep)
+        return flat, np.abs(flat) > t32[:, None]
 
     def decompress_batch(self, flat: np.ndarray, dims) -> np.ndarray:
         """flat f32 [N, X*Y*Z] -> boxes f32 [N, X, Y, Z]."""
@@ -125,41 +132,68 @@ class CodecEngine:
 class HostPacker:
     """Parallel host-side pack/unpack + file I/O.
 
-    LZMA encode dominates host cost; ``lzma`` releases the GIL so a thread
-    pool scales across cores — the replacement for the reference's serial
-    per-file writes (compressor.cpp:250-291).
+    Two backends with identical byte output:
+    - native: the C++ library (native/wtc_codec.cpp) thresholds, RLE-packs,
+      xz-encodes and writes every item on a worker pool — the framework's
+      native replacement for the reference's serial per-file writes
+      (compressor.cpp:250-291);
+    - python: NumPy RLE + stdlib ``lzma`` (releases the GIL) on a thread
+      pool, used when the shared library isn't available.
     """
 
-    def __init__(self, workers: int | None = None):
+    def __init__(self, workers: int | None = None, use_native: bool | None = None):
         self.workers = workers or min(32, (os.cpu_count() or 4))
+        if use_native is None:
+            use_native = native.available()
+        self.use_native = use_native and native.available()
 
-    def pack_and_write(self, out_dir: str, jobs):
-        """jobs: iterable of (WorkItem, shape, flat f32[XYZ], mask bool[XYZ])."""
+    def _paths(self, dir_, items):
+        return [os.path.join(dir_, archive.payload_filename(
+            it.t, it.level, it.comp_idx, it.box)) for it in items]
 
-        def one(job):
-            item, shape, flat, mask = job
-            runs, vals = rle.rle_encode_mask(mask, flat)
+    def pack(self, out_dir: str, items, shape, flat: np.ndarray,
+             t32: np.ndarray) -> int:
+        """Threshold+RLE+xz+write ``len(items)`` rows of ``flat``; rows
+        beyond ``len(items)`` are batch padding and ignored.  Returns total
+        compressed bytes."""
+        n = len(items)
+        paths = self._paths(out_dir, items)
+        if self.use_native:
+            return native.pack_batch(flat[:n], t32[:n], shape, paths,
+                                     self.workers)
+
+        def one(i):
+            mask = np.abs(flat[i]) > t32[i]
+            runs, vals = rle.rle_encode_mask(mask, flat[i])
             blob = archive.xz_compress(
                 archive.serialize_payload(shape, runs, vals))
-            name = archive.payload_filename(item.t, item.level, item.comp_idx,
-                                            item.box)
-            with open(os.path.join(out_dir, name), "wb") as f:
+            with open(paths[i], "wb") as f:
                 f.write(blob)
             return len(blob)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
-            return list(ex.map(one, jobs))
+            return sum(ex.map(one, range(n)))
 
-    def read_and_unpack(self, in_dir: str, items):
-        """items: list of WorkItem -> list of (shape, flat f32[XYZ])."""
+    def unpack(self, in_dir: str, items, dims) -> np.ndarray:
+        """Read + xz-decode + RLE-scatter items of one shape -> [N, XYZ]."""
+        n_coeffs = int(np.prod(dims))
+        paths = self._paths(in_dir, items)
+        if self.use_native:
+            flat, shapes = native.unpack_batch(paths, n_coeffs, self.workers)
+            if not np.all(shapes == np.asarray(dims, np.int32)):
+                raise ValueError(
+                    f"payload shapes disagree with dimensions.raw {tuple(dims)}")
+            return flat
 
-        def one(item):
-            name = archive.payload_filename(item.t, item.level, item.comp_idx,
-                                            item.box)
-            with open(os.path.join(in_dir, name), "rb") as f:
+        def one(path):
+            with open(path, "rb") as f:
                 payload = archive.xz_decompress(f.read())
             shape, total, runs, vals = archive.deserialize_payload(payload)
-            return shape, rle.rle_decode(runs, vals, total)
+            if tuple(shape) != tuple(dims):
+                raise ValueError(
+                    f"payload shape {shape} disagrees with dimensions.raw "
+                    f"{tuple(dims)}")
+            return rle.rle_decode(runs, vals, total)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
-            return list(ex.map(one, items))
+            return np.stack(list(ex.map(one, paths)))
