@@ -61,7 +61,12 @@ def parse_argv(argv):
         cfg.min_level = int(need("minlevel"))
         cfg.max_level = int(need("maxlevel")) if mode == "c" else int(kv.get("maxlevel", kv["minlevel"]))
         cfg.components = need("components").split()
-        cfg.keep = float(need("keep"))
+        cfg.threshold_mode = kv.get("thresholdmode", "box")
+        if cfg.threshold_mode == "global":
+            cfg.keep_fraction = float(need("keepfraction"))
+            cfg.keep = float(kv.get("keep", "0.999"))
+        else:
+            cfg.keep = float(need("keep"))
         if mode == "c":
             cfg.compressed_dir = need("compresseddir")
         else:

@@ -29,6 +29,9 @@ __all__ = [
     "exact_threshold32",
     "mask_coefficients",
     "global_histogram_threshold",
+    "EXP_HIST_BINS",
+    "abs_exponent_histogram",
+    "threshold_from_histogram",
 ]
 
 
@@ -62,6 +65,49 @@ def exact_threshold32(max_vals: np.ndarray, keep: float) -> np.ndarray:
 def mask_coefficients(coeffs: jax.Array, t32: jax.Array) -> jax.Array:
     """Boolean keep-mask: ``|c| > t32`` broadcast over trailing axes."""
     return jnp.abs(coeffs) > t32[..., None]
+
+
+# 12-bit keys: sign-stripped float32 bits >> 20 = 8 exponent bits + 3
+# mantissa bits, monotone in |c|; quantile resolution ~2^-4 relative.
+EXP_HIST_BINS = 4096
+_EXP_SHIFT = 20
+
+
+def abs_exponent_histogram(coeffs: jax.Array) -> jax.Array:
+    """int32[EXP_HIST_BINS] histogram of |coeffs| with float-bit bucketing.
+
+    Bin edges are fixed properties of the float32 format, so partial
+    histograms from different batches/shapes/chips merge by plain addition —
+    no prior max pass, deterministic under any sharding.  This is the
+    device-side building block of the *global* threshold mode (the new
+    TPU-native capability of BASELINE.json configs 4-5).
+    """
+    bits = jax.lax.bitcast_convert_type(
+        jnp.abs(coeffs.reshape(-1)), jnp.int32)
+    keys = jax.lax.shift_right_logical(bits, _EXP_SHIFT)
+    return jnp.zeros((EXP_HIST_BINS,), jnp.int32).at[keys].add(1)
+
+
+def threshold_from_histogram(hist: np.ndarray, keep_fraction: float) -> np.float32:
+    """Magnitude threshold keeping ~``keep_fraction`` of all coefficients.
+
+    Picks the smallest bin edge such that the count of strictly-greater bins
+    is <= target; coefficients compare ``|c| > thresh``.
+    """
+    hist = np.asarray(hist, dtype=np.int64)
+    total = int(hist.sum())
+    target = keep_fraction * total
+    above = np.cumsum(hist[::-1])[::-1]  # above[k] = count of bins >= k
+    # smallest k with above[k] <= target -> keep bins >= k, threshold is the
+    # lower edge of bin k-1 (i.e. all of bin k and up survive |c| > edge)
+    ks = np.nonzero(above <= target)[0]
+    k = int(ks[0]) if len(ks) else EXP_HIST_BINS
+    if k <= 1:
+        return np.float32(0.0)
+    # |c| > thresh must hold exactly for bins >= k: thresh is the largest
+    # float below bin k's lower edge, i.e. bits (k << shift) - 1
+    prev = np.uint32((k << _EXP_SHIFT) - 1)
+    return prev.view(np.float32)
 
 
 def global_histogram_threshold(coeffs: jax.Array,

@@ -33,6 +33,9 @@ class Config:
     keep: float = 0.999
     compressed_dir: str = ""
     out_dir: str = ""
+    # new TPU-native options (absent in the reference)
+    threshold_mode: str = "box"       # "box" (parity) | "global" (quantile)
+    keep_fraction: float | None = None
 
 
 def clean_string(filename: str) -> int:

@@ -54,8 +54,20 @@ def write_sidecars(run: common.RunData, cfg_components, min_level, max_level,
 
 
 def compress_collected(run: common.RunData, keep: float, out_dir: str,
-                       mesh=None, packer=None) -> dict:
-    """Device codec + host pack for already-collected data. Returns stats."""
+                       mesh=None, packer=None,
+                       threshold_mode: str = "box",
+                       keep_fraction: float | None = None) -> dict:
+    """Device codec + host pack for already-collected data. Returns stats.
+
+    ``threshold_mode``:
+    - ``"box"`` (reference parity): per-(box, component) signed-absmax rule,
+      ``thresh = max_val * (1 - keep)`` (compressor.cpp:212-216).
+    - ``"global"`` (new TPU-native capability, BASELINE.json configs 4-5):
+      one magnitude threshold for the whole run, the quantile keeping
+      ``keep_fraction`` of all coefficients, computed from summed
+      fixed-bin histograms (all-reduce-friendly).  The archive format is
+      unchanged, so either mode decompresses identically.
+    """
     eng = engine.CodecEngine(mesh=mesh)
     packer = packer or engine.HostPacker()
     pad = mesh.size if mesh is not None else 1
@@ -63,6 +75,32 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
     n_files = 0
     in_bytes = 0
     out_bytes = 0
+    if threshold_mode == "global":
+        if keep_fraction is None:
+            raise ValueError("global threshold mode requires keep_fraction")
+        import numpy as np
+
+        from wavelet_tpu.core import threshold as thr
+
+        hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
+        flats = []
+        for batch in batches:
+            flat, h = eng.forward_hist_batch(
+                batch.data, n_pad_rows=batch.data.shape[0] - batch.n_valid)
+            flats.append(flat)
+            hist += h
+        t = thr.threshold_from_histogram(hist, keep_fraction)
+        log.info("Global magnitude threshold (keep_fraction=%s): %s",
+                 keep_fraction, t)
+        for batch, flat in zip(batches, flats):
+            t32 = np.full(len(batch.items), t, np.float32)
+            out_bytes += packer.pack(out_dir, batch.items, batch.shape,
+                                     flat, t32)
+            n_files += len(batch.items)
+            in_bytes += batch.n_valid * flat.shape[1] * 4
+        return {"files": n_files, "input_bytes": in_bytes,
+                "output_bytes": out_bytes, "global_threshold": float(t)}
+
     for batch in batches:
         flat, t32 = eng.compress_batch_raw(batch.data, keep)
         out_bytes += packer.pack(out_dir, batch.items, batch.shape, flat, t32)
@@ -89,7 +127,9 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
     log.info("Successfully processed data in %s seconds. "
              "Beginning compression...", t1 - t0)
 
-    stats = compress_collected(run, cfg.keep, cfg.compressed_dir, mesh=mesh)
+    stats = compress_collected(run, cfg.keep, cfg.compressed_dir, mesh=mesh,
+                               threshold_mode=cfg.threshold_mode,
+                               keep_fraction=cfg.keep_fraction)
     t2 = time.perf_counter()
     log.info("Compression completed in %s seconds.", t2 - t1)
     stats["preprocess_seconds"] = t1 - t0

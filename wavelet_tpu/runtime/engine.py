@@ -38,6 +38,17 @@ def _compress_step(batch: jax.Array):
 
 
 @jax.jit
+def _fwd_hist_step(batch: jax.Array):
+    """[N, X, Y, Z] -> (flat coeffs [N, XYZ], magnitude histogram [4096]).
+
+    Device side of the global-threshold mode: fixed float-bit bins merge by
+    addition across batches, shapes, chips and hosts.
+    """
+    flat = haar.forward_flat(batch)
+    return flat, threshold.abs_exponent_histogram(flat)
+
+
+@jax.jit
 def _mask_step(flat: jax.Array, t32: jax.Array):
     """Exact-parity keep mask + per-item kept counts, on device."""
     mask = threshold.mask_coefficients(flat, t32)
@@ -118,6 +129,18 @@ class CodecEngine:
         """-> (coeffs f32 [N, XYZ], mask bool [N, XYZ]) as NumPy arrays."""
         flat, t32 = self.compress_batch_raw(data, keep)
         return flat, np.abs(flat) > t32[:, None]
+
+    def forward_hist_batch(self, data: np.ndarray, n_pad_rows: int = 0):
+        """-> (flat [N, XYZ], magnitude histogram int64[4096]).
+
+        ``n_pad_rows`` all-zero padding rows are removed from the zero bin so
+        the global quantile only counts real coefficients.
+        """
+        dev = self._put(jnp.asarray(data))
+        flat, hist = _fwd_hist_step(dev)
+        hist = np.asarray(hist, dtype=np.int64)
+        hist[0] -= n_pad_rows * flat.shape[1]
+        return np.asarray(flat), hist
 
     def decompress_batch(self, flat: np.ndarray, dims) -> np.ndarray:
         """flat f32 [N, X*Y*Z] -> boxes f32 [N, X, Y, Z]."""
