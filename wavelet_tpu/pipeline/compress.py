@@ -15,13 +15,14 @@ own shard of ``.xz`` files (runtime/mesh.process_local_slice).
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import logging
 import os
 import time
 
 from wavelet_tpu.io import archive
 from wavelet_tpu.pipeline import common
-from wavelet_tpu.runtime import batching, engine
+from wavelet_tpu.runtime import batching, engine, mesh as mesh_lib
 
 log = logging.getLogger("wavelet_tpu")
 
@@ -71,7 +72,18 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
     eng = engine.CodecEngine(mesh=mesh)
     packer = packer or engine.HostPacker()
     pad = mesh.size if mesh is not None else 1
-    batches = batching.plan_batches(_iter_workitems(run), pad_multiple=pad)
+    # multi-host fan-out: each process owns a contiguous slice of the work
+    # items and writes its own shard of .xz files (the archive is a flat
+    # directory, so shards compose); sidecars are written by process 0 only
+    # (write_sidecars is called by compress_run on every host with identical
+    # content — last-writer-wins is benign, but slicing items avoids
+    # duplicate codec work).
+    items = list(_iter_workitems(run))
+    import jax
+
+    if jax.process_count() > 1:
+        items = items[mesh_lib.process_local_slice(len(items))]
+    batches = batching.plan_batches(items, pad_multiple=pad)
     n_files = 0
     in_bytes = 0
     out_bytes = 0
@@ -89,6 +101,14 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                 batch.data, n_pad_rows=batch.data.shape[0] - batch.n_valid)
             flats.append(flat)
             hist += h
+        if jax.process_count() > 1:
+            # all-reduce the histogram over DCN so every host derives the
+            # same global threshold
+            import jax.numpy as jnp
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(jnp.asarray(hist))
+            hist = np.asarray(gathered).reshape(jax.process_count(), -1).sum(0)
         t = thr.threshold_from_histogram(hist, keep_fraction)
         log.info("Global magnitude threshold (keep_fraction=%s): %s",
                  keep_fraction, t)
@@ -101,11 +121,20 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
         return {"files": n_files, "input_bytes": in_bytes,
                 "output_bytes": out_bytes, "global_threshold": float(t)}
 
-    for batch in batches:
-        flat, t32 = eng.compress_batch_raw(batch.data, keep)
-        out_bytes += packer.pack(out_dir, batch.items, batch.shape, flat, t32)
-        n_files += len(batch.items)
-        in_bytes += batch.n_valid * flat.shape[1] * 4
+    # overlap: the device transforms batch i+1 while a pack thread runs the
+    # host RLE+xz+write of batch i
+    with cf.ThreadPoolExecutor(1) as pack_pool:
+        pending = None
+        for batch in batches:
+            flat, t32 = eng.compress_batch_raw(batch.data, keep)
+            if pending is not None:
+                out_bytes += pending.result()
+            pending = pack_pool.submit(packer.pack, out_dir, batch.items,
+                                       batch.shape, flat, t32)
+            n_files += len(batch.items)
+            in_bytes += batch.n_valid * flat.shape[1] * 4
+        if pending is not None:
+            out_bytes += pending.result()
     return {"files": n_files, "input_bytes": in_bytes, "output_bytes": out_bytes}
 
 
