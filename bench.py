@@ -58,14 +58,25 @@ def main():
 
     n, d = 128, 64
     rng = np.random.default_rng(0)
-    batch_np = rng.standard_normal((n, d, d, d)).astype(np.float32)
+    orig_np = rng.standard_normal((n, d, d, d)).astype(np.float32)
+    batch_np = orig_np
     nbytes = batch_np.nbytes
     keep = 0.999
     K1, K2 = 10, 40
 
-    fwd_one = ((lambda v: hp.fused_forward(v)[0]) if on_tpu
+    # the production TPU path is lane-packed: P boxes' Z-axes fill the
+    # 128-lane dim (see kernels/haar_pallas.py); bench what the pipeline runs
+    pack = hp.lane_pack_factor((d, d, d)) if on_tpu else 1
+    if pack > 1:
+        packed_np = (batch_np.reshape(n // pack, pack, d, d, d)
+                     .transpose(0, 2, 3, 1, 4)
+                     .reshape(n // pack, d, d, pack * d))
+        batch_np = np.ascontiguousarray(packed_np)
+
+    fwd_one = ((lambda v: hp.fused_forward_packed(v, pack)[0]) if on_tpu
                else (lambda v: haar.haar3d_forward(v)))
-    inv_one = hp.fused_inverse if on_tpu else haar.haar3d_inverse
+    inv_one = ((lambda v: hp.fused_inverse_packed(v, pack)) if on_tpu
+               else haar.haar3d_inverse)
 
     @partial(jax.jit, static_argnums=1)
     def fwd_many(v, k):
@@ -73,8 +84,10 @@ def main():
 
     @partial(jax.jit, static_argnums=2)
     def mask_many(v, t32, k):
+        # per-item thresholds broadcast over lanes: [M, 1, 1, P] -> P*Z lanes
+        tl = jnp.repeat(t32.reshape(v.shape[0], pack), d, axis=1)
         def body(i, u):
-            m = jnp.abs(u) > t32[:, None, None, None]
+            m = jnp.abs(u) > tl[:, None, None, :]
             return jnp.where(m, u, jnp.zeros_like(u))
         return jax.lax.fori_loop(0, k, body, v)
 
@@ -87,9 +100,12 @@ def main():
 
     # warm/compile all three
     _ = np.asarray(fwd_many(x, 2).ravel()[0])
-    signed = engine.resolve_signed_absmax(
-        *(np.asarray(v) for v in hp.fused_forward(x)[1:])) if on_tpu else \
-        np.asarray(threshold.signed_absmax(
+    if on_tpu:
+        _, maxv, minv = hp.fused_forward_packed(x, pack)
+        maxv, minv = np.asarray(maxv), np.asarray(minv)
+        signed = np.where(np.abs(maxv) >= np.abs(minv), maxv, minv)
+    else:
+        signed = np.asarray(threshold.signed_absmax(
             haar.forward_flat(x), axis=-1))
     t32 = jax.device_put(jnp.asarray(
         threshold.exact_threshold32(signed, keep)), dev)
@@ -107,10 +123,10 @@ def main():
 
     # quality on a real (non-chained) round trip through the engine
     eng = engine.CodecEngine()
-    flat, mask = eng.compress_batch(batch_np, keep)
+    flat, mask = eng.compress_batch(orig_np, keep)
     recon = eng.decompress_batch(np.where(mask, flat, 0.0), (d, d, d))
     rmse = float(np.sqrt(np.mean(
-        (recon.astype(np.float64) - batch_np.astype(np.float64)) ** 2)))
+        (recon.astype(np.float64) - orig_np.astype(np.float64)) ** 2)))
     kept_frac = float(mask.mean())
 
     baseline = 10.0  # GB/s/chip north star (BASELINE.json)

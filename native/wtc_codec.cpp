@@ -123,26 +123,36 @@ void run_pool(int n_threads, int64_t n_items,
 
 extern "C" {
 
-// Pack n_items rows of coeffs ([n_items, n_coeffs] float32) with per-item
-// float32 thresholds (keep iff |c| > t32[i]); write one .xz per item at
-// paths[i].  All items share one box shape.  Returns total compressed bytes,
-// or -(1 + first failing item index) on error.
-int64_t wtc_pack_batch(const float* coeffs, const float* t32, int64_t n_items,
-                       int64_t n_coeffs, const int32_t* shape,
-                       const char* const* paths, int n_threads) {
+// Pack n_items items with per-item float32 thresholds (keep iff
+// |c| > t32[i]); write one .xz per item at paths[i].  All items share one
+// box shape.  Item i's coefficients are `rows` runs of `row_len` floats
+// spaced `row_stride` apart starting at coeffs + offsets[i] — this covers
+// both the contiguous [N, XYZ] layout (rows=1) and the TPU lane-packed
+// [M, X, Y, P*Z] layout (rows=X*Y, row_len=Z, row_stride=P*Z) without a
+// host repack.  Returns total compressed bytes, or -(1 + first failing
+// item index) on error.
+int64_t wtc_pack_strided(const float* coeffs, const float* t32,
+                         int64_t n_items, int64_t rows, int64_t row_len,
+                         int64_t row_stride, const int64_t* offsets,
+                         const int32_t* shape, const char* const* paths,
+                         int n_threads) {
+    const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> total_bytes(0);
     std::atomic<int64_t> first_err(-1);
     run_pool(n_threads, n_items, [&](int64_t i) {
-        const float* row = coeffs + i * n_coeffs;
+        const float* base = coeffs + offsets[i];
         const float thresh = t32[i];
         std::vector<Pair> pairs;
         int32_t run = 0;
-        for (int64_t k = 0; k < n_coeffs; ++k) {
-            if (std::fabs(row[k]) > thresh) {
-                pairs.push_back({run, row[k]});
-                run = 0;
-            } else {
-                ++run;
+        for (int64_t r = 0; r < rows; ++r) {
+            const float* row = base + r * row_stride;
+            for (int64_t k = 0; k < row_len; ++k) {
+                if (std::fabs(row[k]) > thresh) {
+                    pairs.push_back({run, row[k]});
+                    run = 0;
+                } else {
+                    ++run;
+                }
             }
         }
         std::string payload = serialize_payload(shape, n_coeffs, pairs);
@@ -163,14 +173,15 @@ int64_t wtc_pack_batch(const float* coeffs, const float* t32, int64_t n_items,
     return total_bytes.load();
 }
 
-// Unpack n_items .xz files into out ([n_items, n_coeffs] float32, caller
-// zero-filled not required).  Items may have differing shapes as long as
-// each payload's coefficient count is <= n_coeffs; shapes_out (3*n_items,
-// optional) receives each item's box shape.  Returns 0, or -(1 + first
-// failing item index).
-int64_t wtc_unpack_batch(const char* const* paths, int64_t n_items,
-                         int64_t n_coeffs, float* out, int32_t* shapes_out,
-                         int n_threads) {
+// Unpack n_items .xz files into a strided destination (same geometry
+// convention as wtc_pack_strided; the destination regions are zeroed
+// first).  shapes_out (3*n_items, optional) receives each item's box
+// shape.  Returns 0, or -(1 + first failing item index).
+int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
+                           int64_t rows, int64_t row_len, int64_t row_stride,
+                           const int64_t* offsets, float* out,
+                           int32_t* shapes_out, int n_threads) {
+    const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> first_err(-1);
     run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
@@ -190,14 +201,16 @@ int64_t wtc_unpack_batch(const char* const* paths, int64_t n_items,
             return;
         }
         if (shapes_out) std::memcpy(shapes_out + 3 * i, head, 3 * sizeof(int32_t));
-        float* row = out + i * n_coeffs;
-        std::memset(row, 0, n_coeffs * sizeof(float));
+        float* base = out + offsets[i];
+        for (int64_t r = 0; r < rows; ++r)
+            std::memset(base + r * row_stride, 0, row_len * sizeof(float));
         const Pair* pairs = reinterpret_cast<const Pair*>(payload.data() + 20);
         int64_t idx = 0;
         for (int64_t p = 0; p < n_pairs; ++p) {
             idx += pairs[p].run;
             if (idx < total) {  // bounds check as decompressor.cpp:23
-                row[idx] = pairs[p].val;
+                base[(idx / row_len) * row_stride + idx % row_len] =
+                    pairs[p].val;
                 ++idx;
             }
         }

@@ -83,10 +83,12 @@ def test_packer_backends_byte_identical(tmp_path):
     dims = (4, 4, 4)
     flat, t32 = _mk(3, dims, seed=11)
     items = [batching.WorkItem(0, 0, c, 0) for c in range(3)]
+    cb = batching.ShapeBatch(shape=dims, data=flat.reshape((-1,) + dims),
+                             items=items, n_valid=3)
     d_nat = tmp_path / "nat"; d_py = tmp_path / "py"
     d_nat.mkdir(); d_py.mkdir()
-    engine.HostPacker(use_native=True).pack(str(d_nat), items, dims, flat, t32)
-    engine.HostPacker(use_native=False).pack(str(d_py), items, dims, flat, t32)
+    engine.HostPacker(use_native=True).pack(str(d_nat), cb, t32)
+    engine.HostPacker(use_native=False).pack(str(d_py), cb, t32)
     for it in items:
         name = archive.payload_filename(it.t, it.level, it.comp_idx, it.box)
         a = open(d_nat / name, "rb").read()

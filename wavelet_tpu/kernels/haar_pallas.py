@@ -34,60 +34,96 @@ def supported() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _fwd_lead(v: jax.Array) -> jax.Array:
+def _fwd_lead(v: jax.Array, n_seg: int = 1) -> jax.Array:
     """One forward Haar pass along the *leading* axis.
 
     Mosaic supports pair-splitting reshapes and concat only on untiled
     (leading) dimensions, so each axis is transposed into the leading slot
     for its pass.  Math identical to core.haar._fwd_last (same single
     float32 rounding per output), hence bitwise-equal results.
+
+    ``n_seg > 1`` treats the axis as that many independent equal segments
+    (the lane-packed layout: several boxes' Z-axes concatenated to fill the
+    128 lanes); pairing and the low/high split happen within each segment,
+    entirely with leading-dimension reshapes.
     """
     n = v.shape[0]
-    h = n // 2
-    w = v[: 2 * h].reshape((h, 2) + v.shape[1:])
-    a = w[:, 0]
-    b = w[:, 1]
-    parts = [(a + b) * 0.5, (a - b) * 0.5]
-    if n % 2:
-        parts.append(v[2 * h :])
-    return jnp.concatenate(parts, axis=0)
+    if n_seg == 1:
+        h = n // 2
+        w = v[: 2 * h].reshape((h, 2) + v.shape[1:])
+        parts = [(w[:, 0] + w[:, 1]) * 0.5, (w[:, 0] - w[:, 1]) * 0.5]
+        if n % 2:
+            parts.append(v[2 * h :])
+        return jnp.concatenate(parts, axis=0)
+    z = n // n_seg
+    h = z // 2
+    assert z % 2 == 0, "packed segments require even Z"
+    w = v.reshape((n_seg, h, 2) + v.shape[1:])
+    a = w[:, :, 0]
+    b = w[:, :, 1]
+    out = jnp.concatenate([(a + b) * 0.5, (a - b) * 0.5], axis=1)
+    return out.reshape((n,) + v.shape[1:])
 
 
-def _inv_lead(v: jax.Array) -> jax.Array:
+def _inv_lead(v: jax.Array, n_seg: int = 1) -> jax.Array:
     """One inverse pass along the leading axis (odd tail zeroed, matching
-    decompressor.cpp:99-108)."""
+    decompressor.cpp:99-108); ``n_seg`` as in :func:`_fwd_lead`."""
     n = v.shape[0]
-    h = n // 2
-    avg = v[:h]
-    diff = v[h : 2 * h]
-    even = avg + diff
-    odd = avg - diff
-    out = jnp.stack([even, odd], axis=1).reshape((2 * h,) + v.shape[1:])
-    if n % 2:
-        out = jnp.concatenate([out, jnp.zeros_like(v[:1])], axis=0)
-    return out
+    if n_seg == 1:
+        h = n // 2
+        avg = v[:h]
+        diff = v[h : 2 * h]
+        out = jnp.stack([avg + diff, avg - diff], axis=1).reshape(
+            (2 * h,) + v.shape[1:])
+        if n % 2:
+            out = jnp.concatenate([out, jnp.zeros_like(v[:1])], axis=0)
+        return out
+    z = n // n_seg
+    h = z // 2
+    assert z % 2 == 0, "packed segments require even Z"
+    w = v.reshape((n_seg, 2, h) + v.shape[1:])
+    avg = w[:, 0]
+    diff = w[:, 1]
+    out = jnp.stack([avg + diff, avg - diff], axis=2)
+    return out.reshape((n,) + v.shape[1:])
 
 
-def _fwd_block(x: jax.Array) -> jax.Array:
-    """(X, Y, Z) forward: Z, Y, X passes — the reference's order
-    (compressor.cpp:98-175), each via a transpose-to-leading."""
-    t = jnp.transpose(x, (2, 1, 0))       # (Z, Y, X)
-    t = _fwd_lead(t)                      # Z pass
-    t = jnp.transpose(t, (1, 0, 2))       # (Y, Z, X)
+def _fwd_block(x: jax.Array, n_seg_lane: int = 1,
+               n_seg_lead: int = 1) -> jax.Array:
+    """(X, Y, L) forward: Z, Y, X passes — the reference's order
+    (compressor.cpp:98-175), each via a transpose-to-leading.
+
+    Layout discipline: every intermediate keeps a *large* minor (lane)
+    dimension — either L or the folded leading axis — by returning to the
+    home (X, Y, L) layout after each pass.  Routing a small axis (e.g. Y=4)
+    through the lanes pads registers up to 128 wide and can inflate VMEM by
+    32x (observed as a Mosaic scoped-vmem OOM).
+
+    ``n_seg_lane > 1``: the last axis holds that many boxes' Z-axes packed
+    to fill the 128 lanes (L = n_seg_lane * Z).  ``n_seg_lead > 1``: the
+    leading axis holds that many boxes' X-extents stacked (multi-row grid
+    blocks); both passes pair within segments only.
+    """
+    t = jnp.transpose(x, (2, 1, 0))       # (L, Y, bX) — lanes = bX
+    t = _fwd_lead(t, n_seg_lane)          # Z pass
+    t = jnp.transpose(t, (2, 1, 0))       # home (bX, Y, L)
+    t = jnp.transpose(t, (1, 0, 2))       # (Y, bX, L) — lanes = L
     t = _fwd_lead(t)                      # Y pass
-    t = jnp.transpose(t, (2, 1, 0))       # (X, Z, Y)
-    t = _fwd_lead(t)                      # X pass
-    return jnp.transpose(t, (0, 2, 1))    # (X, Y, Z)
+    t = jnp.transpose(t, (1, 0, 2))       # home
+    return _fwd_lead(t, n_seg_lead)       # X pass (leading, no transpose)
 
 
-def _inv_block(c: jax.Array) -> jax.Array:
-    """(X, Y, Z) inverse: X, Y, Z passes (decompressor.cpp:90-156)."""
-    t = _inv_lead(c)                      # X pass (already leading)
-    t = jnp.transpose(t, (1, 0, 2))       # (Y, X, Z)
+def _inv_block(c: jax.Array, n_seg_lane: int = 1,
+               n_seg_lead: int = 1) -> jax.Array:
+    """(X, Y, L) inverse: X, Y, Z passes (decompressor.cpp:90-156), same
+    home-layout discipline as :func:`_fwd_block`."""
+    t = _inv_lead(c, n_seg_lead)          # X pass (leading)
+    t = jnp.transpose(t, (1, 0, 2))       # (Y, bX, L)
     t = _inv_lead(t)                      # Y pass
-    t = jnp.transpose(t, (2, 1, 0))       # (Z, X, Y)
-    t = _inv_lead(t)                      # Z pass
-    return jnp.transpose(t, (1, 2, 0))    # (X, Y, Z)
+    t = jnp.transpose(t, (1, 0, 2))       # home
+    t = jnp.transpose(t, (2, 1, 0))       # (L, Y, bX)
+    t = _inv_lead(t, n_seg_lane)          # Z pass
+    return jnp.transpose(t, (2, 1, 0))    # home (bX, Y, L)
 
 
 def _fwd_kernel(x_ref, out_ref, maxv_ref, minv_ref):
@@ -145,6 +181,119 @@ def _fused_inverse_call(coeffs: jax.Array, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, x, y, z), coeffs.dtype),
         interpret=interpret,
     )(coeffs)
+
+
+def block_rows(x: int, y: int, L: int, m: int | None = None,
+               target_bytes: int = 2 << 20) -> int:
+    """Packed rows per grid step: larger blocks amortize the per-step DMA
+    overhead that dominates for small boxes, bounded by the kernel's VMEM
+    footprint (intermediates cost ~8x the *sublane-padded* block bytes;
+    exceeding it is a Mosaic scoped-vmem OOM)."""
+    padded_row = x * max(y, 8) * L * 4
+    b = max(1, target_bytes // max(padded_row, 1))
+    if m is not None:
+        b = min(b, m)
+        while m % b:
+            b -= 1
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
+def _fused_forward_packed_call(packed: jax.Array, n_seg: int,
+                               *, interpret: bool = False):
+    m, x, y, L = packed.shape
+    b = block_rows(x, y, L, m)
+    blk = (b, x, y, L)
+
+    def kern(x_ref, out_ref, maxv_ref, minv_ref):
+        # fold the b packed rows into the leading axis; the X pass then
+        # runs with b segments (pairing stays within each row's X extent)
+        v = x_ref[:].reshape(b * x, y, L)
+        c = _fwd_block(v, n_seg_lane=n_seg, n_seg_lead=b).reshape(b, x, y, L)
+        out_ref[:] = c
+        maxv_ref[:] = jnp.max(c, axis=1)
+        minv_ref[:] = jnp.min(c, axis=1)
+
+    c, pmax, pmin = pl.pallas_call(
+        kern,
+        grid=(m // b,),
+        in_specs=[pl.BlockSpec(blk, lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(blk, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, y, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, y, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, x, y, L), packed.dtype),
+            jax.ShapeDtypeStruct((m, y, L), packed.dtype),
+            jax.ShapeDtypeStruct((m, y, L), packed.dtype),
+        ),
+        interpret=interpret,
+    )(packed)
+    # finish the per-box reduction: lanes hold (segment p, z)
+    z = L // n_seg
+    maxv = jnp.max(pmax.reshape(m, y, n_seg, z), axis=(1, 3)).reshape(-1)
+    minv = jnp.min(pmin.reshape(m, y, n_seg, z), axis=(1, 3)).reshape(-1)
+    return c, maxv, minv
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
+def _fused_inverse_packed_call(packed: jax.Array, n_seg: int,
+                               *, interpret: bool = False):
+    m, x, y, L = packed.shape
+    b = block_rows(x, y, L, m)
+    blk = (b, x, y, L)
+
+    def kern(c_ref, out_ref):
+        v = c_ref[:].reshape(b * x, y, L)
+        out_ref[:] = _inv_block(v, n_seg_lane=n_seg,
+                                n_seg_lead=b).reshape(b, x, y, L)
+
+    return pl.pallas_call(
+        kern,
+        grid=(m // b,),
+        in_specs=[pl.BlockSpec(blk, lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, x, y, L), packed.dtype),
+        interpret=interpret,
+    )(packed)
+
+
+def lane_pack_factor(dims) -> int:
+    """Boxes per 128-lane row for shape (X, Y, Z): pack P = 128 // Z boxes'
+    Z-axes into the lane dimension when Z evenly fills it.  Z >= 128 (or
+    shapes that don't divide) pack singly."""
+    z = int(dims[-1])
+    if 0 < z < 128 and 128 % z == 0 and z % 2 == 0:
+        return 128 // z
+    return 1
+
+
+def fused_forward_packed(packed: jax.Array, n_seg: int):
+    """Packed layout [M, X, Y, n_seg*Z]: lane-dense forward transform.
+
+    DMA efficiency on this hardware depends on contiguous run length; boxes
+    with Z < 128 fill only part of each (8, 128) tile, so the batch packs
+    ``n_seg`` boxes' Z-rows per 128-lane row (runs of 512 B instead of
+    Z*4 B) — measured ~1.7x over the unpacked kernel at Z=64.
+    Returns (coeffs packed [M, X, Y, L], max [M*n_seg], min [M*n_seg]) with
+    per-box extrema in item order.
+    """
+    if supported():
+        return _fused_forward_packed_call(packed, n_seg)
+    return _fused_forward_packed_call(packed, n_seg, interpret=True)
+
+
+def fused_inverse_packed(packed: jax.Array, n_seg: int) -> jax.Array:
+    if supported():
+        return _fused_inverse_packed_call(packed, n_seg)
+    return _fused_inverse_packed_call(packed, n_seg, interpret=True)
 
 
 def fused_forward(batch: jax.Array):

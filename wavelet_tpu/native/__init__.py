@@ -1,9 +1,12 @@
 """ctypes binding for the native host codec (native/wtc_codec.cpp).
 
-Loads ``native/libwtc_codec.so`` if present (or buildable with the local
-toolchain); otherwise :data:`lib` is None and callers fall back to the
-NumPy/``lzma`` path in runtime/engine.py.  Disable explicitly with
+Loads ``native/libwtc_codec.so``, rebuilding it with the local toolchain if
+missing or older than its source; otherwise :data:`lib` is None and callers
+fall back to the NumPy/``lzma`` path in runtime/engine.py.  Disable with
 ``WAVELET_TPU_NATIVE=0``.
+
+The strided ABI covers both the contiguous ``[N, XYZ]`` coefficient layout
+and the TPU lane-packed ``[M, X, Y, P*Z]`` layout without host repacking.
 """
 
 from __future__ import annotations
@@ -14,7 +17,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "pack_batch", "unpack_batch"]
+__all__ = ["available", "pack_batch", "unpack_batch",
+           "pack_strided", "unpack_strided"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -23,12 +27,21 @@ _SRC_PATH = os.path.join(_REPO_ROOT, "native", "wtc_codec.cpp")
 
 lib = None
 
+_i64 = ctypes.c_int64
+_pf = ctypes.POINTER(ctypes.c_float)
+_pi32 = ctypes.POINTER(ctypes.c_int32)
+_pi64 = ctypes.POINTER(ctypes.c_int64)
+_pstr = ctypes.POINTER(ctypes.c_char_p)
+
 
 def _try_load():
     global lib
     if os.environ.get("WAVELET_TPU_NATIVE", "1") == "0":
         return
-    if not os.path.exists(_SO_PATH) and os.path.exists(_SRC_PATH):
+    stale = (not os.path.exists(_SO_PATH)
+             or (os.path.exists(_SRC_PATH)
+                 and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)))
+    if stale and os.path.exists(_SRC_PATH):
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
@@ -42,16 +55,12 @@ def _try_load():
         handle = ctypes.CDLL(_SO_PATH)
     except OSError:
         return
-    handle.wtc_pack_batch.restype = ctypes.c_int64
-    handle.wtc_pack_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
-    handle.wtc_unpack_batch.restype = ctypes.c_int64
-    handle.wtc_unpack_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int]
+    handle.wtc_pack_strided.restype = _i64
+    handle.wtc_pack_strided.argtypes = [
+        _pf, _pf, _i64, _i64, _i64, _i64, _pi64, _pi32, _pstr, ctypes.c_int]
+    handle.wtc_unpack_strided.restype = _i64
+    handle.wtc_unpack_strided.argtypes = [
+        _pstr, _i64, _i64, _i64, _i64, _pi64, _pf, _pi32, ctypes.c_int]
     lib = handle
 
 
@@ -68,33 +77,60 @@ def _paths_array(paths):
     return arr
 
 
-def pack_batch(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
-               n_threads: int = 0) -> int:
-    """coeffs [N, XYZ] f32 (C-contiguous), per-item thresholds t32 [N] f32;
-    writes one .xz per path.  Returns total compressed bytes."""
+def pack_strided(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
+                 rows: int, row_len: int, row_stride: int,
+                 offsets: np.ndarray, n_threads: int = 0) -> int:
+    """Threshold+RLE+xz+write items out of a strided float32 buffer.
+
+    Item i = ``rows`` runs of ``row_len`` floats, ``row_stride`` apart, at
+    ``coeffs.ravel()[offsets[i]]``.  Returns total compressed bytes."""
     coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
     t32 = np.ascontiguousarray(t32, dtype=np.float32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     shp = np.asarray(shape, dtype=np.int32)
-    n, m = coeffs.shape
-    ret = lib.wtc_pack_batch(
-        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        t32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        n, m, shp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    ret = lib.wtc_pack_strided(
+        coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
+        len(paths), rows, row_len, row_stride,
+        offsets.ctypes.data_as(_pi64), shp.ctypes.data_as(_pi32),
         _paths_array(list(paths)), n_threads)
     if ret < 0:
         raise IOError(f"native pack failed at item {-(ret + 1)}")
     return int(ret)
 
 
-def unpack_batch(paths, n_coeffs: int, n_threads: int = 0):
-    """Read .xz payloads -> (flat [N, n_coeffs] f32, shapes [N, 3] int32)."""
+def unpack_strided(paths, dest: np.ndarray, rows: int, row_len: int,
+                   row_stride: int, offsets: np.ndarray,
+                   n_threads: int = 0) -> np.ndarray:
+    """Read .xz payloads into a strided float32 destination (regions are
+    zero-filled first).  Returns the per-item shapes int32 [N, 3]."""
+    assert dest.dtype == np.float32 and dest.flags.c_contiguous
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     n = len(paths)
-    out = np.empty((n, n_coeffs), dtype=np.float32)
     shapes = np.empty((n, 3), dtype=np.int32)
-    ret = lib.wtc_unpack_batch(
-        _paths_array(list(paths)), n, n_coeffs,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    ret = lib.wtc_unpack_strided(
+        _paths_array(list(paths)), n, rows, row_len, row_stride,
+        offsets.ctypes.data_as(_pi64), dest.ctypes.data_as(_pf),
+        shapes.ctypes.data_as(_pi32), n_threads)
     if ret < 0:
         raise IOError(f"native unpack failed at item {-(ret + 1)}")
+    return shapes
+
+
+def pack_batch(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
+               n_threads: int = 0) -> int:
+    """Contiguous [N, XYZ] convenience wrapper over :func:`pack_strided`."""
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
+    n, m = coeffs.shape
+    offsets = np.arange(n, dtype=np.int64) * m
+    return pack_strided(coeffs, t32, shape, paths, 1, m, m, offsets,
+                        n_threads)
+
+
+def unpack_batch(paths, n_coeffs: int, n_threads: int = 0):
+    """Contiguous wrapper: -> (flat [N, n_coeffs] f32, shapes [N, 3])."""
+    n = len(paths)
+    out = np.empty((n, n_coeffs), dtype=np.float32)
+    offsets = np.arange(n, dtype=np.int64) * n_coeffs
+    shapes = unpack_strided(paths, out, 1, n_coeffs, n_coeffs, offsets,
+                            n_threads)
     return out, shapes

@@ -20,6 +20,8 @@ import logging
 import os
 import time
 
+import numpy as np
+
 from wavelet_tpu.io import archive
 from wavelet_tpu.pipeline import common
 from wavelet_tpu.runtime import batching, engine, mesh as mesh_lib
@@ -83,23 +85,21 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
 
     if jax.process_count() > 1:
         items = items[mesh_lib.process_local_slice(len(items))]
-    batches = batching.plan_batches(items, pad_multiple=pad)
+    batches = batching.plan_batches(items, pad_multiple=pad,
+                                    pack_fn=eng.pack_factor)
     n_files = 0
     in_bytes = 0
     out_bytes = 0
     if threshold_mode == "global":
         if keep_fraction is None:
             raise ValueError("global threshold mode requires keep_fraction")
-        import numpy as np
-
         from wavelet_tpu.core import threshold as thr
 
         hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
-        flats = []
+        coeff_batches = []
         for batch in batches:
-            flat, h = eng.forward_hist_batch(
-                batch.data, n_pad_rows=batch.data.shape[0] - batch.n_valid)
-            flats.append(flat)
+            cb, h = eng.forward_hist_shapebatch(batch)
+            coeff_batches.append(cb)
             hist += h
         if jax.process_count() > 1:
             # all-reduce the histogram over DCN so every host derives the
@@ -112,12 +112,11 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
         t = thr.threshold_from_histogram(hist, keep_fraction)
         log.info("Global magnitude threshold (keep_fraction=%s): %s",
                  keep_fraction, t)
-        for batch, flat in zip(batches, flats):
-            t32 = np.full(len(batch.items), t, np.float32)
-            out_bytes += packer.pack(out_dir, batch.items, batch.shape,
-                                     flat, t32)
-            n_files += len(batch.items)
-            in_bytes += batch.n_valid * flat.shape[1] * 4
+        for cb in coeff_batches:
+            t32 = np.full(len(cb.items), t, np.float32)
+            out_bytes += packer.pack(out_dir, cb, t32)
+            n_files += len(cb.items)
+            in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
         return {"files": n_files, "input_bytes": in_bytes,
                 "output_bytes": out_bytes, "global_threshold": float(t)}
 
@@ -126,13 +125,12 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
     with cf.ThreadPoolExecutor(1) as pack_pool:
         pending = None
         for batch in batches:
-            flat, t32 = eng.compress_batch_raw(batch.data, keep)
+            coeffs, t32 = eng.compress_shapebatch(batch, keep)
             if pending is not None:
                 out_bytes += pending.result()
-            pending = pack_pool.submit(packer.pack, out_dir, batch.items,
-                                       batch.shape, flat, t32)
+            pending = pack_pool.submit(packer.pack, out_dir, coeffs, t32)
             n_files += len(batch.items)
-            in_bytes += batch.n_valid * flat.shape[1] * 4
+            in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
         if pending is not None:
             out_bytes += pending.result()
     return {"files": n_files, "input_bytes": in_bytes, "output_bytes": out_bytes}

@@ -60,18 +60,17 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
     regen = [[[None] * counts[t][li] for li in range(num_levels)]
              for t in range(num_times)]
     for dims, bucket_items in buckets.items():
-        flat = packer.unpack(cfg.compressed_dir, bucket_items, dims)
-        n_pad = batching.pad_to_multiple(len(bucket_items), pad)
-        if n_pad != flat.shape[0]:
-            flat = np.concatenate(
-                [flat, np.zeros((n_pad - flat.shape[0], flat.shape[1]),
-                                np.float32)])
-        boxes = eng.decompress_batch(flat, dims)
-        for row, it in enumerate(bucket_items):
+        batch = batching.empty_batch(bucket_items, dims,
+                                     pack=eng.pack_factor(dims),
+                                     pad_multiple=pad)
+        packer.unpack_into(cfg.compressed_dir, batch)
+        out = eng.decompress_shapebatch(batch)
+        for i, it in enumerate(bucket_items):
             if regen[it.t][it.level][it.box] is None:
                 regen[it.t][it.level][it.box] = np.zeros(
                     (ncomp,) + dims, dtype=np.float32)
-            regen[it.t][it.level][it.box][comp_pos[it.comp_idx]] = boxes[row]
+            regen[it.t][it.level][it.box][comp_pos[it.comp_idx]] = \
+                out.item_view(i)
     t1 = time.perf_counter()
     log.info("Decompression completed in %s seconds.", t1 - t0)
 

@@ -50,15 +50,13 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
         regen = [np.zeros_like(box) for box in lv.boxes]
         pad = mesh.size if mesh is not None else 1
         for dims, items in buckets.items():
-            flat = packer.unpack(scratch, items, dims)
-            n_pad = batching.pad_to_multiple(len(items), pad)
-            if n_pad != flat.shape[0]:
-                flat = np.concatenate(
-                    [flat, np.zeros((n_pad - flat.shape[0], flat.shape[1]),
-                                    np.float32)])
-            boxes = eng.decompress_batch(flat, dims)
-            for row, it in enumerate(items):
-                regen[it.box][comp_pos[it.comp_idx]] = boxes[row]
+            batch = batching.empty_batch(items, dims,
+                                         pack=eng.pack_factor(dims),
+                                         pad_multiple=pad)
+            packer.unpack_into(scratch, batch)
+            out = eng.decompress_shapebatch(batch)
+            for i, it in enumerate(items):
+                regen[it.box][comp_pos[it.comp_idx]] = out.item_view(i)
         log.info("Decompression complete.")
 
         # per-box RMSE, unweighted mean per component (modes.cpp:269-291)

@@ -30,29 +30,74 @@ class WorkItem:
 
 @dataclass
 class ShapeBatch:
-    """A dense batch of same-shape items: ``data[i]`` belongs to ``items[i]``.
+    """A dense batch of same-shape items.
 
-    ``n_valid`` <= N marks the unpadded prefix; padded rows are zeros and are
-    ignored when unpacking results.
+    ``pack == 1``: ``data`` is ``[N, X, Y, Z]`` and ``data[i]`` belongs to
+    ``items[i]``.  ``pack == P > 1`` (TPU lane-packed layout): ``data`` is
+    ``[N//P, X, Y, P*Z]`` and item i lives at
+    ``data[i // P, :, :, (i % P)*Z : (i % P + 1)*Z]`` — P boxes' Z-axes
+    fill the 128-lane dimension, which is what makes the fused Pallas
+    kernels DMA-efficient (kernels/haar_pallas.py).
+
+    ``n_valid`` <= N marks the unpadded prefix; padded slots are zeros and
+    are ignored when unpacking results.
     """
 
     shape: tuple
-    data: np.ndarray          # [N, X, Y, Z] float32
+    data: np.ndarray
     items: list               # length n_valid
     n_valid: int
+    pack: int = 1
+
+    def item_view(self, i: int) -> np.ndarray:
+        """Item i's (X, Y, Z) array (a view into ``data``)."""
+        if self.pack == 1:
+            return self.data[i]
+        z = self.shape[-1]
+        m, p = divmod(i, self.pack)
+        return self.data[m, :, :, p * z : (p + 1) * z]
+
+    def item_offsets(self) -> np.ndarray:
+        """Flat-element offset of each item's first coefficient (for the
+        strided native codec); row geometry = (X*Y rows of Z, stride P*Z)."""
+        x, y, z = self.shape
+        n = len(self.items)
+        idx = np.arange(n, dtype=np.int64)
+        if self.pack == 1:
+            return idx * (x * y * z)
+        m, p = np.divmod(idx, self.pack)
+        return m * (x * y * self.pack * z) + p * z
 
 
 def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m if m > 1 else n
 
 
-def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30):
+def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1) -> ShapeBatch:
+    """Zero-filled ShapeBatch for ``items`` of one shape (decompress side)."""
+    x, y, z = dims
+    n = len(items)
+    quantum = pack * pad_multiple
+    n_pad = pad_to_multiple(n, quantum) if quantum > 1 else n
+    if pack == 1:
+        data = np.zeros((n_pad, x, y, z), dtype=np.float32)
+    else:
+        data = np.zeros((n_pad // pack, x, y, pack * z), dtype=np.float32)
+    return ShapeBatch(shape=tuple(dims), data=data, items=list(items),
+                      n_valid=n, pack=pack)
+
+
+def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,
+                 pack_fn=None):
     """Group ``entries`` = iterable of (WorkItem, array[X,Y,Z] f32) into
     :class:`ShapeBatch` es.
 
-    Batches are additionally split so no batch exceeds ``max_batch_bytes``
-    (keeps HBM footprint bounded for huge runs); each split is still padded
-    to ``pad_multiple`` (the mesh size).
+    ``pack_fn(shape) -> P`` selects the lane-pack factor per shape (e.g.
+    ``kernels.haar_pallas.lane_pack_factor`` when the engine runs the fused
+    TPU kernels); omitted/1 keeps the plain layout.  Batches are split so
+    none exceeds ``max_batch_bytes``; N pads to a multiple of
+    ``P * pad_multiple`` so the packed leading axis shards evenly over the
+    mesh.
     """
     buckets = {}
     for item, arr in entries:
@@ -62,16 +107,27 @@ def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30)
     batches = []
     for shape in sorted(buckets, key=lambda s: (-int(np.prod(s)), s)):
         pairs = buckets[shape]
+        pack = int(pack_fn(shape)) if pack_fn is not None else 1
+        quantum = pack * pad_multiple
         per_item = int(np.prod(shape)) * 4
-        chunk = max(pad_multiple, (max_batch_bytes // max(per_item, 1)) or 1)
-        chunk = pad_to_multiple(chunk, pad_multiple) or pad_multiple
+        chunk = max(quantum, (max_batch_bytes // max(per_item, 1)) or 1)
+        chunk = pad_to_multiple(chunk, quantum) or quantum
+        x, y, z = shape
         for start in range(0, len(pairs), chunk):
             part = pairs[start : start + chunk]
             n = len(part)
-            n_pad = pad_to_multiple(n, pad_multiple)
-            data = np.zeros((n_pad,) + shape, dtype=np.float32)
-            for i, (_item, arr) in enumerate(part):
-                data[i] = arr
+            n_pad = pad_to_multiple(n, quantum) if quantum > 1 else n
+            if pack == 1:
+                data = np.zeros((n_pad,) + shape, dtype=np.float32)
+                for i, (_item, arr) in enumerate(part):
+                    data[i] = arr
+            else:
+                data = np.zeros((n_pad // pack, x, y, pack * z),
+                                dtype=np.float32)
+                for i, (_item, arr) in enumerate(part):
+                    m, p = divmod(i, pack)
+                    data[m, :, :, p * z : (p + 1) * z] = arr
             batches.append(ShapeBatch(shape=shape, data=data,
-                                      items=[it for it, _ in part], n_valid=n))
+                                      items=[it for it, _ in part],
+                                      n_valid=n, pack=pack))
     return batches

@@ -9,6 +9,7 @@ single-chip or across a pod slice unchanged.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import dataclasses
 import os
 
 import jax
@@ -20,6 +21,7 @@ from wavelet_tpu.core import rle
 from wavelet_tpu.io import archive
 from wavelet_tpu.kernels import haar_pallas
 from wavelet_tpu.runtime import mesh as mesh_lib
+from wavelet_tpu.runtime.batching import ShapeBatch
 from wavelet_tpu import native
 
 __all__ = ["CodecEngine", "HostPacker", "resolve_signed_absmax"]
@@ -35,6 +37,11 @@ def _compress_step(batch: jax.Array):
     """
     flat = haar.forward_flat(batch)
     return flat, threshold.signed_absmax(flat, axis=-1)
+
+
+@jax.jit
+def _fwd_hist_only(coeffs: jax.Array):
+    return threshold.abs_exponent_histogram(coeffs)
 
 
 @jax.jit
@@ -130,6 +137,72 @@ class CodecEngine:
         flat, t32 = self.compress_batch_raw(data, keep)
         return flat, np.abs(flat) > t32[:, None]
 
+    def pack_factor(self, dims) -> int:
+        """Lane-pack factor the engine wants for boxes of this shape (feeds
+        batching.plan_batches): >1 only on the fused-Pallas path."""
+        if self._pallas_ok(dims):
+            return haar_pallas.lane_pack_factor(dims)
+        return 1
+
+    def compress_shapebatch(self, batch: ShapeBatch, keep: float):
+        """-> (coeff ShapeBatch — same geometry, data = coefficients,
+        and t32 f32 per item incl. padding slots)."""
+        dev = self._put(jnp.asarray(batch.data))
+        if batch.pack > 1:
+            c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
+            coeffs = np.asarray(c)
+            maxv = np.asarray(maxv)
+            minv = np.asarray(minv)
+            signed = np.where(np.abs(maxv) >= np.abs(minv), maxv, minv)
+            tie = (minv == -maxv) & (maxv != 0)
+            if tie.any():
+                cb = dataclasses.replace(batch, data=coeffs)
+                for i in np.flatnonzero(tie):
+                    flat = cb.item_view(int(i)).reshape(-1)
+                    signed[i] = flat[np.argmax(np.abs(flat))]
+        elif self._pallas_ok(batch.shape):
+            c, maxv, minv = haar_pallas.fused_forward(dev)
+            coeffs = np.asarray(c)
+            signed = resolve_signed_absmax(
+                np.asarray(maxv), np.asarray(minv),
+                flat_dev=c.reshape(c.shape[0], -1))
+        else:
+            flat, signed_dev = _compress_step(dev)
+            coeffs = np.asarray(flat).reshape((-1,) + batch.shape)
+            signed = np.asarray(signed_dev)
+        t32 = threshold.exact_threshold32(signed, keep)
+        return dataclasses.replace(batch, data=coeffs), t32
+
+    def forward_hist_shapebatch(self, batch: ShapeBatch):
+        """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
+        if batch.pack > 1:
+            dev = self._put(jnp.asarray(batch.data))
+            c, _maxv, _minv = haar_pallas.fused_forward_packed(dev, batch.pack)
+            hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
+            coeffs = np.asarray(c)
+        else:
+            flat, hist = self.forward_hist_batch(
+                batch.data.reshape((-1,) + batch.shape), n_pad_rows=0)
+            coeffs = flat.reshape((-1,) + batch.shape)
+            hist = np.asarray(hist, np.int64)
+        # remove padding slots' zero coefficients from the zero bin
+        n_pad = (batch.data.size // int(np.prod(batch.shape))) - batch.n_valid
+        hist[0] -= n_pad * int(np.prod(batch.shape))
+        return dataclasses.replace(batch, data=coeffs), hist
+
+    def decompress_shapebatch(self, coeff_batch: ShapeBatch) -> ShapeBatch:
+        """coefficients -> reconstructed boxes, same geometry."""
+        dev = self._put(jnp.asarray(coeff_batch.data))
+        if coeff_batch.pack > 1:
+            out = haar_pallas.fused_inverse_packed(dev, coeff_batch.pack)
+        elif self._pallas_ok(coeff_batch.shape):
+            out = haar_pallas.fused_inverse(dev)
+        else:
+            n = dev.shape[0]
+            out = _inverse_jit(dev.reshape(n, -1),
+                               tuple(int(d) for d in coeff_batch.shape))
+        return dataclasses.replace(coeff_batch, data=np.asarray(out))
+
     def forward_hist_batch(self, data: np.ndarray, n_pad_rows: int = 0):
         """-> (flat [N, XYZ], magnitude histogram int64[4096]).
 
@@ -174,49 +247,65 @@ class HostPacker:
         return [os.path.join(dir_, archive.payload_filename(
             it.t, it.level, it.comp_idx, it.box)) for it in items]
 
-    def pack(self, out_dir: str, items, shape, flat: np.ndarray,
+    @staticmethod
+    def _geometry(batch: ShapeBatch):
+        """(rows, row_len, row_stride) of one item inside batch.data."""
+        x, y, z = batch.shape
+        if batch.pack == 1:
+            n = x * y * z
+            return 1, n, n
+        return x * y, z, batch.pack * z
+
+    def pack(self, out_dir: str, coeff_batch: ShapeBatch,
              t32: np.ndarray) -> int:
-        """Threshold+RLE+xz+write ``len(items)`` rows of ``flat``; rows
-        beyond ``len(items)`` are batch padding and ignored.  Returns total
-        compressed bytes."""
-        n = len(items)
+        """Threshold+RLE+xz+write every item of a coefficient ShapeBatch
+        (padding slots ignored).  Returns total compressed bytes."""
+        items = coeff_batch.items
         paths = self._paths(out_dir, items)
+        rows, row_len, row_stride = self._geometry(coeff_batch)
         if self.use_native:
-            return native.pack_batch(flat[:n], t32[:n], shape, paths,
-                                     self.workers)
+            return native.pack_strided(
+                coeff_batch.data, t32[: len(items)], coeff_batch.shape,
+                paths, rows, row_len, row_stride,
+                coeff_batch.item_offsets(), self.workers)
 
         def one(i):
-            mask = np.abs(flat[i]) > t32[i]
-            runs, vals = rle.rle_encode_mask(mask, flat[i])
+            flat = np.ascontiguousarray(coeff_batch.item_view(i)).reshape(-1)
+            mask = np.abs(flat) > t32[i]
+            runs, vals = rle.rle_encode_mask(mask, flat)
             blob = archive.xz_compress(
-                archive.serialize_payload(shape, runs, vals))
+                archive.serialize_payload(coeff_batch.shape, runs, vals))
             with open(paths[i], "wb") as f:
                 f.write(blob)
             return len(blob)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
-            return sum(ex.map(one, range(n)))
+            return sum(ex.map(one, range(len(items))))
 
-    def unpack(self, in_dir: str, items, dims) -> np.ndarray:
-        """Read + xz-decode + RLE-scatter items of one shape -> [N, XYZ]."""
-        n_coeffs = int(np.prod(dims))
-        paths = self._paths(in_dir, items)
+    def unpack_into(self, in_dir: str, batch: ShapeBatch) -> None:
+        """Read + xz-decode + RLE-scatter every item into ``batch.data``."""
+        paths = self._paths(in_dir, batch.items)
+        dims = batch.shape
+        rows, row_len, row_stride = self._geometry(batch)
         if self.use_native:
-            flat, shapes = native.unpack_batch(paths, n_coeffs, self.workers)
+            shapes = native.unpack_strided(
+                paths, batch.data, rows, row_len, row_stride,
+                batch.item_offsets(), self.workers)
             if not np.all(shapes == np.asarray(dims, np.int32)):
                 raise ValueError(
-                    f"payload shapes disagree with dimensions.raw {tuple(dims)}")
-            return flat
+                    f"payload shapes disagree with dimensions.raw {dims}")
+            return
 
-        def one(path):
-            with open(path, "rb") as f:
+        def one(i):
+            with open(paths[i], "rb") as f:
                 payload = archive.xz_decompress(f.read())
             shape, total, runs, vals = archive.deserialize_payload(payload)
             if tuple(shape) != tuple(dims):
                 raise ValueError(
                     f"payload shape {shape} disagrees with dimensions.raw "
-                    f"{tuple(dims)}")
-            return rle.rle_decode(runs, vals, total)
+                    f"{dims}")
+            batch.item_view(i)[:] = rle.rle_decode(
+                runs, vals, total).reshape(dims)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
-            return np.stack(list(ex.map(one, paths)))
+            list(ex.map(one, range(len(batch.items))))
