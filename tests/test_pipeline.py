@@ -147,3 +147,15 @@ def test_clean_string_reference_case():
     assert common.clean_string("plt07400") == 7400
     assert common.clean_string("fff9909") == 9909
     assert common.clean_string("doctest.h") == -1
+
+
+@needs_fixtures
+def test_resume_skips_existing_outputs(tmp_path):
+    comp_dir = str(tmp_path) + os.sep
+    cfg = Config(data_dir=FIXTURES, min_time="plt00074", max_time="plt00074",
+                 min_level=0, max_level=0, components=["temp"], keep=0.999,
+                 compressed_dir=comp_dir, resume=True)
+    s1 = compress_run(cfg)
+    assert s1["files"] == 2 and s1["skipped"] == 0
+    s2 = compress_run(cfg)
+    assert s2["files"] == 0 and s2["skipped"] == 2

@@ -61,6 +61,7 @@ def parse_argv(argv):
         cfg.min_level = int(need("minlevel"))
         cfg.max_level = int(need("maxlevel")) if mode == "c" else int(kv.get("maxlevel", kv["minlevel"]))
         cfg.components = need("components").split()
+        cfg.resume = kv.get("resume", "0") in ("1", "true", "yes")
         cfg.threshold_mode = kv.get("thresholdmode", "box")
         if cfg.threshold_mode == "global":
             cfg.keep_fraction = float(need("keepfraction"))

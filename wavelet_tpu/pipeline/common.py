@@ -36,6 +36,7 @@ class Config:
     # new TPU-native options (absent in the reference)
     threshold_mode: str = "box"       # "box" (parity) | "global" (quantile)
     keep_fraction: float | None = None
+    resume: bool = False              # skip already-written .xz outputs
 
 
 def clean_string(filename: str) -> int:

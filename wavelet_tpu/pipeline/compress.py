@@ -59,7 +59,8 @@ def write_sidecars(run: common.RunData, cfg_components, min_level, max_level,
 def compress_collected(run: common.RunData, keep: float, out_dir: str,
                        mesh=None, packer=None,
                        threshold_mode: str = "box",
-                       keep_fraction: float | None = None) -> dict:
+                       keep_fraction: float | None = None,
+                       resume: bool = False) -> dict:
     """Device codec + host pack for already-collected data. Returns stats.
 
     ``threshold_mode``:
@@ -85,6 +86,22 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
 
     if jax.process_count() > 1:
         items = items[mesh_lib.process_local_slice(len(items))]
+    skipped = 0
+    if resume:
+        # every (t, lev, comp, box) output is an independent file written
+        # after the sidecars, so a killed run restarts by skipping existing
+        # outputs — the same idempotence the reference's archive layout
+        # provides implicitly (SURVEY.md §7 checkpoint/resume)
+        def missing(pair):
+            it = pair[0]
+            return not os.path.exists(os.path.join(
+                out_dir, archive.payload_filename(it.t, it.level,
+                                                  it.comp_idx, it.box)))
+        kept_items = [p for p in items if missing(p)]
+        skipped = len(items) - len(kept_items)
+        if skipped:
+            log.info("Resume: skipping %d already-compressed items", skipped)
+        items = kept_items
     batches = batching.plan_batches(items, pad_multiple=pad,
                                     pack_fn=eng.pack_factor)
     n_files = 0
@@ -133,7 +150,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
             in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
         if pending is not None:
             out_bytes += pending.result()
-    return {"files": n_files, "input_bytes": in_bytes, "output_bytes": out_bytes}
+    return {"files": n_files, "input_bytes": in_bytes,
+            "output_bytes": out_bytes, "skipped": skipped}
 
 
 def compress_run(cfg: common.Config, mesh=None) -> dict:
@@ -156,7 +174,8 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
 
     stats = compress_collected(run, cfg.keep, cfg.compressed_dir, mesh=mesh,
                                threshold_mode=cfg.threshold_mode,
-                               keep_fraction=cfg.keep_fraction)
+                               keep_fraction=cfg.keep_fraction,
+                               resume=cfg.resume)
     t2 = time.perf_counter()
     log.info("Compression completed in %s seconds.", t2 - t1)
     stats["preprocess_seconds"] = t1 - t0

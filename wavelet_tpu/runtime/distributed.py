@@ -33,7 +33,8 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 __all__ = ["make_parity_compress_step", "make_global_compress_step",
-           "make_train_step"]
+           "make_train_step", "make_sharded_box_forward",
+           "make_sharded_box_inverse"]
 
 
 def make_parity_compress_step(mesh):
@@ -69,6 +70,94 @@ def make_global_compress_step(mesh, keep_fraction: float, n_bins: int = 4096):
         return jnp.where(mask, flat, jnp.zeros_like(flat)), thr, kept
 
     return jax.jit(step)
+
+
+def _exchange_perms(D: int):
+    """Static ppermute patterns for the cross-shard X-pass regroup.
+
+    After the local pair transform, shard s holds its low and high half
+    pieces; globally all lows must precede all highs, so shard s's low piece
+    belongs on shard s//2 (slot s%2) and its high piece on D//2 + s//2.
+    Sources of equal parity form disjoint permutations, so the full
+    exchange is four ppermutes over ICI.
+    """
+    lo_even = [(s, s // 2) for s in range(0, D, 2)]
+    lo_odd = [(s, s // 2) for s in range(1, D, 2)]
+    hi_even = [(s, D // 2 + s // 2) for s in range(0, D, 2)]
+    hi_odd = [(s, D // 2 + s // 2) for s in range(1, D, 2)]
+    return lo_even, lo_odd, hi_even, hi_odd
+
+
+def make_sharded_box_forward(mesh):
+    """Forward Haar for ONE giant box sharded over the mesh's X axis.
+
+    Capability with no reference analogue: boxes too large for a single
+    chip's memory are laid out ``[X, Y, Z]`` with X sharded across devices.
+    The Z and Y passes are shard-local (whole-box single-scale Haar needs no
+    spatial halos; pairs never straddle an even shard boundary).  The X
+    pass pairs locally, then the low/high pieces regroup across shards with
+    four ``lax.ppermute`` boundary exchanges over ICI — this is the
+    block-boundary exchange machinery of BASELINE.json config 5.
+
+    Requires: even shard extent and an even number of devices.
+    """
+    D = mesh.size
+    assert D % 2 == 0, "sharded-box transform needs an even device count"
+    perms = _exchange_perms(D)
+
+    @partial(shard_map, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS))
+    def fwd(xl):
+        xs = xl.shape[0]
+        assert xs % 2 == 0, "shard extent must be even"
+        t = haar._along(haar._fwd_last, xl, -1)   # Z pass (local)
+        t = haar._along(haar._fwd_last, t, -2)    # Y pass (local)
+        v = t.reshape((xs // 2, 2) + t.shape[1:])
+        low = (v[:, 0] + v[:, 1]) * jnp.asarray(0.5, t.dtype)
+        high = (v[:, 0] - v[:, 1]) * jnp.asarray(0.5, t.dtype)
+        lo_e, lo_o, hi_e, hi_o = perms
+        r_lo_e = jax.lax.ppermute(low, DATA_AXIS, lo_e)
+        r_lo_o = jax.lax.ppermute(low, DATA_AXIS, lo_o)
+        r_hi_e = jax.lax.ppermute(high, DATA_AXIS, hi_e)
+        r_hi_o = jax.lax.ppermute(high, DATA_AXIS, hi_o)
+        is_low_side = jax.lax.axis_index(DATA_AXIS) < D // 2
+        first = jnp.where(is_low_side, r_lo_e, r_hi_e)
+        second = jnp.where(is_low_side, r_lo_o, r_hi_o)
+        return jnp.concatenate([first, second], axis=0)
+
+    return jax.jit(fwd)
+
+
+def make_sharded_box_inverse(mesh):
+    """Inverse of :func:`make_sharded_box_forward` (X, then Y, then Z, as
+    decompressor.cpp:90-156): the boundary exchange runs first, reversed."""
+    D = mesh.size
+    assert D % 2 == 0
+    lo_e, lo_o, hi_e, hi_o = _exchange_perms(D)
+    inv = lambda pairs: [(d, s) for s, d in pairs]
+
+    @partial(shard_map, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS))
+    def bwd(cl):
+        xs = cl.shape[0]
+        h = xs // 2
+        first = cl[:h]
+        second = cl[h:]
+        is_low_side = jax.lax.axis_index(DATA_AXIS) < D // 2
+        low_piece = jnp.where(is_low_side, first, jnp.zeros_like(first))
+        low_piece2 = jnp.where(is_low_side, second, jnp.zeros_like(second))
+        high_piece = jnp.where(is_low_side, jnp.zeros_like(first), first)
+        high_piece2 = jnp.where(is_low_side, jnp.zeros_like(second), second)
+        # send pieces back to their origin shards
+        avg = (jax.lax.ppermute(low_piece, DATA_AXIS, inv(lo_e))
+               + jax.lax.ppermute(low_piece2, DATA_AXIS, inv(lo_o)))
+        diff = (jax.lax.ppermute(high_piece, DATA_AXIS, inv(hi_e))
+                + jax.lax.ppermute(high_piece2, DATA_AXIS, inv(hi_o)))
+        even = avg + diff
+        odd = avg - diff
+        t = jnp.stack([even, odd], axis=1).reshape((xs,) + cl.shape[1:])
+        t = haar._along(haar._inv_last, t, -2)    # Y pass (local)
+        return haar._along(haar._inv_last, t, -1)  # Z pass (local)
+
+    return jax.jit(bwd)
 
 
 def make_train_step(mesh, keep_fraction: float = 0.05):
