@@ -62,6 +62,8 @@ def parse_argv(argv):
         cfg.max_level = int(need("maxlevel")) if mode == "c" else int(kv.get("maxlevel", kv["minlevel"]))
         cfg.components = need("components").split()
         cfg.resume = kv.get("resume", "0") in ("1", "true", "yes")
+        cfg.scales = int(kv.get("scales", "1"))
+        cfg.payload = kv.get("payload", "f32")
         cfg.threshold_mode = kv.get("thresholdmode", "box")
         if cfg.threshold_mode == "global":
             cfg.keep_fraction = float(need("keepfraction"))

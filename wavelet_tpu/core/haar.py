@@ -29,7 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["haar3d_forward", "haar3d_inverse", "forward_flat", "inverse_from_flat"]
+__all__ = ["haar3d_forward", "haar3d_inverse", "forward_flat",
+           "inverse_from_flat", "haar3d_forward_multi", "haar3d_inverse_multi"]
 
 
 def _fwd_last(x: jax.Array) -> jax.Array:
@@ -82,6 +83,37 @@ def haar3d_inverse(c: jax.Array) -> jax.Array:
     c = _along(_inv_last, c, -3)   # X  (decompressor.cpp:90-114)
     c = _along(_inv_last, c, -2)   # Y  (decompressor.cpp:117-135)
     c = _along(_inv_last, c, -1)   # Z  (decompressor.cpp:138-156)
+    return c
+
+
+def haar3d_forward_multi(x: jax.Array, scales: int) -> jax.Array:
+    """Multi-scale forward: scale s re-transforms the low-low-low corner
+    block of the previous scale (classic pyramid decomposition).
+
+    Extension beyond the reference, which applies exactly one scale
+    (SURVEY.md §5.1 — its "multi-level" means AMR refinement levels; its
+    TODO.txt wishes for better coefficient compaction, which deeper scales
+    deliver).  Trailing dims must be divisible by 2**scales.
+    """
+    X, Y, Z = x.shape[-3:]
+    for s in range(scales):
+        cx, cy, cz = X >> s, Y >> s, Z >> s
+        if s and (cx % 2 or cy % 2 or cz % 2):
+            raise ValueError(
+                f"dims {(X, Y, Z)} not divisible by 2**{scales} for "
+                f"{scales}-scale transform")
+        sub = haar3d_forward(x[..., :cx, :cy, :cz])
+        x = x.at[..., :cx, :cy, :cz].set(sub)
+    return x
+
+
+def haar3d_inverse_multi(c: jax.Array, scales: int) -> jax.Array:
+    """Inverse of :func:`haar3d_forward_multi` (coarsest corner first)."""
+    X, Y, Z = c.shape[-3:]
+    for s in reversed(range(scales)):
+        cx, cy, cz = X >> s, Y >> s, Z >> s
+        sub = haar3d_inverse(c[..., :cx, :cy, :cz])
+        c = c.at[..., :cx, :cy, :cz].set(sub)
     return c
 
 

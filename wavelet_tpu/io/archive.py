@@ -36,12 +36,14 @@ import numpy as np
 __all__ = [
     "RunInfo", "AMReXInfo",
     "serialize_payload", "deserialize_payload",
+    "serialize_payload_q16", "deserialize_payload_q16",
     "xz_compress", "xz_decompress",
     "payload_filename",
     "write_runinfo", "read_runinfo",
     "write_locdim", "read_locdim",
     "write_boxcounts", "read_boxcounts",
     "write_amrexinfo", "read_amrexinfo",
+    "META_NAME", "write_meta", "read_meta",
 ]
 
 _XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
@@ -86,6 +88,75 @@ def payload_filename(t: int, level: int, comp_idx: int, box: int) -> str:
     """File naming contract (compressor.cpp:250-254): comp_idx is the
     plotfile-Header component index (e.g. 6), preserved for interop."""
     return f"compressed-wavelet-{t}-{level}-{comp_idx}-{box}.xz"
+
+
+_Q16 = np.dtype([("run", "<i4"), ("val", "<i2")])  # 6 bytes, unpadded
+
+
+def serialize_payload_q16(shape, runs: np.ndarray, vals: np.ndarray) -> bytes:
+    """Extended payload: kept values quantized to int16 (the reference's
+    TODO.txt wishlist item).  Layout: the standard 5x int32 header, a
+    float32 dequantization scale, then (int32 run, int16 q) pairs.  Only
+    written when wtc-meta.json declares ``payload: "q16"`` — reference
+    archives never contain it."""
+    x, y, z = (int(v) for v in shape)
+    n_pairs = len(runs)
+    vals = np.asarray(vals, np.float32)
+    scale = float(np.max(np.abs(vals))) / 32767.0 if n_pairs else 0.0
+    head = struct.pack("<5if", x, y, z, x * y * z, n_pairs, scale)
+    if n_pairs == 0:
+        return head
+    q = np.clip(np.rint(vals / np.float32(scale)), -32767, 32767)
+    pairs = np.empty(n_pairs, dtype=_Q16)
+    pairs["run"] = runs
+    pairs["val"] = q.astype(np.int16)
+    return head + pairs.tobytes()
+
+
+def deserialize_payload_q16(data: bytes):
+    x, y, z, total, n_pairs, scale = struct.unpack_from("<5if", data, 0)
+    pairs = np.frombuffer(data, dtype=_Q16, count=n_pairs, offset=24)
+    vals = pairs["val"].astype(np.float32) * np.float32(scale)
+    return (x, y, z), total, pairs["run"], vals
+
+
+# ---------------------------------------------------------------------------
+# extension metadata sidecar (new; unknown to and ignored by the reference)
+# ---------------------------------------------------------------------------
+
+META_NAME = "wtc-meta.json"
+
+
+def write_meta(path: str, *, threshold_mode: str = "box", keep: float = None,
+               keep_fraction: float = None, scales: int = 1,
+               payload: str = "f32"):
+    """Record extension settings so decompression is self-describing.
+
+    A reference-compatible archive (default settings) also gets the file —
+    the reference tool reads only its five fixed names, so the extra sidecar
+    is invisible to it; our decompressor defaults to reference semantics
+    when the file is absent."""
+    import json
+
+    meta = {"format_version": 1, "threshold_mode": threshold_mode,
+            "scales": int(scales), "payload": payload}
+    if keep is not None:
+        meta["keep"] = float(keep)
+    if keep_fraction is not None:
+        meta["keep_fraction"] = float(keep_fraction)
+    with open(os.path.join(path, META_NAME), "w") as f:
+        json.dump(meta, f)
+
+
+def read_meta(path: str) -> dict:
+    import json
+
+    p = os.path.join(path, META_NAME)
+    if not os.path.exists(p):
+        return {"format_version": 0, "threshold_mode": "box", "scales": 1,
+                "payload": "f32"}
+    with open(p) as f:
+        return json.load(f)
 
 
 # ---------------------------------------------------------------------------

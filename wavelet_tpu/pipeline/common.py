@@ -37,6 +37,8 @@ class Config:
     threshold_mode: str = "box"       # "box" (parity) | "global" (quantile)
     keep_fraction: float | None = None
     resume: bool = False              # skip already-written .xz outputs
+    scales: int = 1                   # wavelet scales (1 = reference parity)
+    payload: str = "f32"              # "f32" (parity) | "q16" (quantized)
 
 
 def clean_string(filename: str) -> int:

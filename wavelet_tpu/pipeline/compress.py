@@ -47,6 +47,7 @@ def write_sidecars(run: common.RunData, cfg_components, min_level, max_level,
     info = archive.RunInfo(run.files, min_level, max_level,
                            list(cfg_components), run.comp_idxs)
     archive.write_runinfo(info, out_dir)
+    archive.write_meta(out_dir)  # defaults; compress_run overwrites
     locations = [[lv.locations for lv in per_lev] for per_lev in run.levels_data]
     dimensions = [[lv.dimensions for lv in per_lev] for per_lev in run.levels_data]
     counts = [[len(lv.boxes) for lv in per_lev] for per_lev in run.levels_data]
@@ -60,7 +61,9 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                        mesh=None, packer=None,
                        threshold_mode: str = "box",
                        keep_fraction: float | None = None,
-                       resume: bool = False) -> dict:
+                       resume: bool = False,
+                       scales: int = 1,
+                       payload: str = "f32") -> dict:
     """Device codec + host pack for already-collected data. Returns stats.
 
     ``threshold_mode``:
@@ -72,8 +75,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
       fixed-bin histograms (all-reduce-friendly).  The archive format is
       unchanged, so either mode decompresses identically.
     """
-    eng = engine.CodecEngine(mesh=mesh)
-    packer = packer or engine.HostPacker()
+    eng = engine.CodecEngine(mesh=mesh, scales=scales)
+    packer = packer or engine.HostPacker(payload=payload)
     pad = mesh.size if mesh is not None else 1
     # multi-host fan-out: each process owns a contiguous slice of the work
     # items and writes its own shard of .xz files (the archive is a flat
@@ -168,6 +171,9 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
     os.makedirs(cfg.compressed_dir, exist_ok=True)
     write_sidecars(run, cfg.components, cfg.min_level, cfg.max_level,
                    cfg.compressed_dir)
+    archive.write_meta(cfg.compressed_dir, threshold_mode=cfg.threshold_mode,
+                       keep=cfg.keep, keep_fraction=cfg.keep_fraction,
+                       scales=cfg.scales, payload=cfg.payload)
     t1 = time.perf_counter()
     log.info("Successfully processed data in %s seconds. "
              "Beginning compression...", t1 - t0)
@@ -175,7 +181,8 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
     stats = compress_collected(run, cfg.keep, cfg.compressed_dir, mesh=mesh,
                                threshold_mode=cfg.threshold_mode,
                                keep_fraction=cfg.keep_fraction,
-                               resume=cfg.resume)
+                               resume=cfg.resume, scales=cfg.scales,
+                               payload=cfg.payload)
     t2 = time.perf_counter()
     log.info("Compression completed in %s seconds.", t2 - t1)
     stats["preprocess_seconds"] = t1 - t0

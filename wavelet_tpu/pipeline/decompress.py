@@ -50,8 +50,9 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
                         batching.WorkItem(t=t, level=li, comp_idx=comp_idx,
                                           box=b))
 
-    packer = engine.HostPacker()
-    eng = engine.CodecEngine(mesh=mesh)
+    meta = archive.read_meta(cfg.compressed_dir)
+    packer = engine.HostPacker(payload=meta.get("payload", "f32"))
+    eng = engine.CodecEngine(mesh=mesh, scales=meta.get("scales", 1))
     pad = mesh.size if mesh is not None else 1
 
     comp_pos = {c: k for k, c in enumerate(info.comp_idxs)}

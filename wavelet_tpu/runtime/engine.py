@@ -68,6 +68,9 @@ def _inverse_step(flat: jax.Array, dims):
 
 _inverse_jit = jax.jit(_inverse_step, static_argnums=1)
 
+_fwd_multi_jit = jax.jit(haar.haar3d_forward_multi, static_argnums=1)
+_inv_multi_jit = jax.jit(haar.haar3d_inverse_multi, static_argnums=1)
+
 
 def resolve_signed_absmax(maxv: np.ndarray, minv: np.ndarray,
                           flat_dev=None) -> np.ndarray:
@@ -99,12 +102,14 @@ class CodecEngine:
     bitwise-identical to the reference semantics.
     """
 
-    def __init__(self, mesh=None, use_pallas: bool | None = None):
+    def __init__(self, mesh=None, use_pallas: bool | None = None,
+                 scales: int = 1):
         self.mesh = mesh
+        self.scales = int(scales)
         if use_pallas is None:
             use_pallas = haar_pallas.supported() and (
-                mesh is None or mesh.size == 1)
-        self.use_pallas = use_pallas
+                mesh is None or mesh.size == 1) and self.scales == 1
+        self.use_pallas = use_pallas and self.scales == 1
 
     # one box must fit VMEM alongside the double-buffered pipeline
     _PALLAS_MAX_BLOCK_BYTES = 4 << 20
@@ -166,6 +171,11 @@ class CodecEngine:
             signed = resolve_signed_absmax(
                 np.asarray(maxv), np.asarray(minv),
                 flat_dev=c.reshape(c.shape[0], -1))
+        elif self.scales > 1:
+            c = _fwd_multi_jit(dev, self.scales)
+            flat = c.reshape(c.shape[0], -1)
+            signed = np.asarray(threshold.signed_absmax(flat, axis=-1))
+            coeffs = np.asarray(c)
         else:
             flat, signed_dev = _compress_step(dev)
             coeffs = np.asarray(flat).reshape((-1,) + batch.shape)
@@ -178,6 +188,11 @@ class CodecEngine:
         if batch.pack > 1:
             dev = self._put(jnp.asarray(batch.data))
             c, _maxv, _minv = haar_pallas.fused_forward_packed(dev, batch.pack)
+            hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
+            coeffs = np.asarray(c)
+        elif self.scales > 1:
+            dev = self._put(jnp.asarray(batch.data))
+            c = _fwd_multi_jit(dev, self.scales)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
             coeffs = np.asarray(c)
         else:
@@ -197,6 +212,8 @@ class CodecEngine:
             out = haar_pallas.fused_inverse_packed(dev, coeff_batch.pack)
         elif self._pallas_ok(coeff_batch.shape):
             out = haar_pallas.fused_inverse(dev)
+        elif self.scales > 1:
+            out = _inv_multi_jit(dev, self.scales)
         else:
             n = dev.shape[0]
             out = _inverse_jit(dev.reshape(n, -1),
@@ -237,11 +254,18 @@ class HostPacker:
       pool, used when the shared library isn't available.
     """
 
-    def __init__(self, workers: int | None = None, use_native: bool | None = None):
+    def __init__(self, workers: int | None = None,
+                 use_native: bool | None = None, payload: str = "f32"):
         self.workers = workers or min(32, (os.cpu_count() or 4))
+        if payload not in ("f32", "q16"):
+            raise ValueError(f"unknown payload format {payload!r}")
+        self.payload = payload
         if use_native is None:
             use_native = native.available()
-        self.use_native = use_native and native.available()
+        # the native library implements the reference f32 payload only;
+        # the q16 extension goes through the python path
+        self.use_native = (use_native and native.available()
+                           and payload == "f32")
 
     def _paths(self, dir_, items):
         return [os.path.join(dir_, archive.payload_filename(
@@ -269,12 +293,15 @@ class HostPacker:
                 paths, rows, row_len, row_stride,
                 coeff_batch.item_offsets(), self.workers)
 
+        serialize = (archive.serialize_payload_q16 if self.payload == "q16"
+                     else archive.serialize_payload)
+
         def one(i):
             flat = np.ascontiguousarray(coeff_batch.item_view(i)).reshape(-1)
             mask = np.abs(flat) > t32[i]
             runs, vals = rle.rle_encode_mask(mask, flat)
             blob = archive.xz_compress(
-                archive.serialize_payload(coeff_batch.shape, runs, vals))
+                serialize(coeff_batch.shape, runs, vals))
             with open(paths[i], "wb") as f:
                 f.write(blob)
             return len(blob)
@@ -296,10 +323,14 @@ class HostPacker:
                     f"payload shapes disagree with dimensions.raw {dims}")
             return
 
+        deserialize = (archive.deserialize_payload_q16
+                       if self.payload == "q16"
+                       else archive.deserialize_payload)
+
         def one(i):
             with open(paths[i], "rb") as f:
                 payload = archive.xz_decompress(f.read())
-            shape, total, runs, vals = archive.deserialize_payload(payload)
+            shape, total, runs, vals = deserialize(payload)
             if tuple(shape) != tuple(dims):
                 raise ValueError(
                     f"payload shape {shape} disagrees with dimensions.raw "
