@@ -159,3 +159,20 @@ def test_resume_skips_existing_outputs(tmp_path):
     assert s1["files"] == 2 and s1["skipped"] == 0
     s2 = compress_run(cfg)
     assert s2["files"] == 0 and s2["skipped"] == 2
+
+
+@needs_fixtures
+def test_cli_main_end_to_end(tmp_path, monkeypatch):
+    """Drive the real CLI entrypoint (both modes) including the profile key."""
+    comp = str(tmp_path / "c") + os.sep
+    out = str(tmp_path / "o") + os.sep
+    trace = str(tmp_path / "trace")
+    rc = cli.main([f"datadir={FIXTURES}", "minfile=plt00074",
+                   "maxfile=plt00074", "minlevel=0", "maxlevel=0",
+                   "components=temp", "keep=0.999",
+                   f"compresseddir={comp}", f"profile={trace}", "-c"])
+    assert rc == 0
+    rc = cli.main([f"compresseddir={comp}", f"out={out}", "-d"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "plt00074", "Header"))
+    assert os.path.isdir(trace)  # profiler wrote something

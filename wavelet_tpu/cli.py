@@ -86,19 +86,30 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     mode, cfg = parse_argv(argv)
 
+    from wavelet_tpu.runtime import debug
+
+    debug.apply_env_debug_flags()
+
     mesh = None
     kv = _kv(argv)
+    if kv.get("coordinator"):
+        # multi-host: coordinator=host:port processid=I processes=N
+        from wavelet_tpu.runtime import mesh as mesh_lib
+        mesh_lib.init_distributed(kv["coordinator"],
+                                  int(kv["processes"]),
+                                  int(kv["processid"]))
     if int(kv.get("devices", "1")) > 1:
         import jax
         from wavelet_tpu.runtime import mesh as mesh_lib
         mesh = mesh_lib.data_mesh(jax.devices()[: int(kv["devices"])])
 
-    if mode == "c":
-        compress_run(cfg, mesh=mesh)
-    elif mode == "estimate":
-        estimate_run(cfg, mesh=mesh)
-    else:
-        decompress_run(cfg, mesh=mesh)
+    with debug.maybe_profile(kv.get("profile")):
+        if mode == "c":
+            compress_run(cfg, mesh=mesh)
+        elif mode == "estimate":
+            estimate_run(cfg, mesh=mesh)
+        else:
+            decompress_run(cfg, mesh=mesh)
     return 0
 
 

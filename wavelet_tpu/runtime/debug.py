@@ -1,0 +1,62 @@
+"""Observability and debugging aids (SURVEY.md §7 auxiliary subsystems).
+
+The reference's tooling is coarse wall-clock phase logs (modes.cpp:35-95)
+and ASan in debug builds.  TPU-native equivalents:
+
+- :func:`maybe_profile`: wraps a region in a ``jax.profiler`` trace when a
+  directory is given (CLI key ``profile=DIR``); view with TensorBoard or
+  xprof.
+- debug switches via environment (no code changes needed at call sites):
+  ``WAVELET_TPU_DEBUG_NANS=1`` enables ``jax_debug_nans`` (the analogue of
+  the reference's sanitizer builds for numeric bugs) and
+  ``WAVELET_TPU_DISABLE_JIT=1`` runs op-by-op for step debugging.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import os
+import time
+
+log = logging.getLogger("wavelet_tpu")
+
+
+def apply_env_debug_flags() -> None:
+    """Install debug configuration from environment variables (call once at
+    CLI startup; harmless if repeated)."""
+    import jax
+
+    if os.environ.get("WAVELET_TPU_DEBUG_NANS", "0") == "1":
+        jax.config.update("jax_debug_nans", True)
+        log.info("jax_debug_nans enabled")
+    if os.environ.get("WAVELET_TPU_DISABLE_JIT", "0") == "1":
+        jax.config.update("jax_disable_jit", True)
+        log.info("jit disabled (op-by-op debugging mode)")
+
+
+@contextlib.contextmanager
+def maybe_profile(trace_dir: str | None):
+    """Profile the enclosed region into ``trace_dir`` if set, else no-op."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    log.info("Capturing jax.profiler trace to %s", trace_dir)
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
+@contextlib.contextmanager
+def phase_timer(name: str, nbytes: int | None = None):
+    """Log a phase's wall time (and GB/s when a byte count is given) — the
+    TPU build's version of the reference's chrono phase logs, plus the
+    throughput figure BASELINE.json's metric asks for."""
+    t0 = time.perf_counter()
+    yield
+    dt = time.perf_counter() - t0
+    if nbytes:
+        log.info("%s: %.3f s (%.2f GB/s)", name, dt, nbytes / 1e9 / dt)
+    else:
+        log.info("%s: %.3f s", name, dt)
