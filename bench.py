@@ -24,15 +24,17 @@ import time
 import numpy as np
 
 
-def _two_point(many_k, x, k1, k2, reps: int = 3):
+def _two_point(many_k, make_x, k1, k2, reps: int = 3):
     """Per-iteration seconds via slope between k1- and k2-iteration calls.
 
-    Repeated ``reps`` times, keeping the fastest slope — the tunnel-attached
-    chip shows run-to-run interference, and the minimum is the honest
-    hardware number.
+    Repeated ``reps`` times with a FRESH input each rep (the axon runtime
+    caches identical (executable, input) executions, which would fake
+    near-zero times), keeping the fastest slope — the tunnel-attached chip
+    shows run-to-run interference and the minimum is the honest number.
     """
     best = float("inf")
     for _ in range(reps):
+        x = make_x()
         t0 = time.perf_counter()
         _ = np.asarray(many_k(x, k1).ravel()[0])
         ta = time.perf_counter() - t0
@@ -95,6 +97,16 @@ def main():
     def inv_many(v, k):
         return jax.lax.fori_loop(0, k, lambda i, u: inv_one(u), v)
 
+    _fresh_seed = [100]
+
+    def make_x():
+        _fresh_seed[0] += 1
+        r = np.random.default_rng(_fresh_seed[0])
+        arr = jax.device_put(
+            r.standard_normal(batch_np.shape).astype(np.float32), dev)
+        _ = np.asarray(arr.ravel()[0])  # ensure transfer complete
+        return arr
+
     x = jax.device_put(batch_np, dev)
     _ = np.asarray(x[0, 0, 0, 0])  # ensure transfer complete
 
@@ -112,9 +124,9 @@ def main():
     _ = np.asarray(mask_many(x, t32, 2).ravel()[0])
     _ = np.asarray(inv_many(x, 2).ravel()[0])
 
-    dt_fwd = _two_point(fwd_many, x, K1, K2)
-    dt_mask = _two_point(lambda v, k: mask_many(v, t32, k), x, K1, K2)
-    dt_inv = _two_point(inv_many, x, K1, K2)
+    dt_fwd = _two_point(fwd_many, make_x, K1, K2)
+    dt_mask = _two_point(lambda v, k: mask_many(v, t32, k), make_x, K1, K2)
+    dt_inv = _two_point(inv_many, make_x, K1, K2)
 
     gb = nbytes / 1e9
     compress_gbps = gb / (dt_fwd + dt_mask)
