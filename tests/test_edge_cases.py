@@ -1,0 +1,150 @@
+"""Edge cases: odd dims, deeper AMR levels, sparse component selection,
+all-negative data (the reference's signed-threshold quirk), error paths."""
+
+import numpy as np
+import pytest
+
+from wavelet_tpu.core import oracle
+from wavelet_tpu.io import plotfile as pf
+from wavelet_tpu.pipeline import Config, common, compress_run, decompress_run
+
+
+def _write(tmp_path, name, level_boxes, level_locs, level_dims, comps,
+           base_dims, steps):
+    src = tmp_path / "data" / name
+    pf.write_plotfile(str(src), level_boxes, level_locs, level_dims, comps,
+                      0.125, [0., 0., 0.], [1., 1., 1.], (2, 2, 2),
+                      base_dims, steps)
+    return str(tmp_path / "data")
+
+
+def test_three_level_plotfile_roundtrip(tmp_path):
+    """3 refinement levels with different box layouts per level."""
+    rng = np.random.default_rng(0)
+    mk = lambda d: (rng.standard_normal((1,) + d) * 7).astype(np.float32)
+    lv_boxes = [[mk((8, 8, 8))],
+                [mk((8, 8, 8)), mk((4, 4, 4))],
+                [mk((16, 16, 16))]]
+    lv_locs = [[(0, 0, 0)], [(0, 0, 0), (8, 8, 8)], [(4, 4, 4)]]
+    lv_dims = [[(8, 8, 8)], [(8, 8, 8), (4, 4, 4)], [(16, 16, 16)]]
+    data_dir = _write(tmp_path, "plt00100", lv_boxes, lv_locs, lv_dims,
+                      ["u"], (8, 8, 8), [100, 110, 120])
+
+    # reader reproduces what we wrote
+    h = pf.read_header(data_dir + "/plt00100")
+    assert h.n_levels == 3
+    assert h.domain_dims(2) == (32, 32, 32)
+    assert h.level_steps == [100, 110, 120]
+
+    comp = str(tmp_path / "c") + "/"
+    out = str(tmp_path / "o") + "/"
+    compress_run(Config(data_dir=data_dir, min_time="plt00100",
+                        max_time="plt00100", min_level=0, max_level=2,
+                        components=["u"], keep=0.9999, compressed_dir=comp))
+    decompress_run(Config(compressed_dir=comp, out_dir=out))
+    h2 = pf.read_header(out + "plt00100")
+    assert h2.domain_dims(2) == (32, 32, 32)
+    for lev in range(3):
+        orig = pf.read_level(data_dir + "/plt00100", lev, [0])
+        regen = pf.read_level(out + "plt00100", lev, [0])
+        for a, b in zip(orig.boxes, regen.boxes):
+            np.testing.assert_allclose(b, a, atol=2e-3 * np.abs(a).max())
+
+
+def test_sparse_component_selection(tmp_path):
+    """Select components 0 and 3 of 4 — file names must carry the header
+    indices (compressor.cpp:250-254 contract)."""
+    import os
+
+    rng = np.random.default_rng(1)
+    box = (rng.standard_normal((4, 8, 8, 8)) * 3).astype(np.float32)
+    data_dir = _write(tmp_path, "plt00200", [[box]], [[(0, 0, 0)]],
+                      [[(8, 8, 8)]], ["a", "b", "c", "d"], (8, 8, 8), [200])
+    comp = str(tmp_path / "c") + "/"
+    out = str(tmp_path / "o") + "/"
+    compress_run(Config(data_dir=data_dir, min_time="plt00200",
+                        max_time="plt00200", min_level=0, max_level=0,
+                        components=["a", "d"], keep=0.9999,
+                        compressed_dir=comp))
+    assert os.path.exists(comp + "compressed-wavelet-0-0-0-0.xz")
+    assert os.path.exists(comp + "compressed-wavelet-0-0-3-0.xz")
+    assert not os.path.exists(comp + "compressed-wavelet-0-0-1-0.xz")
+    decompress_run(Config(compressed_dir=comp, out_dir=out))
+    regen = pf.read_level(out + "plt00200", 0, [0, 1])
+    np.testing.assert_allclose(regen.boxes[0][0], box[0],
+                               atol=2e-3 * np.abs(box[0]).max())
+    np.testing.assert_allclose(regen.boxes[0][1], box[3],
+                               atol=2e-3 * np.abs(box[3]).max())
+
+
+def test_all_negative_component_keeps_everything(tmp_path):
+    """Reference quirk §5.2: negative signed max -> negative threshold ->
+    every coefficient (zeros included) survives; round trip is lossless."""
+    base = np.zeros((8, 8, 8), np.float32)
+    base[0, 0, 0] = -100.0
+    base[3, 3, 3] = -1.0
+    data_dir = _write(tmp_path, "plt00300", [[base[None]]], [[(0, 0, 0)]],
+                      [[(8, 8, 8)]], ["neg"], (8, 8, 8), [300])
+    # oracle confirms the quirk fires for this data
+    flat = oracle.haar_forward_oracle(base)
+    mask, _, max_o, thresh = oracle.threshold_oracle(flat, 0.999)
+    assert max_o < 0 and thresh < 0 and mask.all()
+
+    comp = str(tmp_path / "c") + "/"
+    out = str(tmp_path / "o") + "/"
+    compress_run(Config(data_dir=data_dir, min_time="plt00300",
+                        max_time="plt00300", min_level=0, max_level=0,
+                        components=["neg"], keep=0.999, compressed_dir=comp))
+    decompress_run(Config(compressed_dir=comp, out_dir=out))
+    regen = pf.read_level(out + "plt00300", 0, [0])
+    np.testing.assert_allclose(regen.boxes[0][0], base, atol=1e-5)
+
+
+def test_odd_dimension_box_pipeline(tmp_path):
+    """Odd dims don't round-trip in the reference (§5.1 inverse zeroes the
+    tail); the pipeline must reproduce that behavior, not crash."""
+    box = np.full((3, 4, 4), 2.0, np.float32)
+    data_dir = _write(tmp_path, "plt00400", [[box[None]]], [[(0, 0, 0)]],
+                      [[(3, 4, 4)]], ["v"], (3, 4, 4), [400])
+    comp = str(tmp_path / "c") + "/"
+    out = str(tmp_path / "o") + "/"
+    compress_run(Config(data_dir=data_dir, min_time="plt00400",
+                        max_time="plt00400", min_level=0, max_level=0,
+                        components=["v"], keep=0.999, compressed_dir=comp))
+    decompress_run(Config(compressed_dir=comp, out_dir=out))
+    regen = pf.read_level(out + "plt00400", 0, [0])
+    # matches the reference's lossy odd-dim behavior exactly
+    flat = oracle.haar_forward_oracle(box)
+    mask, _, _, thresh = oracle.threshold_oracle(flat, 0.999)
+    want = oracle.haar_inverse_oracle(np.where(mask, flat, 0.0), 3, 4, 4)
+    np.testing.assert_array_equal(regen.boxes[0][0], want)
+    assert np.all(regen.boxes[0][0][2] == 0.0)   # zeroed odd tail
+
+
+def test_missing_component_raises(tmp_path):
+    rng = np.random.default_rng(2)
+    box = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+    data_dir = _write(tmp_path, "plt00500", [[box]], [[(0, 0, 0)]],
+                      [[(4, 4, 4)]], ["real"], (4, 4, 4), [500])
+    with pytest.raises(KeyError):
+        compress_run(Config(data_dir=data_dir, min_time="plt00500",
+                            max_time="plt00500", min_level=0, max_level=0,
+                            components=["ghost"], keep=0.999,
+                            compressed_dir=str(tmp_path / "c") + "/"))
+
+
+def test_missing_archive_file_raises(tmp_path):
+    import os
+
+    rng = np.random.default_rng(3)
+    box = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+    data_dir = _write(tmp_path, "plt00600", [[box]], [[(0, 0, 0)]],
+                      [[(4, 4, 4)]], ["w"], (4, 4, 4), [600])
+    comp = str(tmp_path / "c") + "/"
+    compress_run(Config(data_dir=data_dir, min_time="plt00600",
+                        max_time="plt00600", min_level=0, max_level=0,
+                        components=["w"], keep=0.999, compressed_dir=comp))
+    os.remove(comp + "compressed-wavelet-0-0-0-0.xz")
+    with pytest.raises((IOError, OSError)):
+        decompress_run(Config(compressed_dir=comp,
+                              out_dir=str(tmp_path / "o") + "/"))
