@@ -1,0 +1,116 @@
+"""On-device sparsification (transfer=sparse): compaction correctness,
+overflow fallback, and byte-identity of the resulting archives."""
+
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wavelet_tpu.core import threshold
+from wavelet_tpu.io import plotfile as pf
+from wavelet_tpu.pipeline import Config, compress_run
+from wavelet_tpu.runtime import batching, engine
+
+
+def test_compact_step_matches_mask():
+    rng = np.random.default_rng(0)
+    flat = (rng.standard_normal((5, 256)) *
+            rng.integers(0, 2, (5, 256))).astype(np.float32)
+    t32 = np.full(5, np.float32(0.5))
+    counts, idxs, vals = engine._compact_step(
+        jnp.asarray(flat), jnp.asarray(t32), 128)
+    counts, idxs, vals = (np.asarray(counts), np.asarray(idxs),
+                          np.asarray(vals))
+    for i in range(5):
+        want_idx = np.flatnonzero(np.abs(flat[i]) > 0.5)
+        assert counts[i] == len(want_idx)
+        k = min(len(want_idx), 128)
+        np.testing.assert_array_equal(idxs[i, :k], want_idx[:k])
+        np.testing.assert_array_equal(vals[i, :k], flat[i][want_idx[:k]])
+
+
+def test_compact_step_overflow_detected():
+    flat = np.ones((2, 64), np.float32)
+    t32 = np.zeros(2, np.float32)
+    counts, idxs, vals = engine._compact_step(
+        jnp.asarray(flat), jnp.asarray(t32), 16)
+    assert np.all(np.asarray(counts) == 64)      # > cap -> caller falls back
+    np.testing.assert_array_equal(np.asarray(idxs)[0], np.arange(16))
+
+
+def test_sparse_engine_overflow_fallback():
+    rng = np.random.default_rng(1)
+    entries = [(batching.WorkItem(0, 0, 0, i),
+                rng.standard_normal((4, 8, 16)).astype(np.float32))
+               for i in range(3)]
+    eng = engine.CodecEngine(use_pallas=False)
+    [batch] = batching.plan_batches(entries, pack_fn=eng.pack_factor)
+    # keep everything (negative-max style threshold) -> guaranteed overflow
+    sparse, t32 = eng.compress_shapebatch_sparse(batch, keep=2.0,
+                                                 cap_fraction=0.05)
+    for i in range(3):
+        idx, vals = sparse.item_pairs(i, float(t32[i]))
+        row = np.asarray(sparse._flat_dev[i])
+        want = np.flatnonzero(np.abs(row) > t32[i])
+        np.testing.assert_array_equal(idx, want)
+        np.testing.assert_array_equal(vals, row[want])
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sparse_vs_dense_archives_byte_identical(tmp_path, use_pallas):
+    rng = np.random.default_rng(2)
+    x, y, z = np.meshgrid(np.linspace(0, 4, 16), np.linspace(0, 3, 8),
+                          np.linspace(0, 2, 16), indexing="ij")
+    field = (np.sin(2 * x) * np.cos(y) * z).astype(np.float32)
+    entries = [(batching.WorkItem(0, 0, 0, i),
+                (field * (i + 1)).astype(np.float32)) for i in range(4)]
+    eng = engine.CodecEngine(use_pallas=use_pallas)
+    packer = engine.HostPacker()
+    keep = 0.999
+
+    [b1] = batching.plan_batches(entries, pack_fn=eng.pack_factor)
+    coeffs, t32 = eng.compress_shapebatch(b1, keep)
+    d_dense = tmp_path / f"dense{use_pallas}"; d_dense.mkdir()
+    packer.pack(str(d_dense), coeffs, t32)
+
+    [b2] = batching.plan_batches(entries, pack_fn=eng.pack_factor)
+    sparse, t32s = eng.compress_shapebatch_sparse(b2, keep)
+    d_sparse = tmp_path / f"sparse{use_pallas}"; d_sparse.mkdir()
+    packer.pack_sparse(str(d_sparse), sparse, t32s)
+
+    np.testing.assert_array_equal(t32[:4], t32s[:4])
+    for it, _ in entries:
+        from wavelet_tpu.io import archive
+        name = archive.payload_filename(it.t, it.level, it.comp_idx, it.box)
+        # payload bytes identical; the xz container may differ between the
+        # native liblzma writer (dense path) and stdlib lzma (sparse path)
+        a = archive.xz_decompress(open(d_dense / name, "rb").read())
+        b = archive.xz_decompress(open(d_sparse / name, "rb").read())
+        assert a == b
+
+
+def test_transfer_sparse_end_to_end(tmp_path):
+    rng = np.random.default_rng(3)
+    box = (rng.standard_normal((2, 16, 8, 16)) * 5).astype(np.float32)
+    src = tmp_path / "data" / "plt00050"
+    pf.write_plotfile(str(src), [[box]], [[(0, 0, 0)]], [[(16, 8, 16)]],
+                      ["a", "b"], 0.5, [0., 0., 0.], [1., 1., 1.],
+                      (2, 2, 2), (16, 8, 16), [50])
+    for mode in ("dense", "sparse"):
+        comp = str(tmp_path / mode) + "/"
+        cfg = Config(data_dir=str(tmp_path / "data"), min_time="plt00050",
+                     max_time="plt00050", min_level=0, max_level=0,
+                     components=["a", "b"], keep=0.999,
+                     compressed_dir=comp, transfer=mode)
+        compress_run(cfg)
+    for f in os.listdir(str(tmp_path / "dense")):
+        if f.endswith(".xz"):
+            from wavelet_tpu.io import archive
+            a = archive.xz_decompress(
+                open(tmp_path / "dense" / f, "rb").read())
+            b = archive.xz_decompress(
+                open(tmp_path / "sparse" / f, "rb").read())
+            assert a == b, f

@@ -64,6 +64,7 @@ def parse_argv(argv):
         cfg.resume = kv.get("resume", "0") in ("1", "true", "yes")
         cfg.scales = int(kv.get("scales", "1"))
         cfg.payload = kv.get("payload", "f32")
+        cfg.transfer = kv.get("transfer", "dense")
         cfg.threshold_mode = kv.get("thresholdmode", "box")
         if cfg.threshold_mode == "global":
             cfg.keep_fraction = float(need("keepfraction"))

@@ -39,6 +39,7 @@ class Config:
     resume: bool = False              # skip already-written .xz outputs
     scales: int = 1                   # wavelet scales (1 = reference parity)
     payload: str = "f32"              # "f32" (parity) | "q16" (quantized)
+    transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
 
 
 def clean_string(filename: str) -> int:

@@ -63,7 +63,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                        keep_fraction: float | None = None,
                        resume: bool = False,
                        scales: int = 1,
-                       payload: str = "f32") -> dict:
+                       payload: str = "f32",
+                       transfer: str = "dense") -> dict:
     """Device codec + host pack for already-collected data. Returns stats.
 
     ``threshold_mode``:
@@ -145,10 +146,17 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
     with cf.ThreadPoolExecutor(1) as pack_pool:
         pending = None
         for batch in batches:
-            coeffs, t32 = eng.compress_shapebatch(batch, keep)
+            if transfer == "sparse" and scales == 1:
+                # sparsification on device: only kept (index, value) pairs
+                # cross the device->host link
+                sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
+                job = (packer.pack_sparse, out_dir, sparse, t32)
+            else:
+                coeffs, t32 = eng.compress_shapebatch(batch, keep)
+                job = (packer.pack, out_dir, coeffs, t32)
             if pending is not None:
                 out_bytes += pending.result()
-            pending = pack_pool.submit(packer.pack, out_dir, coeffs, t32)
+            pending = pack_pool.submit(*job)
             n_files += len(batch.items)
             in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
         if pending is not None:
@@ -182,7 +190,7 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
                                threshold_mode=cfg.threshold_mode,
                                keep_fraction=cfg.keep_fraction,
                                resume=cfg.resume, scales=cfg.scales,
-                               payload=cfg.payload)
+                               payload=cfg.payload, transfer=cfg.transfer)
     t2 = time.perf_counter()
     log.info("Compression completed in %s seconds.", t2 - t1)
     stats["preprocess_seconds"] = t1 - t0

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import dataclasses
+import functools
 import os
 
 import jax
@@ -55,6 +56,30 @@ def _fwd_hist_step(batch: jax.Array):
     return flat, threshold.abs_exponent_histogram(flat)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_step(flat: jax.Array, t32: jax.Array, cap: int):
+    """On-device sparsification: keep-mask -> (counts, indices, values).
+
+    The north-star requirement that 'coefficient sparsification/packing runs
+    on-device': only ~cap entries per item cross the device->host link
+    instead of the full coefficient array (kept fractions on real AMR data
+    are a few percent).  Scatter by exclusive-cumsum rank; entries beyond
+    ``cap`` drop into a scratch slot, detected host-side via ``counts``.
+    """
+    n, m = flat.shape
+    mask = jnp.abs(flat) > t32[:, None]
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    rank = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1
+    dst = jnp.where(mask & (rank < cap), rank, cap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    vals = jnp.zeros((n, cap + 1), flat.dtype).at[rows, dst].set(
+        flat, mode="drop")[:, :cap]
+    idxs = jnp.full((n, cap + 1), -1, jnp.int32).at[rows, dst].set(
+        cols, mode="drop")[:, :cap]
+    return counts, idxs, vals
+
+
 @jax.jit
 def _mask_step(flat: jax.Array, t32: jax.Array):
     """Exact-parity keep mask + per-item kept counts, on device."""
@@ -70,6 +95,38 @@ _inverse_jit = jax.jit(_inverse_step, static_argnums=1)
 
 _fwd_multi_jit = jax.jit(haar.haar3d_forward_multi, static_argnums=1)
 _inv_multi_jit = jax.jit(haar.haar3d_inverse_multi, static_argnums=1)
+
+
+@functools.partial(jax.jit, static_argnames=("pack", "z"))
+def _unpack_packed_coeffs(packed: jax.Array, pack: int, z: int) -> jax.Array:
+    """Lane-packed [M, X, Y, P*Z] -> item-major flat [M*P, X*Y*Z] (device)."""
+    m, x, y, L = packed.shape
+    v = packed.reshape(m, x, y, pack, z)
+    return jnp.transpose(v, (0, 3, 1, 2, 4)).reshape(m * pack, x * y * z)
+
+
+@dataclasses.dataclass
+class SparseCoeffs:
+    """Device-sparsified coefficients: per item, the kept (index, value)
+    pairs in flatten order, capacity-bounded."""
+
+    shape: tuple
+    items: list
+    counts: np.ndarray        # int32 [N_pad]
+    idxs: np.ndarray          # int32 [N_pad, cap]
+    vals: np.ndarray          # f32  [N_pad, cap]
+    cap: int
+    _flat_dev: object = None  # dense device array for overflow fallback
+
+    def item_pairs(self, i: int, t32_i: float):
+        """(indices, values) of item i's kept coefficients."""
+        k = int(self.counts[i])
+        if k <= self.cap:
+            return self.idxs[i, :k], self.vals[i, :k]
+        # rare overflow: fetch this item's dense row and mask on host
+        row = np.asarray(self._flat_dev[i])
+        idx = np.flatnonzero(np.abs(row) > t32_i)
+        return idx.astype(np.int32), row[idx]
 
 
 def resolve_signed_absmax(maxv: np.ndarray, minv: np.ndarray,
@@ -182,6 +239,44 @@ class CodecEngine:
             signed = np.asarray(signed_dev)
         t32 = threshold.exact_threshold32(signed, keep)
         return dataclasses.replace(batch, data=coeffs), t32
+
+    def compress_shapebatch_sparse(self, batch: ShapeBatch, keep: float,
+                                   cap_fraction: float = 0.25):
+        """Sparse-transfer compression: the transform AND sparsification run
+        on device; only (counts, kept indices, kept values) come back.
+
+        -> (SparseCoeffs, t32).  Capacity = ``cap_fraction`` of the
+        coefficient count; rare overflowing items fall back to a dense
+        single-row fetch (handled by :class:`SparseCoeffs.item_pairs`)."""
+        dims = batch.shape
+        m = int(np.prod(dims))
+        dev = self._put(jnp.asarray(batch.data))
+        if batch.pack > 1:
+            c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
+            flat = _unpack_packed_coeffs(c, batch.pack, dims[-1])
+            maxv, minv = np.asarray(maxv), np.asarray(minv)
+            signed = np.where(np.abs(maxv) >= np.abs(minv), maxv, minv)
+            tie = (minv == -maxv) & (maxv != 0)
+            if tie.any():
+                for i in np.flatnonzero(tie):
+                    row = np.asarray(flat[int(i)])
+                    signed[i] = row[np.argmax(np.abs(row))]
+        elif self._pallas_ok(dims):
+            c, maxv, minv = haar_pallas.fused_forward(dev)
+            flat = c.reshape(c.shape[0], -1)
+            signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
+                                           flat_dev=flat)
+        else:
+            flat, signed_dev = _compress_step(dev)
+            signed = np.asarray(signed_dev)
+        t32 = threshold.exact_threshold32(signed, keep)
+        cap = int(min(m, max(128, -(-int(m * cap_fraction)) // 128 * 128)))
+        counts, idxs, vals = _compact_step(
+            flat, self._put(jnp.asarray(t32)), cap)
+        return SparseCoeffs(shape=dims, items=batch.items,
+                            counts=np.asarray(counts),
+                            idxs=np.asarray(idxs), vals=np.asarray(vals),
+                            cap=cap, _flat_dev=flat), t32
 
     def forward_hist_shapebatch(self, batch: ShapeBatch):
         """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
@@ -308,6 +403,26 @@ class HostPacker:
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
             return sum(ex.map(one, range(len(items))))
+
+    def pack_sparse(self, out_dir: str, sparse: "SparseCoeffs",
+                    t32: np.ndarray) -> int:
+        """Pack from device-sparsified (index, value) pairs — no dense
+        coefficient array ever reaches the host.  Bytes identical to the
+        dense path (same mask, same RLE)."""
+        paths = self._paths(out_dir, sparse.items)
+        serialize = (archive.serialize_payload_q16 if self.payload == "q16"
+                     else archive.serialize_payload)
+
+        def one(i):
+            idx, vals = sparse.item_pairs(i, float(t32[i]))
+            runs = np.diff(idx, prepend=np.int32(-1)).astype(np.int32) - 1
+            blob = archive.xz_compress(serialize(sparse.shape, runs, vals))
+            with open(paths[i], "wb") as f:
+                f.write(blob)
+            return len(blob)
+
+        with cf.ThreadPoolExecutor(self.workers) as ex:
+            return sum(ex.map(one, range(len(sparse.items))))
 
     def unpack_into(self, in_dir: str, batch: ShapeBatch) -> None:
         """Read + xz-decode + RLE-scatter every item into ``batch.data``."""
