@@ -118,12 +118,13 @@ def config4(results, tmp):
                                            name="plt00030")
     out = {}
     for mode, extra in (("box", {"keep": 0.999}),
+                        ("box_sparse", {"keep": 0.999, "transfer": "sparse"}),
                         ("global", {"keep_fraction": 0.02})):
         comp = os.path.join(tmp, f"comp4_{mode}") + os.sep
         cfg = Config(data_dir=data_dir, min_time="plt00030",
                      max_time="plt00030", min_level=0, max_level=0,
                      components=["smooth", "noisy"], compressed_dir=comp,
-                     threshold_mode=mode, **extra)
+                     threshold_mode=mode.split("_")[0], **extra)
         t0 = time.perf_counter()
         stats = compress_run(cfg)
         stats["wall_seconds"] = time.perf_counter() - t0

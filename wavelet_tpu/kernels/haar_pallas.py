@@ -184,11 +184,12 @@ def _fused_inverse_call(coeffs: jax.Array, *, interpret: bool = False):
 
 
 def block_rows(x: int, y: int, L: int, m: int | None = None,
-               target_bytes: int = 2 << 20) -> int:
+               target_bytes: int = 1 << 20) -> int:
     """Packed rows per grid step: larger blocks amortize the per-step DMA
     overhead that dominates for small boxes, bounded by the kernel's VMEM
-    footprint (intermediates cost ~8x the *sublane-padded* block bytes;
-    exceeding it is a Mosaic scoped-vmem OOM)."""
+    footprint (intermediates cost ~8-14x the *sublane-padded* block bytes
+    depending on shape; exceeding 16 MiB is a Mosaic scoped-vmem OOM, so
+    the target stays at 1 MiB)."""
     padded_row = x * max(y, 8) * L * 4
     b = max(1, target_bytes // max(padded_row, 1))
     if m is not None:
