@@ -50,6 +50,10 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
+    from wavelet_tpu.runtime import debug
+
+    debug.enable_compilation_cache()
+
     from wavelet_tpu.core import haar, threshold
     from wavelet_tpu.kernels import haar_pallas as hp
     from wavelet_tpu.runtime import engine

@@ -31,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from wavelet_tpu.io import plotfile as pf
 from wavelet_tpu.core import metrics
 from wavelet_tpu.pipeline import Config, compress_run, decompress_run, estimate_run
+from wavelet_tpu.runtime import debug
+
+debug.enable_compilation_cache()
 
 FIXTURES = "/root/reference/tests"
 

@@ -89,6 +89,7 @@ def main(argv=None):
 
     from wavelet_tpu.runtime import debug
 
+    debug.enable_compilation_cache()
     debug.apply_env_debug_flags()
 
     mesh = None

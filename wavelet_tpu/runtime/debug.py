@@ -22,6 +22,24 @@ import time
 log = logging.getLogger("wavelet_tpu")
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (verified to work through
+    the axon remote-compile backend: ~30-50 s kernel compiles drop to ~0.1 s
+    on reruns).  Default location: ``.jax_cache`` beside the package; set
+    ``WAVELET_TPU_CACHE=0`` to disable or a path to relocate."""
+    env = os.environ.get("WAVELET_TPU_CACHE", "")
+    if env == "0":
+        return
+    if cache_dir is None:
+        cache_dir = env or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def apply_env_debug_flags() -> None:
     """Install debug configuration from environment variables (call once at
     CLI startup; harmless if repeated)."""

@@ -115,13 +115,23 @@ class SparseCoeffs:
     cap: int
     _flat_dev: object = None  # dense device array for overflow fallback
 
+    _flat_np: object = None   # bulk dense fallback, fetched lazily once
+
     def item_pairs(self, i: int, t32_i: float):
         """(indices, values) of item i's kept coefficients."""
         k = int(self.counts[i])
         if k <= self.cap:
             return self.idxs[i, :k], self.vals[i, :k]
-        # rare overflow: fetch this item's dense row and mask on host
-        row = np.asarray(self._flat_dev[i])
+        # overflow: if it's widespread, one bulk fetch beats per-item round
+        # trips (each costs a full host-link latency)
+        if self._flat_np is None:
+            n_over = int(np.sum(self.counts[: len(self.items)] > self.cap))
+            if n_over > max(2, len(self.items) // 10):
+                self._flat_np = np.asarray(self._flat_dev)
+        if self._flat_np is not None:
+            row = self._flat_np[i]
+        else:
+            row = np.asarray(self._flat_dev[i])
         idx = np.flatnonzero(np.abs(row) > t32_i)
         return idx.astype(np.int32), row[idx]
 
