@@ -162,3 +162,29 @@ def test_global_histogram_threshold_quantile():
     thr = float(threshold.global_histogram_threshold(jnp.asarray(mags), 0.1))
     frac = np.mean(np.abs(mags) > thr)
     assert abs(frac - 0.1) < 0.01
+
+
+def test_device_rmse_matches_host():
+    from wavelet_tpu.runtime import engine as eng_mod
+
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((3, 8, 16, 32)).astype(np.float32)
+    b = (a + 0.01 * rng.standard_normal(a.shape)).astype(np.float32)
+    eng = eng_mod.CodecEngine()
+    got = eng.rmse_batch(a, b)
+    want = metrics.rmse_per_box(a, b)  # (treats axis 0 as components)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_estimate_device_metrics_flag(tmp_path):
+    from conftest import FIXTURES
+    import os
+    from wavelet_tpu.pipeline import Config, estimate_run
+
+    if not os.path.isdir(os.path.join(FIXTURES, "plt00074")):
+        pytest.skip("fixtures unavailable")
+    cfg = Config(data_dir=FIXTURES, min_time="plt00074", max_time="plt00074",
+                 min_level=0, max_level=0, components=["temp"], keep=0.999,
+                 device_metrics=True)
+    r = estimate_run(cfg)
+    assert r["components"]["temp"]["rmse"] == 0.0

@@ -65,6 +65,7 @@ def parse_argv(argv):
         cfg.scales = int(kv.get("scales", "1"))
         cfg.payload = kv.get("payload", "f32")
         cfg.transfer = kv.get("transfer", "dense")
+        cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")
         if cfg.threshold_mode == "global":
             cfg.keep_fraction = float(need("keepfraction"))

@@ -40,6 +40,7 @@ class Config:
     scales: int = 1                   # wavelet scales (1 = reference parity)
     payload: str = "f32"              # "f32" (parity) | "q16" (quantized)
     transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
+    device_metrics: bool = False      # estimate RMSE on device (f32 fast path)
 
 
 def clean_string(filename: str) -> int:

@@ -62,8 +62,15 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
                 regen[it.box][comp_pos[it.comp_idx]] = out.item_view(i)
         log.info("Decompression complete.")
 
-        # per-box RMSE, unweighted mean per component (modes.cpp:269-291)
-        per_box = [metrics.rmse_per_box(a, p) for a, p in zip(lv.boxes, regen)]
+        # per-box RMSE, unweighted mean per component (modes.cpp:269-291);
+        # devicemetrics=1 computes it on device (f32 fast path), the default
+        # host path matches the reference's double accumulation exactly
+        if cfg.device_metrics:
+            per_box = [eng.rmse_batch(a, p)
+                       for a, p in zip(lv.boxes, regen)]
+        else:
+            per_box = [metrics.rmse_per_box(a, p)
+                       for a, p in zip(lv.boxes, regen)]
         mean_rmse = metrics.mean_rmse(per_box)
         result = {"components": {}, "keep": cfg.keep}
         for c, name in enumerate(cfg.components):

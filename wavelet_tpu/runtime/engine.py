@@ -46,6 +46,25 @@ def _fwd_hist_only(coeffs: jax.Array):
 
 
 @jax.jit
+def _rmse_step(a: jax.Array, b: jax.Array):
+    """Per-item RMSE on device (north star: 'the RMSE/loss estimator runs
+    on-device').  Two-stage float32 summation (rows then row-sums); the
+    parity-exact double-accumulation estimator (core/metrics.py) remains the
+    default — this is the fast path for large estimates."""
+    n = a.shape[0]
+    d = (a - b).reshape(n, -1)
+    m = d.shape[1]
+    sq = d * d
+    # chunked summation keeps f32 error ~sqrt(chunks) smaller than naive
+    chunks = max(1, m // 4096)
+    pad = -m % chunks
+    if pad:
+        sq = jnp.pad(sq, ((0, 0), (0, pad)))
+    partial_sums = jnp.sum(sq.reshape(n, chunks, -1), axis=2)
+    return jnp.sqrt(jnp.sum(partial_sums, axis=1) / m)
+
+
+@jax.jit
 def _fwd_hist_step(batch: jax.Array):
     """[N, X, Y, Z] -> (flat coeffs [N, XYZ], magnitude histogram [4096]).
 
@@ -306,6 +325,11 @@ class CodecEngine:
         n_pad = (batch.data.size // int(np.prod(batch.shape))) - batch.n_valid
         hist[0] -= n_pad * int(np.prod(batch.shape))
         return dataclasses.replace(batch, data=coeffs), hist
+
+    def rmse_batch(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Per-item RMSE [N] computed on device (float32 fast path)."""
+        return np.asarray(_rmse_step(self._put(jnp.asarray(a)),
+                                     self._put(jnp.asarray(b))))
 
     def decompress_shapebatch(self, coeff_batch: ShapeBatch) -> ShapeBatch:
         """coefficients -> reconstructed boxes, same geometry."""
