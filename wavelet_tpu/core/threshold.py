@@ -144,8 +144,7 @@ def global_histogram_threshold(coeffs: jax.Array,
         total = total * jax.lax.axis_size(axis_name)
     # number to keep (from the top); find smallest threshold bin such that
     # count-above <= target
-    target = jnp.asarray(round(float(keep_fraction) * 1.0), jnp.float32)
-    target_n = (keep_fraction * total)
+    target_n = keep_fraction * total
     above = jnp.cumsum(hist[::-1])[::-1]  # above[i] = # mags in bins >= i
     keep_bin = jnp.argmax(above <= jnp.asarray(target_n, above.dtype))
     keep_bin = jnp.maximum(keep_bin, 1)
