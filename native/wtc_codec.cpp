@@ -31,6 +31,14 @@ struct Pair {
     float   val;
 };
 
+#pragma pack(push, 1)
+struct PairQ16 {
+    int32_t run;
+    int16_t val;
+};
+#pragma pack(pop)
+static_assert(sizeof(PairQ16) == 6, "q16 pairs must be unpadded");
+
 // Serialize one item's payload: 3x int32 shape, int32 total, int32 n_pairs,
 // then (int32, float32) pairs.  Matches io/archive.serialize_payload.
 std::string serialize_payload(const int32_t shape[3], int64_t total,
@@ -45,6 +53,34 @@ std::string serialize_payload(const int32_t shape[3], int64_t total,
         buf.append(reinterpret_cast<const char*>(pairs.data()),
                    pairs.size() * sizeof(Pair));
     }
+    return buf;
+}
+
+// q16 extension payload: standard header + float32 scale + (int32, int16)
+// pairs.  Matches io/archive.serialize_payload_q16 byte-for-byte, incl.
+// numpy's rint (round-half-to-even) quantization.
+std::string serialize_payload_q16(const int32_t shape[3], int64_t total,
+                                  const std::vector<Pair>& pairs) {
+    float maxmag = 0.0f;
+    for (const auto& p : pairs) maxmag = std::max(maxmag, std::fabs(p.val));
+    const float scale = pairs.empty() ? 0.0f : maxmag / 32767.0f;
+    std::string buf;
+    buf.reserve(24 + pairs.size() * sizeof(PairQ16));
+    int32_t head[5] = {shape[0], shape[1], shape[2],
+                       static_cast<int32_t>(total),
+                       static_cast<int32_t>(pairs.size())};
+    buf.append(reinterpret_cast<const char*>(head), sizeof(head));
+    buf.append(reinterpret_cast<const char*>(&scale), sizeof(scale));
+    std::vector<PairQ16> q(pairs.size());
+    for (size_t i = 0; i < pairs.size(); ++i) {
+        // numpy: np.clip(np.rint(v / float32(scale)), -32767, 32767)
+        float r = std::nearbyintf(pairs[i].val / scale);
+        r = std::min(32767.0f, std::max(-32767.0f, r));
+        q[i] = {pairs[i].run, static_cast<int16_t>(r)};
+    }
+    if (!q.empty())
+        buf.append(reinterpret_cast<const char*>(q.data()),
+                   q.size() * sizeof(PairQ16));
     return buf;
 }
 
@@ -135,7 +171,7 @@ int64_t wtc_pack_strided(const float* coeffs, const float* t32,
                          int64_t n_items, int64_t rows, int64_t row_len,
                          int64_t row_stride, const int64_t* offsets,
                          const int32_t* shape, const char* const* paths,
-                         int n_threads) {
+                         int n_threads, int payload_fmt /*0=f32, 1=q16*/) {
     const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> total_bytes(0);
     std::atomic<int64_t> first_err(-1);
@@ -155,7 +191,9 @@ int64_t wtc_pack_strided(const float* coeffs, const float* t32,
                 }
             }
         }
-        std::string payload = serialize_payload(shape, n_coeffs, pairs);
+        std::string payload = payload_fmt == 1
+            ? serialize_payload_q16(shape, n_coeffs, pairs)
+            : serialize_payload(shape, n_coeffs, pairs);
         if (!xz_encode_to_file(payload, paths[i])) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
@@ -180,12 +218,15 @@ int64_t wtc_pack_strided(const float* coeffs, const float* t32,
 int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
                            int64_t rows, int64_t row_len, int64_t row_stride,
                            const int64_t* offsets, float* out,
-                           int32_t* shapes_out, int n_threads) {
+                           int32_t* shapes_out, int n_threads,
+                           int payload_fmt /*0=f32, 1=q16*/) {
     const int64_t n_coeffs = rows * row_len;
+    const size_t head_bytes = payload_fmt == 1 ? 24 : 20;
+    const size_t pair_bytes = payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
     std::atomic<int64_t> first_err(-1);
     run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
-        if (!xz_decode_file(paths[i], payload) || payload.size() < 20) {
+        if (!xz_decode_file(paths[i], payload) || payload.size() < head_bytes) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;
@@ -195,7 +236,7 @@ int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
         const int64_t total = head[3];
         const int64_t n_pairs = head[4];
         if (total > n_coeffs ||
-            payload.size() < 20 + n_pairs * sizeof(Pair)) {
+            payload.size() < head_bytes + n_pairs * pair_bytes) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;
@@ -204,13 +245,27 @@ int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
         float* base = out + offsets[i];
         for (int64_t r = 0; r < rows; ++r)
             std::memset(base + r * row_stride, 0, row_len * sizeof(float));
-        const Pair* pairs = reinterpret_cast<const Pair*>(payload.data() + 20);
+        float scale = 0.0f;
+        if (payload_fmt == 1) std::memcpy(&scale, payload.data() + 20, 4);
+        const uint8_t* pd = payload.data() + head_bytes;
         int64_t idx = 0;
         for (int64_t p = 0; p < n_pairs; ++p) {
-            idx += pairs[p].run;
+            int32_t run;
+            float val;
+            if (payload_fmt == 1) {
+                PairQ16 q;
+                std::memcpy(&q, pd + p * sizeof(PairQ16), sizeof(q));
+                run = q.run;
+                val = static_cast<float>(q.val) * scale;
+            } else {
+                Pair pr;
+                std::memcpy(&pr, pd + p * sizeof(Pair), sizeof(pr));
+                run = pr.run;
+                val = pr.val;
+            }
+            idx += run;
             if (idx < total) {  // bounds check as decompressor.cpp:23
-                base[(idx / row_len) * row_stride + idx % row_len] =
-                    pairs[p].val;
+                base[(idx / row_len) * row_stride + idx % row_len] = val;
                 ++idx;
             }
         }

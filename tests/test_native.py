@@ -96,3 +96,41 @@ def test_packer_backends_byte_identical(tmp_path):
         # payloads identical; xz container may differ between liblzma
         # versions, so compare decompressed bytes
         assert archive.xz_decompress(a) == archive.xz_decompress(b)
+
+
+@needs_native
+def test_native_q16_matches_python(tmp_path):
+    """Native q16 serializer produces byte-identical payloads to the Python
+    path, including numpy's round-half-to-even quantization."""
+    dims = (4, 8, 16)
+    flat, t32 = _mk(5, dims, seed=21)
+    items = [batching.WorkItem(0, 0, c, 0) for c in range(5)]
+    cb = batching.ShapeBatch(shape=dims, data=flat.reshape((-1,) + dims),
+                             items=items, n_valid=5)
+    d_nat = tmp_path / "nat"; d_py = tmp_path / "py"
+    d_nat.mkdir(); d_py.mkdir()
+    engine.HostPacker(use_native=True, payload="q16").pack(str(d_nat), cb, t32)
+    engine.HostPacker(use_native=False, payload="q16").pack(str(d_py), cb, t32)
+    for it in items:
+        name = archive.payload_filename(it.t, it.level, it.comp_idx, it.box)
+        a = archive.xz_decompress(open(d_nat / name, "rb").read())
+        b = archive.xz_decompress(open(d_py / name, "rb").read())
+        assert a == b
+
+
+@needs_native
+def test_native_q16_unpack_roundtrip(tmp_path):
+    dims = (8, 4, 2)
+    flat, t32 = _mk(4, dims, seed=22)
+    items = [batching.WorkItem(0, 0, c, 0) for c in range(4)]
+    cb = batching.ShapeBatch(shape=dims, data=flat.reshape((-1,) + dims),
+                             items=items, n_valid=4)
+    packer = engine.HostPacker(use_native=True, payload="q16")
+    packer.pack(str(tmp_path), cb, t32)
+    dest = batching.empty_batch(items, dims)
+    packer.unpack_into(str(tmp_path), dest)
+    # python unpack agrees
+    dest2 = batching.empty_batch(items, dims)
+    engine.HostPacker(use_native=False, payload="q16").unpack_into(
+        str(tmp_path), dest2)
+    np.testing.assert_array_equal(dest.data, dest2.data)

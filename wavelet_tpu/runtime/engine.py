@@ -388,10 +388,7 @@ class HostPacker:
         self.payload = payload
         if use_native is None:
             use_native = native.available()
-        # the native library implements the reference f32 payload only;
-        # the q16 extension goes through the python path
-        self.use_native = (use_native and native.available()
-                           and payload == "f32")
+        self.use_native = use_native and native.available()
 
     def _paths(self, dir_, items):
         return [os.path.join(dir_, archive.payload_filename(
@@ -417,7 +414,8 @@ class HostPacker:
             return native.pack_strided(
                 coeff_batch.data, t32[: len(items)], coeff_batch.shape,
                 paths, rows, row_len, row_stride,
-                coeff_batch.item_offsets(), self.workers)
+                coeff_batch.item_offsets(), self.workers,
+                payload=self.payload)
 
         serialize = (archive.serialize_payload_q16 if self.payload == "q16"
                      else archive.serialize_payload)
@@ -463,7 +461,7 @@ class HostPacker:
         if self.use_native:
             shapes = native.unpack_strided(
                 paths, batch.data, rows, row_len, row_stride,
-                batch.item_offsets(), self.workers)
+                batch.item_offsets(), self.workers, payload=self.payload)
             if not np.all(shapes == np.asarray(dims, np.int32)):
                 raise ValueError(
                     f"payload shapes disagree with dimensions.raw {dims}")
