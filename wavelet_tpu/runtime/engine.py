@@ -82,8 +82,8 @@ def _compact_step(flat: jax.Array, t32: jax.Array, cap: int):
     The north-star requirement that 'coefficient sparsification/packing runs
     on-device': only ~cap entries per item cross the device->host link
     instead of the full coefficient array (kept fractions on real AMR data
-    are a few percent).  Scatter by exclusive-cumsum rank; entries beyond
-    ``cap`` drop into a scratch slot, detected host-side via ``counts``.
+    are a few percent).  Items with more than ``cap`` kept entries are
+    detected host-side via ``counts`` and fall back to a dense fetch.
     """
     mask = jnp.abs(flat) > t32[:, None]
     counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
