@@ -176,3 +176,12 @@ def test_cli_main_end_to_end(tmp_path, monkeypatch):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "plt00074", "Header"))
     assert os.path.isdir(trace)  # profiler wrote something
+
+
+@needs_fixtures
+def test_cli_clean_error_for_unknown_component(tmp_path, caplog):
+    rc = cli.main([f"datadir={FIXTURES}", "minfile=plt00074",
+                   "maxfile=plt00074", "minlevel=0", "maxlevel=0",
+                   "components=ghost", "keep=0.999",
+                   f"compresseddir={tmp_path}/", "-c"])
+    assert rc == 1  # clean exit, no traceback

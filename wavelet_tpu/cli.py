@@ -106,13 +106,19 @@ def main(argv=None):
         from wavelet_tpu.runtime import mesh as mesh_lib
         mesh = mesh_lib.data_mesh(jax.devices()[: int(kv["devices"])])
 
-    with debug.maybe_profile(kv.get("profile")):
-        if mode == "c":
-            compress_run(cfg, mesh=mesh)
-        elif mode == "estimate":
-            estimate_run(cfg, mesh=mesh)
-        else:
-            decompress_run(cfg, mesh=mesh)
+    try:
+        with debug.maybe_profile(kv.get("profile")):
+            if mode == "c":
+                compress_run(cfg, mesh=mesh)
+            elif mode == "estimate":
+                estimate_run(cfg, mesh=mesh)
+            else:
+                decompress_run(cfg, mesh=mesh)
+    except (KeyError, ValueError, OSError) as e:
+        # user-input problems (bad component name, missing/corrupt archive
+        # files) get a clean error instead of a traceback
+        log.error("%s", e)
+        return 1
     return 0
 
 
