@@ -93,11 +93,15 @@ bool xz_encode_to_file(const std::string& payload, const char* path) {
         reinterpret_cast<const uint8_t*>(payload.data()), payload.size(),
         out.data(), &out_pos, out.size());
     if (ret != LZMA_OK) return false;
-    FILE* f = std::fopen(path, "wb");
+    // write to a temp name and rename so a crash mid-write never leaves a
+    // truncated .xz that a resumed run (resume=1) would skip as complete
+    std::string tmp = std::string(path) + ".tmp";
+    FILE* f = std::fopen(tmp.c_str(), "wb");
     if (!f) return false;
     size_t w = std::fwrite(out.data(), 1, out_pos, f);
     std::fclose(f);
-    return w == out_pos;
+    if (w != out_pos) return false;
+    return std::rename(tmp.c_str(), path) == 0;
 }
 
 bool xz_decode_file(const char* path, std::vector<uint8_t>& payload) {
@@ -264,7 +268,10 @@ int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
                 val = pr.val;
             }
             idx += run;
-            if (idx < total) {  // bounds check as decompressor.cpp:23
+            // bounds check as decompressor.cpp:23, plus a lower bound the
+            // reference lacks: a corrupt payload with negative runs must
+            // not write before the buffer
+            if (idx >= 0 && idx < total) {
                 base[(idx / row_len) * row_stride + idx % row_len] = val;
                 ++idx;
             }

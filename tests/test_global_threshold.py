@@ -83,9 +83,9 @@ def test_global_mode_end_to_end(tmp_path):
 
 
 def test_global_mode_requires_fraction():
-    empty = common.RunData(levels_data=[], comp_idxs=[], min_values=None,
-                           max_values=None, amrexinfo=None, files=[],
-                           levels=[])
+    empty = common.RunData(levels_data=[], comp_idxs=[], components=[],
+                           min_values=None, max_values=None, amrexinfo=None,
+                           files=[], levels=[])
     with pytest.raises(ValueError):
         compress.compress_collected(empty, 0.999, "/tmp",
                                     threshold_mode="global")

@@ -9,7 +9,8 @@ Same invocation grammar as the C++ tool: ``key=value`` pairs plus one of
 
 Differences from the reference (intentional): missing keys are fatal instead
 of silently leaving fields uninitialized (SURVEY.md §5.6.7), and
-``--devices N`` selects a mesh size for sharded execution.
+``devices=N`` selects a mesh size for sharded execution (see the README's
+key table for the other extension keys).
 """
 
 from __future__ import annotations

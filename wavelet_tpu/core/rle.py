@@ -40,6 +40,9 @@ def rle_decode(runs: np.ndarray, vals: np.ndarray, total: int) -> np.ndarray:
     if len(runs) == 0:
         return out
     pos = np.cumsum(runs.astype(np.int64) + 1) - 1
-    ok = pos < total
+    # reject negative positions too (a corrupt payload with negative runs
+    # would otherwise scatter via Python's negative indexing; the reference
+    # has the same latent bug — UB in its case)
+    ok = (pos < total) & (pos >= 0)
     out[pos[ok]] = vals[ok]
     return out

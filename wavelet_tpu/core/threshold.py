@@ -102,6 +102,12 @@ def threshold_from_histogram(hist: np.ndarray, keep_fraction: float) -> np.float
     # lower edge of bin k-1 (i.e. all of bin k and up survive |c| > edge)
     ks = np.nonzero(above <= target)[0]
     k = int(ks[0]) if len(ks) else EXP_HIST_BINS
+    # if the target fell inside a populated bin such that bins >= k hold
+    # nothing at all, keeping "nothing" silently zeroes low-entropy fields
+    # (e.g. a constant box concentrates every coefficient in one bin);
+    # overshoot the target instead by stepping down to the last populated bin
+    while k > 1 and (k >= len(above) or above[k] == 0):
+        k -= 1
     if k <= 1:
         return np.float32(0.0)
     # |c| > thresh must hold exactly for bins >= k: thresh is the largest

@@ -259,15 +259,16 @@ def read_level(plotfile_dir: str, level: int, comp_idxs) -> LevelBoxes:
 # Writing (byte-identical with amrex::WriteMultiLevelPlotfile output)
 # ---------------------------------------------------------------------------
 
-def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions):
+def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions, ncomp):
     """Write ``Cell_H`` + ``Cell_D_00000`` for one level.
 
     ``boxes[b]`` is ``(C, X, Y, Z)`` float32; written as doubles (the
     reference stores into ``amrex::Real`` MultiFabs, ``writeplotfile.cpp:103``)
     into a single FAB file, matching single-rank AMReX VisMF output.
+    An empty box list (a refinement level with no grids at this timestep)
+    writes a valid zero-box header.
     """
     os.makedirs(lvl_dir, exist_ok=True)
-    ncomp = boxes[0].shape[0]
     offsets = []
     mins, maxs = [], []
     dname = "Cell_D_00000"
@@ -333,7 +334,7 @@ def write_plotfile(out_dir: str,
     for lvl in range(n_levels):
         _write_level_vismf(os.path.join(out_dir, f"Level_{lvl}"),
                            level_boxes[lvl], level_locations[lvl],
-                           level_dimensions[lvl])
+                           level_dimensions[lvl], ncomp)
 
     # --- Header ---
     prob_lo = [float(v) for v in prob_lo]

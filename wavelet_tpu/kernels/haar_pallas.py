@@ -190,6 +190,11 @@ def block_rows(x: int, y: int, L: int, m: int | None = None,
     footprint (intermediates cost ~8-14x the *sublane-padded* block bytes
     depending on shape; exceeding 16 MiB is a Mosaic scoped-vmem OOM, so
     the target stays at 1 MiB)."""
+    if x % 2:
+        # multi-row blocks fold b rows into the leading axis and run the X
+        # pass with b segments, which requires even segment length; odd-X
+        # boxes use single-row blocks (the n_seg==1 pass handles odd tails)
+        return 1
     padded_row = x * max(y, 8) * L * 4
     b = max(1, target_bytes // max(padded_row, 1))
     if m is not None:

@@ -71,10 +71,17 @@ def format_levels(min_level: int, max_level: int):
 @dataclass
 class RunData:
     """Everything one compression run needs (reference ``AllData``,
-    box-structs.h:53-62): per (t, lev) box lists + geometry sidecar info."""
+    box-structs.h:53-62): per (t, lev) box lists + geometry sidecar info.
+
+    ``components`` holds the selected names *in plotfile-Header order* —
+    the order of ``comp_idxs`` and of every per-component array.  (The
+    reference requires the user to list components in Header order,
+    README.md; re-deriving the order here means a differently-ordered user
+    list can't silently mislabel outputs.)"""
 
     levels_data: list          # [t][lev] -> plotfile.LevelBoxes
     comp_idxs: list            # header indices of selected components
+    components: list           # selected names, Header order
     min_values: np.ndarray     # per component, over the whole run
     max_values: np.ndarray
     amrexinfo: archive.AMReXInfo
@@ -92,10 +99,12 @@ def collect_run(files, components, levels) -> RunData:
     geom, true_times, lvl_steps = [], [], []
     ref_ratios = None
     base_dims = None
+    names_ordered = list(components)
     for t, f in enumerate(files):
         h = plotfile.read_header(f)
         if comp_idxs is None:
             comp_idxs = h.component_indices(components)
+            names_ordered = [h.component_names[i] for i in comp_idxs]
             # intended semantics: per-dim ratio replicated from the per-level
             # scalar (the reference's stream-parse quirk yields {r,0,0};
             # SURVEY.md notes its own test expects {r,r,r})
@@ -116,6 +125,7 @@ def collect_run(files, components, levels) -> RunData:
     info = archive.AMReXInfo(geom, ref_ratios, true_times, lvl_steps,
                              base_dims[0], base_dims[1], base_dims[2])
     return RunData(levels_data=levels_data, comp_idxs=comp_idxs,
+                   components=names_ordered,
                    min_values=minv.astype(np.float32),
                    max_values=maxv.astype(np.float32),
                    amrexinfo=info, files=list(files), levels=list(levels))

@@ -41,11 +41,12 @@ def _iter_workitems(run: common.RunData):
                                              box=b), arr[c])
 
 
-def write_sidecars(run: common.RunData, cfg_components, min_level, max_level,
+def write_sidecars(run: common.RunData, min_level, max_level,
                    out_dir: str):
-    """The five metadata files of modes.cpp:71-89, byte-compatible."""
+    """The five metadata files of modes.cpp:71-89, byte-compatible.
+    Component names are recorded in Header order (matching comp_idxs)."""
     info = archive.RunInfo(run.files, min_level, max_level,
-                           list(cfg_components), run.comp_idxs)
+                           list(run.components), run.comp_idxs)
     archive.write_runinfo(info, out_dir)
     archive.write_meta(out_dir)  # defaults; compress_run overwrites
     locations = [[lv.locations for lv in per_lev] for per_lev in run.levels_data]
@@ -91,17 +92,21 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
     if jax.process_count() > 1:
         items = items[mesh_lib.process_local_slice(len(items))]
     skipped = 0
-    if resume:
+
+    def _exists(item):
+        return os.path.exists(os.path.join(
+            out_dir, archive.payload_filename(item.t, item.level,
+                                              item.comp_idx, item.box)))
+
+    if resume and threshold_mode != "global":
         # every (t, lev, comp, box) output is an independent file written
         # after the sidecars, so a killed run restarts by skipping existing
         # outputs — the same idempotence the reference's archive layout
-        # provides implicitly (SURVEY.md §7 checkpoint/resume)
-        def missing(pair):
-            it = pair[0]
-            return not os.path.exists(os.path.join(
-                out_dir, archive.payload_filename(it.t, it.level,
-                                                  it.comp_idx, it.box)))
-        kept_items = [p for p in items if missing(p)]
+        # provides implicitly (SURVEY.md §7 checkpoint/resume).  In global
+        # mode items are NOT filtered here: the histogram (and therefore the
+        # threshold) must cover every item or a resumed archive would mix
+        # two thresholds — only the pack stage skips existing files.
+        kept_items = [p for p in items if not _exists(p[0])]
         skipped = len(items) - len(kept_items)
         if skipped:
             log.info("Resume: skipping %d already-compressed items", skipped)
@@ -135,11 +140,17 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                  keep_fraction, t)
         for cb in coeff_batches:
             t32 = np.full(len(cb.items), t, np.float32)
-            out_bytes += packer.pack(out_dir, cb, t32)
-            n_files += len(cb.items)
+            subset = None
+            if resume:
+                subset = [i for i, it in enumerate(cb.items)
+                          if not _exists(it)]
+                skipped += len(cb.items) - len(subset)
+            out_bytes += packer.pack(out_dir, cb, t32, subset=subset)
+            n_files += len(subset) if subset is not None else len(cb.items)
             in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
         return {"files": n_files, "input_bytes": in_bytes,
-                "output_bytes": out_bytes, "global_threshold": float(t)}
+                "output_bytes": out_bytes, "global_threshold": float(t),
+                "skipped": skipped}
 
     # overlap: the device transforms batch i+1 while a pack thread runs the
     # host RLE+xz+write of batch i
@@ -177,8 +188,7 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
     t0 = time.perf_counter()
     run = common.collect_run(files, cfg.components, levels)
     os.makedirs(cfg.compressed_dir, exist_ok=True)
-    write_sidecars(run, cfg.components, cfg.min_level, cfg.max_level,
-                   cfg.compressed_dir)
+    write_sidecars(run, cfg.min_level, cfg.max_level, cfg.compressed_dir)
     archive.write_meta(cfg.compressed_dir, threshold_mode=cfg.threshold_mode,
                        keep=cfg.keep, keep_fraction=cfg.keep_fraction,
                        scales=cfg.scales, payload=cfg.payload)

@@ -73,7 +73,7 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
                        for a, p in zip(lv.boxes, regen)]
         mean_rmse = metrics.mean_rmse(per_box)
         result = {"components": {}, "keep": cfg.keep}
-        for c, name in enumerate(cfg.components):
+        for c, name in enumerate(run.components):
             loss = metrics.adjusted_loss(
                 mean_rmse[c],
                 float(run.max_values[c]) - float(run.min_values[c]))

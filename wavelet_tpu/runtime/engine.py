@@ -156,21 +156,27 @@ class SparseCoeffs:
 
 
 def resolve_signed_absmax(maxv: np.ndarray, minv: np.ndarray,
-                          flat_dev=None) -> np.ndarray:
+                          flat_dev=None, row_getter=None) -> np.ndarray:
     """Signed largest-|.| value from per-box (max, min) pairs.
 
     The fused Pallas kernel returns plain max/min reductions; the signed
     extremum is whichever has the larger magnitude.  The only ambiguous case
     is an exact tie ``min == -max != 0`` where the reference picks whichever
     occurs *first* in flatten order (compressor.cpp:212-215); those rare
-    boxes are resolved with the jnp argmax path on ``flat_dev``.
+    boxes are resolved via ``flat_dev`` (an indexable [N, m] array) or
+    ``row_getter(i)`` (per-item flat rows, e.g. strided packed views).
     """
     signed = np.where(np.abs(maxv) >= np.abs(minv), maxv, minv)
     tie = (minv == -maxv) & (maxv != 0)
-    if tie.any() and flat_dev is not None:
-        idx = np.flatnonzero(tie)
-        exact = np.asarray(threshold.signed_absmax(flat_dev[idx], axis=-1))
-        signed[idx] = exact
+    if tie.any():
+        for i in np.flatnonzero(tie):
+            if row_getter is not None:
+                row = np.asarray(row_getter(int(i)))
+            elif flat_dev is not None:
+                row = np.asarray(flat_dev[int(i)])
+            else:
+                continue
+            signed[i] = row[np.argmax(np.abs(row))]
     return signed
 
 
@@ -239,15 +245,10 @@ class CodecEngine:
         if batch.pack > 1:
             c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
             coeffs = np.asarray(c)
-            maxv = np.asarray(maxv)
-            minv = np.asarray(minv)
-            signed = np.where(np.abs(maxv) >= np.abs(minv), maxv, minv)
-            tie = (minv == -maxv) & (maxv != 0)
-            if tie.any():
-                cb = dataclasses.replace(batch, data=coeffs)
-                for i in np.flatnonzero(tie):
-                    flat = cb.item_view(int(i)).reshape(-1)
-                    signed[i] = flat[np.argmax(np.abs(flat))]
+            cb = dataclasses.replace(batch, data=coeffs)
+            signed = resolve_signed_absmax(
+                np.asarray(maxv), np.asarray(minv),
+                row_getter=lambda i: cb.item_view(i).reshape(-1))
         elif self._pallas_ok(batch.shape):
             c, maxv, minv = haar_pallas.fused_forward(dev)
             coeffs = np.asarray(c)
@@ -280,13 +281,8 @@ class CodecEngine:
         if batch.pack > 1:
             c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
             flat = _unpack_packed_coeffs(c, batch.pack, dims[-1])
-            maxv, minv = np.asarray(maxv), np.asarray(minv)
-            signed = np.where(np.abs(maxv) >= np.abs(minv), maxv, minv)
-            tie = (minv == -maxv) & (maxv != 0)
-            if tie.any():
-                for i in np.flatnonzero(tie):
-                    row = np.asarray(flat[int(i)])
-                    signed[i] = row[np.argmax(np.abs(row))]
+            signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
+                                           flat_dev=flat)
         elif self._pallas_ok(dims):
             c, maxv, minv = haar_pallas.fused_forward(dev)
             flat = c.reshape(c.shape[0], -1)
@@ -368,6 +364,15 @@ class CodecEngine:
         return np.asarray(_inverse_jit(dev, dims))
 
 
+def _atomic_write(path: str, blob: bytes) -> None:
+    """Temp-name + rename so a crash mid-write never leaves a truncated
+    output that a resumed run (resume=1) would skip as complete."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
 class HostPacker:
     """Parallel host-side pack/unpack + file I/O.
 
@@ -404,18 +409,24 @@ class HostPacker:
         return x * y, z, batch.pack * z
 
     def pack(self, out_dir: str, coeff_batch: ShapeBatch,
-             t32: np.ndarray) -> int:
-        """Threshold+RLE+xz+write every item of a coefficient ShapeBatch
-        (padding slots ignored).  Returns total compressed bytes."""
+             t32: np.ndarray, subset=None) -> int:
+        """Threshold+RLE+xz+write items of a coefficient ShapeBatch
+        (padding slots ignored).  ``subset`` restricts to those item
+        indices (global-mode resume: the histogram must cover every item,
+        but already-written outputs are skipped here).  Returns total
+        compressed bytes."""
         items = coeff_batch.items
         paths = self._paths(out_dir, items)
         rows, row_len, row_stride = self._geometry(coeff_batch)
+        sel = list(range(len(items))) if subset is None else list(subset)
         if self.use_native:
+            if not sel:
+                return 0
+            offsets = coeff_batch.item_offsets()
             return native.pack_strided(
-                coeff_batch.data, t32[: len(items)], coeff_batch.shape,
-                paths, rows, row_len, row_stride,
-                coeff_batch.item_offsets(), self.workers,
-                payload=self.payload)
+                coeff_batch.data, np.asarray(t32)[sel], coeff_batch.shape,
+                [paths[i] for i in sel], rows, row_len, row_stride,
+                offsets[sel], self.workers, payload=self.payload)
 
         serialize = (archive.serialize_payload_q16 if self.payload == "q16"
                      else archive.serialize_payload)
@@ -426,12 +437,11 @@ class HostPacker:
             runs, vals = rle.rle_encode_mask(mask, flat)
             blob = archive.xz_compress(
                 serialize(coeff_batch.shape, runs, vals))
-            with open(paths[i], "wb") as f:
-                f.write(blob)
+            _atomic_write(paths[i], blob)
             return len(blob)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
-            return sum(ex.map(one, range(len(items))))
+            return sum(ex.map(one, sel))
 
     def pack_sparse(self, out_dir: str, sparse: "SparseCoeffs",
                     t32: np.ndarray) -> int:
@@ -446,8 +456,7 @@ class HostPacker:
             idx, vals = sparse.item_pairs(i, float(t32[i]))
             runs = np.diff(idx, prepend=np.int32(-1)).astype(np.int32) - 1
             blob = archive.xz_compress(serialize(sparse.shape, runs, vals))
-            with open(paths[i], "wb") as f:
-                f.write(blob)
+            _atomic_write(paths[i], blob)
             return len(blob)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
