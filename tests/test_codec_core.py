@@ -161,7 +161,41 @@ def test_global_histogram_threshold_quantile():
     mags = rng.uniform(0, 1, 1 << 16).astype(np.float32)
     thr = float(threshold.global_histogram_threshold(jnp.asarray(mags), 0.1))
     frac = np.mean(np.abs(mags) > thr)
-    assert abs(frac - 0.1) < 0.01
+    # fixed float-bit bins (8 exp + 3 mantissa bits) quantize at ~1/8
+    # relative width: the selection keeps AT MOST the target fraction, and
+    # is one-bin tight — keeping one more bin would overshoot the target
+    assert frac <= 0.1 + 1e-12
+    hist = np.asarray(
+        threshold.abs_exponent_histogram(jnp.asarray(mags)), np.int64)
+    above = np.cumsum(hist[::-1])[::-1]
+    k = np.nonzero(above <= 0.1 * mags.size)[0][0]
+    assert above[k - 1] > 0.1 * mags.size
+
+
+def test_device_threshold_matches_host_threshold():
+    """The in-jit selection (threshold_from_histogram_device) must agree
+    bit-for-bit with the host pipeline's threshold_from_histogram — the
+    unification contract that makes shard_map archives identical to CLI
+    archives."""
+    rng = np.random.default_rng(7)
+    for kf in (0.5, 0.1, 0.02, 0.001):
+        coeffs = rng.standard_normal(4096).astype(np.float32) * 100
+        hist_dev = threshold.abs_exponent_histogram(jnp.asarray(coeffs))
+        t_host = threshold.threshold_from_histogram(
+            np.asarray(hist_dev, np.int64), kf)
+        t_dev = threshold.threshold_from_histogram_device(
+            hist_dev, kf, coeffs.size)
+        assert np.float32(t_host).tobytes() == \
+            np.asarray(t_dev, np.float32).tobytes()
+    # degenerate inputs: constant (single populated bin) and all-zero
+    for data in (np.full(512, 3.0, np.float32), np.zeros(512, np.float32)):
+        hist_dev = threshold.abs_exponent_histogram(jnp.asarray(data))
+        t_host = threshold.threshold_from_histogram(
+            np.asarray(hist_dev, np.int64), 0.01)
+        t_dev = threshold.threshold_from_histogram_device(
+            hist_dev, 0.01, data.size)
+        assert np.float32(t_host).tobytes() == \
+            np.asarray(t_dev, np.float32).tobytes()
 
 
 def test_device_rmse_matches_host():

@@ -1,0 +1,143 @@
+"""Regression tests for round-2 advisor findings (ADVICE.md) and judge
+items (VERDICT.md): RLE malformed-payload backend agreement, truncated
+sidecar error handling, histogram overflow safety, and the unified
+device/host global-threshold selection."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wavelet_tpu.core import rle
+from wavelet_tpu.core import threshold as thr
+from wavelet_tpu.io import archive
+from wavelet_tpu import native
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: rle_decode must replicate the reference's skip-increment semantics
+# (decompressor.cpp:14-30) so the python and native backends agree on
+# malformed payloads
+# ---------------------------------------------------------------------------
+
+def _reference_decode(pairs, total):
+    """Literal transcription of decompressor.cpp:14-30 (+ the >=0 lower
+    bound both our backends add)."""
+    out = np.zeros(total, dtype=np.float32)
+    idx = 0
+    for run, val in pairs:
+        idx += run
+        if 0 <= idx < total:
+            out[idx] = val
+            idx += 1
+    return out
+
+
+@pytest.mark.parametrize("pairs,total", [
+    ([(2, 1.0), (100, 2.0), (0, 3.0)], 8),     # overflow mid-stream
+    ([(5, 1.0), (-3, 2.0), (0, 3.0)], 8),      # negative run, in range
+    ([(-9, 1.0), (0, 2.0)], 4),                # negative position
+    ([(3, 1.0), (3, 2.0), (3, 3.0)], 6),       # overflow, then stuck
+    ([(0, 1.0), (0, 2.0)], 2),                 # well-formed fast path
+])
+def test_rle_decode_matches_reference_on_malformed(pairs, total):
+    runs = np.array([p[0] for p in pairs], np.int32)
+    vals = np.array([p[1] for p in pairs], np.float32)
+    got = rle.rle_decode(runs, vals, total)
+    np.testing.assert_array_equal(got, _reference_decode(pairs, total))
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+@pytest.mark.parametrize("pairs,total", [
+    ([(2, 1.0), (100, 2.0), (0, 3.0)], 8),
+    ([(5, 1.0), (-3, 2.0), (0, 3.0)], 8),
+    ([(-9, 1.0), (0, 2.0)], 4),
+    ([(3, 1.0), (3, 2.0), (3, 3.0)], 6),
+])
+def test_native_and_python_agree_on_malformed_payload(tmp_path, pairs, total):
+    """Write a payload with corrupt runs; both backends must reconstruct
+    identical data."""
+    runs = np.array([p[0] for p in pairs], np.int32)
+    vals = np.array([p[1] for p in pairs], np.float32)
+    shape = (total, 1, 1)
+    blob = archive.xz_compress(archive.serialize_payload(shape, runs, vals))
+    path = str(tmp_path / "corrupt.xz")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    py = rle.rle_decode(runs, vals, total)
+    out, shapes = native.unpack_batch([path], total)
+    np.testing.assert_array_equal(out[0], py)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: truncated sidecars must raise ValueError (clean CLI error), not
+# StopIteration / IndexError / struct.error
+# ---------------------------------------------------------------------------
+
+def test_truncated_boxcounts_raises_valueerror(tmp_path):
+    archive.write_boxcounts([[2, 1], [2, 1]], str(tmp_path))
+    p = os.path.join(str(tmp_path), "boxcounts.raw")
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[:4])  # 1 of 4 counts
+    with pytest.raises(ValueError, match="boxcounts"):
+        archive.read_boxcounts(str(tmp_path), 2, 2)
+
+
+def test_truncated_locations_raises_valueerror(tmp_path):
+    locs = [[[(0, 0, 0), (8, 0, 0)]]]
+    archive.write_locdim(locs, str(tmp_path), "locations.raw")
+    p = os.path.join(str(tmp_path), "locations.raw")
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[:8])
+    with pytest.raises(ValueError, match="locations"):
+        archive.read_locdim(str(tmp_path), "locations.raw", [[2]])
+
+
+def test_truncated_runinfo_raises_valueerror(tmp_path):
+    info = archive.RunInfo(["plt1", "plt2"], 0, 1, ["temp"], [0])
+    archive.write_runinfo(info, str(tmp_path))
+    p = os.path.join(str(tmp_path), "runinfo.raw")
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="runinfo"):
+        archive.read_runinfo(str(tmp_path))
+
+
+def test_truncated_amrexinfo_raises_valueerror(tmp_path):
+    info = archive.AMReXInfo([[0., 0., 0., 1., 1., 1.]], [2], ["0.5"],
+                             [[7]], 8, 8, 8)
+    archive.write_amrexinfo(info, str(tmp_path))
+    p = os.path.join(str(tmp_path), "amrexinfo.raw")
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[:20])
+    with pytest.raises(ValueError, match="amrexinfo"):
+        archive.read_amrexinfo(str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT: int64-safe histogram all-reduce across processes
+# ---------------------------------------------------------------------------
+
+def test_histogram_allreduce_is_int64_safe():
+    """The two-limb int32 gather must survive counts past 2^31 (a plain
+    int32 gather would wrap negative)."""
+    from wavelet_tpu.pipeline.compress import _allreduce_histogram
+
+    hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
+    hist[100] = (1 << 33) + 12345     # > int32 range
+    hist[200] = 7
+    out = _allreduce_histogram(hist)  # single process: identity
+    np.testing.assert_array_equal(out, hist)
+
+
+def test_abs_exponent_histogram_is_uint32():
+    h = thr.abs_exponent_histogram(jnp.asarray(np.ones(16, np.float32)))
+    assert h.dtype == jnp.uint32
+    assert int(np.asarray(h).sum()) == 16

@@ -1,0 +1,182 @@
+"""Streaming pipeline: bounded-memory per-timestep processing.
+
+The reference materializes the entire run (``AllData``) before compressing
+and every regenerated box before writing (modes.cpp:44-112, 151-199); the
+TPU build streams (timestep) windows: read -> compress -> free, and writes
+plotfiles per timestep on decompress.  These tests assert (a) the streamed
+archive is byte-identical to the in-memory path and (b) earlier timesteps'
+boxes actually become collectible while later ones process.
+"""
+
+import filecmp
+import gc
+import os
+import weakref
+
+import numpy as np
+import pytest
+
+from wavelet_tpu.io import plotfile as pf
+from wavelet_tpu.pipeline import (Config, common, compress, decompress,
+                                  decompress_run)
+
+
+N_TIMES = 4
+
+
+def _write_many_timesteps(tmp_path, n_times=N_TIMES):
+    """n_times single-level plotfiles, 2 boxes x 2 components each."""
+    rng = np.random.default_rng(3)
+    data_dir = tmp_path / "data"
+    for t in range(n_times):
+        boxes = []
+        for b in range(2):
+            smooth = np.fromfunction(
+                lambda i, j, k: np.sin(0.3 * (i + t)) * np.cos(0.2 * j) + k,
+                (16, 8, 8)).astype(np.float32)
+            noisy = (smooth +
+                     0.05 * rng.standard_normal(smooth.shape)
+                     ).astype(np.float32)
+            boxes.append(np.stack([smooth, noisy]))
+        pf.write_plotfile(str(data_dir / f"plt{10 + t:05d}"),
+                          [boxes], [[(0, 0, 0), (16, 0, 0)]],
+                          [[(16, 8, 8), (16, 8, 8)]],
+                          ["a", "b"], 0.5 + t, [0., 0., 0.], [1., 1., 1.],
+                          (2, 2, 2), (32, 8, 8), [10 + t])
+    return str(data_dir)
+
+
+def _dir_bytes(d):
+    out = {}
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name), "rb") as f:
+            out[name] = f.read()
+    return out
+
+
+def _cfg(data_dir, comp_dir, **kw):
+    return Config(data_dir=data_dir, min_time="plt00010",
+                  max_time=f"plt{10 + N_TIMES - 1:05d}",
+                  min_level=0, max_level=0, components=["a", "b"],
+                  keep=0.999, compressed_dir=comp_dir, **kw)
+
+
+def test_streaming_compress_matches_collected_bytes(tmp_path):
+    """compress_run (streaming) and the in-memory compress_collected path
+    must produce byte-identical archives."""
+    data_dir = _write_many_timesteps(tmp_path)
+    stream_dir = str(tmp_path / "stream") + os.sep
+    memory_dir = str(tmp_path / "memory") + os.sep
+
+    stats = compress.compress_run(_cfg(data_dir, stream_dir))
+    assert stats["files"] == N_TIMES * 2 * 2
+
+    cfg = _cfg(data_dir, memory_dir)
+    files = common.format_files(data_dir, cfg.min_time, cfg.max_time)
+    run = common.collect_run(files, cfg.components, [0])
+    os.makedirs(memory_dir, exist_ok=True)
+    compress.write_sidecars(run, 0, 0, memory_dir)
+    compress.compress_collected(run, cfg.keep, memory_dir)
+
+    a, b = _dir_bytes(stream_dir), _dir_bytes(memory_dir)
+    # the meta sidecar records mode flags and may legitimately differ
+    a.pop("wtc-meta.json"), b.pop("wtc-meta.json")
+    assert a == b
+
+
+def test_streaming_global_mode_matches_collected(tmp_path):
+    """Global threshold from two streamed passes == in-memory single pass
+    (fixed-bin histograms merge order-independently)."""
+    data_dir = _write_many_timesteps(tmp_path)
+    stream_dir = str(tmp_path / "gstream") + os.sep
+    memory_dir = str(tmp_path / "gmemory") + os.sep
+
+    cfg = _cfg(data_dir, stream_dir, threshold_mode="global",
+               keep_fraction=0.05)
+    stats = compress.compress_run(cfg)
+
+    files = common.format_files(data_dir, cfg.min_time, cfg.max_time)
+    run = common.collect_run(files, cfg.components, [0])
+    os.makedirs(memory_dir, exist_ok=True)
+    compress.write_sidecars(run, 0, 0, memory_dir)
+    mstats = compress.compress_collected(run, cfg.keep, memory_dir,
+                                         threshold_mode="global",
+                                         keep_fraction=0.05)
+    assert stats["global_threshold"] == mstats["global_threshold"]
+    a, b = _dir_bytes(stream_dir), _dir_bytes(memory_dir)
+    a.pop("wtc-meta.json"), b.pop("wtc-meta.json")
+    assert a == b
+
+
+def test_streaming_roundtrip_byte_identical_plotfiles(tmp_path):
+    """Streamed compress -> streamed decompress regenerates the smooth
+    component's plotfiles with keep=0.999 lossy reconstruction; with
+    keep=1.0-like constant data byte-identity is covered by the fixture
+    test — here we check structural validity + per-timestep writes."""
+    data_dir = _write_many_timesteps(tmp_path)
+    comp_dir = str(tmp_path / "comp") + os.sep
+    out_dir = str(tmp_path / "out") + os.sep
+    compress.compress_run(_cfg(data_dir, comp_dir))
+    decompress_run(Config(compressed_dir=comp_dir, out_dir=out_dir))
+    for t in range(N_TIMES):
+        name = f"plt{10 + t:05d}"
+        assert os.path.isdir(os.path.join(out_dir, name))
+        lv = pf.read_level(os.path.join(out_dir, name), 0, [0, 1])
+        assert len(lv.boxes) == 2
+
+
+def test_decompress_streams_one_timestep_at_a_time(tmp_path):
+    """Peak-memory property: while consuming timestep t's regen boxes, the
+    arrays yielded for timestep t-2 must already be collectible (only the
+    current window is alive)."""
+    data_dir = _write_many_timesteps(tmp_path)
+    comp_dir = str(tmp_path / "comp") + os.sep
+    out_dir = str(tmp_path / "out") + os.sep
+    compress.compress_run(_cfg(data_dir, comp_dir))
+    os.makedirs(out_dir, exist_ok=True)
+
+    refs = {}
+    cfg = Config(compressed_dir=comp_dir, out_dir=out_dir)
+    for (t, _name, regen, _locs, _dims, _info, _amrex) in \
+            decompress.iter_decompressed_timesteps(cfg):
+        refs[t] = [weakref.ref(arr) for per in regen for arr in per]
+        del regen
+        gc.collect()
+        for told, wrefs in refs.items():
+            if told < t:
+                assert all(w() is None for w in wrefs), (
+                    f"timestep {told} boxes still alive at timestep {t}")
+
+
+def test_compress_peak_rss_bounded_by_window(tmp_path, monkeypatch):
+    """The streaming compress loop must never hold more than one timestep's
+    boxes: track live LevelBoxes payload bytes via read_level interception."""
+    data_dir = _write_many_timesteps(tmp_path)
+    comp_dir = str(tmp_path / "comp") + os.sep
+
+    live = []
+    peak = [0]
+    real_read_level = pf.read_level
+
+    class _Tracked:
+        pass
+
+    def tracked_read_level(path, lev, idxs):
+        lv = real_read_level(path, lev, idxs)
+        marker = _Tracked()
+        nbytes = sum(b.nbytes for b in lv.boxes)
+        live.append((weakref.ref(marker), nbytes))
+        # attach the marker to the LevelBoxes so it dies with it
+        lv._lifetime_marker = marker
+        gc.collect()
+        alive = sum(nb for w, nb in live if w() is not None)
+        peak[0] = max(peak[0], alive)
+        return lv
+
+    monkeypatch.setattr(
+        "wavelet_tpu.pipeline.compress.plotfile.read_level",
+        tracked_read_level)
+    compress.compress_run(_cfg(data_dir, comp_dir))
+    one_timestep = 2 * 2 * 16 * 8 * 8 * 4  # boxes x comps x dims x f32
+    assert peak[0] <= one_timestep, (
+        f"peak live box bytes {peak[0]} exceeds one timestep {one_timestep}")

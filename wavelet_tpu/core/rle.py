@@ -33,16 +33,29 @@ def rle_encode_mask(mask: np.ndarray, values_src: np.ndarray):
 def rle_decode(runs: np.ndarray, vals: np.ndarray, total: int) -> np.ndarray:
     """Decode to a zero-padded float32[total] coefficient vector.
 
-    Positions are ``cumsum(runs + 1) - 1``; out-of-range entries are dropped
-    with the same bounds check as decompressor.cpp:23.
+    Well-formed payloads take the vectorized path: positions are
+    ``cumsum(runs + 1) - 1``.  Malformed payloads (an out-of-range or
+    negative position anywhere) fall back to a scalar loop reproducing the
+    reference's exact semantics (decompressor.cpp:14-30): ``idx += run``,
+    and a pair only writes *and only advances the extra +1* when ``idx`` is
+    in range — identical to the native backend (wtc_codec.cpp
+    wtc_unpack_strided), so both backends reconstruct the same data from the
+    same corrupt input.  (The lower-bound check is a hardening the reference
+    lacks; negative ``idx`` is UB in its case.)
     """
     out = np.zeros(total, dtype=np.float32)
     if len(runs) == 0:
         return out
-    pos = np.cumsum(runs.astype(np.int64) + 1) - 1
-    # reject negative positions too (a corrupt payload with negative runs
-    # would otherwise scatter via Python's negative indexing; the reference
-    # has the same latent bug — UB in its case)
-    ok = (pos < total) & (pos >= 0)
-    out[pos[ok]] = vals[ok]
+    runs = np.asarray(runs)
+    if runs.min() >= 0:
+        pos = np.cumsum(runs.astype(np.int64) + 1) - 1
+        if pos[-1] < total:  # monotone since runs >= 0, so all in range
+            out[pos] = vals
+            return out
+    idx = 0
+    for run, val in zip(runs, vals):
+        idx += int(run)
+        if 0 <= idx < total:
+            out[idx] = val
+            idx += 1
     return out

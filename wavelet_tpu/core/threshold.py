@@ -32,6 +32,7 @@ __all__ = [
     "EXP_HIST_BINS",
     "abs_exponent_histogram",
     "threshold_from_histogram",
+    "threshold_from_histogram_device",
 ]
 
 
@@ -74,18 +75,24 @@ _EXP_SHIFT = 20
 
 
 def abs_exponent_histogram(coeffs: jax.Array) -> jax.Array:
-    """int32[EXP_HIST_BINS] histogram of |coeffs| with float-bit bucketing.
+    """uint32[EXP_HIST_BINS] histogram of |coeffs| with float-bit bucketing.
 
     Bin edges are fixed properties of the float32 format, so partial
     histograms from different batches/shapes/chips merge by plain addition —
     no prior max pass, deterministic under any sharding.  This is the
     device-side building block of the *global* threshold mode (the new
     TPU-native capability of BASELINE.json configs 4-5).
+
+    uint32 counts are exact for any single call (one call covers at most
+    one device's HBM worth of f32 coefficients, < 2^32); callers that
+    accumulate across batches do so in int64 on host (pipeline/compress.py)
+    or with the 16-bit-limb psum of :func:`threshold_from_histogram_device`
+    across shards.
     """
     bits = jax.lax.bitcast_convert_type(
         jnp.abs(coeffs.reshape(-1)), jnp.int32)
     keys = jax.lax.shift_right_logical(bits, _EXP_SHIFT)
-    return jnp.zeros((EXP_HIST_BINS,), jnp.int32).at[keys].add(1)
+    return jnp.zeros((EXP_HIST_BINS,), jnp.uint32).at[keys].add(1)
 
 
 def threshold_from_histogram(hist: np.ndarray, keep_fraction: float) -> np.float32:
@@ -116,10 +123,59 @@ def threshold_from_histogram(hist: np.ndarray, keep_fraction: float) -> np.float
     return prev.view(np.float32)
 
 
+def threshold_from_histogram_device(hist: jax.Array,
+                                    keep_fraction: float,
+                                    total,
+                                    *,
+                                    axis_name: str | None = None) -> jax.Array:
+    """In-jit :func:`threshold_from_histogram` — bin-for-bin identical
+    semantics to the host version, so the shard_map collective path and the
+    CLI pipeline derive the *same* threshold (and therefore identical
+    archive bytes) from the same data.
+
+    ``hist`` is one shard's uint32 fixed-bin histogram
+    (:func:`abs_exponent_histogram`); with ``axis_name`` it is all-reduced
+    over the mesh as two 16-bit int32 limbs (exact for any pod size — a
+    plain int32/uint32 psum would wrap once the per-bin total crosses 2^31,
+    which one fat bin reaches at ~8 GiB of f32 per shard x pod size).
+    ``total`` is the *global* number of real coefficients (pass the psum'd
+    count, or a static value).
+
+    The cumulative count runs in float32: exact below 2^24 total
+    coefficients, and above that the ~1e-7 relative rounding is orders of
+    magnitude finer than the ~6% bin width itself.
+    """
+    if axis_name is not None:
+        lo = jax.lax.psum((hist & jnp.uint32(0xFFFF)).astype(jnp.int32),
+                          axis_name)
+        hi = jax.lax.psum(
+            jax.lax.shift_right_logical(hist, jnp.uint32(16)).astype(
+                jnp.int32), axis_name)
+        histf = hi.astype(jnp.float32) * 65536.0 + lo.astype(jnp.float32)
+    else:
+        histf = hist.astype(jnp.float32)
+    above = jnp.cumsum(histf[::-1])[::-1]  # above[k] = count in bins >= k
+    if isinstance(total, (int, float)):
+        # static total: form the target in double like the host version
+        # (keep_fraction * total), then round once to f32 for the compare
+        target = jnp.float32(float(keep_fraction) * float(total))
+    else:
+        target = total.astype(jnp.float32) * jnp.float32(keep_fraction)
+    le = above <= target
+    # host: smallest k with above[k] <= target, else EXP_HIST_BINS
+    k0 = jnp.where(jnp.any(le), jnp.argmax(le), EXP_HIST_BINS)
+    # host: step down while bins >= k hold nothing (above[k] == 0), i.e.
+    # clamp to the last index with above > 0 (above is non-increasing)
+    kmax = jnp.sum((above > 0).astype(jnp.int32)) - 1
+    k = jnp.minimum(k0.astype(jnp.int32), kmax)
+    thr = jax.lax.bitcast_convert_type(
+        (jnp.left_shift(k, _EXP_SHIFT) - 1).astype(jnp.int32), jnp.float32)
+    return jnp.where(k <= 1, jnp.float32(0.0), thr)
+
+
 def global_histogram_threshold(coeffs: jax.Array,
                                keep_fraction: float,
                                *,
-                               n_bins: int = 4096,
                                axis_name: str | None = None) -> jax.Array:
     """Global coefficient-magnitude quantile via an all-reduced histogram.
 
@@ -131,27 +187,17 @@ def global_histogram_threshold(coeffs: jax.Array,
     approximately ``keep_fraction`` of all coefficients (across every shard)
     exceed it.
 
-    Inside ``shard_map``/``pmap`` pass ``axis_name`` to reduce over the mesh
-    with ``lax.psum``/``lax.pmax`` (ICI collectives); outside, the reductions
-    are process-local.
+    Uses the same fixed float-bit bins + selection rule as the host
+    pipeline (:func:`abs_exponent_histogram` + selection identical to
+    :func:`threshold_from_histogram`), so a shard_map compress step and the
+    CLI pipeline produce the identical threshold for the same data
+    (tests/test_global_threshold.py).  Inside ``shard_map``/``pmap`` pass
+    ``axis_name`` to reduce over the mesh with ``lax.psum`` (ICI
+    collectives); outside, the reductions are process-local.
     """
-    mags = jnp.abs(coeffs).reshape(-1)
-    mmax = jnp.max(mags)
+    hist = abs_exponent_histogram(coeffs)
+    total = coeffs.size
     if axis_name is not None:
-        mmax = jax.lax.pmax(mmax, axis_name)
-    # log-spaced histogram is robust to dynamic range; guard zero max
-    mmax = jnp.maximum(mmax, jnp.asarray(1e-30, mags.dtype))
-    edges = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=jnp.float32)[1:] * mmax
-    bins = jnp.searchsorted(edges, mags)
-    hist = jnp.zeros((n_bins + 1,), jnp.int32).at[bins].add(1)
-    total = mags.size
-    if axis_name is not None:
-        hist = jax.lax.psum(hist, axis_name)
         total = total * jax.lax.axis_size(axis_name)
-    # number to keep (from the top); find smallest threshold bin such that
-    # count-above <= target
-    target_n = keep_fraction * total
-    above = jnp.cumsum(hist[::-1])[::-1]  # above[i] = # mags in bins >= i
-    keep_bin = jnp.argmax(above <= jnp.asarray(target_n, above.dtype))
-    keep_bin = jnp.maximum(keep_bin, 1)
-    return edges[keep_bin - 1]
+    return threshold_from_histogram_device(hist, keep_fraction, total,
+                                           axis_name=axis_name)

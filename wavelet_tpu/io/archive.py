@@ -193,11 +193,24 @@ class _Writer:
 
 
 class _Reader:
-    def __init__(self, data: bytes):
+    """Bounds-checked reader: truncated/corrupt sidecars raise ValueError
+    with a descriptive message instead of escaping as StopIteration /
+    IndexError / struct.error (cli.main turns ValueError into a clean
+    fatal log, not a traceback)."""
+
+    def __init__(self, data: bytes, name: str = "sidecar"):
         self.data = data
         self.off = 0
+        self.name = name
+
+    def _need(self, n: int):
+        if self.off + n > len(self.data):
+            raise ValueError(
+                f"truncated or corrupt {self.name}: needed {n} bytes at "
+                f"offset {self.off}, file has {len(self.data)}")
 
     def _take(self, fmt):
+        self._need(struct.calcsize(fmt))
         v = struct.unpack_from(fmt, self.data, self.off)[0]
         self.off += struct.calcsize(fmt)
         return v
@@ -215,6 +228,7 @@ class _Reader:
         return self._take("<d")
 
     def f80(self):
+        self._need(np.dtype(np.longdouble).itemsize)
         v = np.frombuffer(self.data, dtype=np.longdouble, count=1,
                           offset=self.off)[0]
         self.off += np.dtype(np.longdouble).itemsize
@@ -222,6 +236,7 @@ class _Reader:
 
     def string(self) -> str:
         n = self.u64()
+        self._need(n)
         s = self.data[self.off : self.off + n].decode()
         self.off += n
         return s
@@ -267,7 +282,7 @@ def write_runinfo(info: RunInfo, path: str, name: str = "runinfo.raw"):
 
 
 def read_runinfo(path: str, name: str = "runinfo.raw") -> RunInfo:
-    r = _Reader(open(os.path.join(path, name), "rb").read())
+    r = _Reader(open(os.path.join(path, name), "rb").read(), name)
     files = [r.string() for _ in range(r.u64())]
     min_level = r.i32()
     max_level = r.i32()
@@ -291,6 +306,11 @@ def write_locdim(data, path: str, name: str):
 def read_locdim(path: str, name: str, box_counts):
     """-> nested [t][lev][box] int triples (readandwrite.cpp:246-269)."""
     raw = np.fromfile(os.path.join(path, name), dtype=np.float32)
+    need = 3 * sum(int(c) for per in box_counts for c in per)
+    if len(raw) < need:
+        raise ValueError(
+            f"truncated or corrupt {name}: boxcounts.raw implies "
+            f"{need} float32 entries, file has {len(raw)}")
     out, k = [], 0
     for per_lev_counts in box_counts:
         t_list = []
@@ -313,8 +333,14 @@ def write_boxcounts(counts, path: str, name: str = "boxcounts.raw"):
 def read_boxcounts(path: str, num_times: int, num_levels: int,
                    name: str = "boxcounts.raw"):
     raw = np.fromfile(os.path.join(path, name), dtype=np.float32)
-    it = iter(raw)
-    return [[int(next(it)) for _ in range(num_levels)] for _ in range(num_times)]
+    if len(raw) < num_times * num_levels:
+        raise ValueError(
+            f"truncated or corrupt {name}: expected {num_times}x{num_levels} "
+            f"counts, file has {len(raw)}")
+    counts = raw[: num_times * num_levels].astype(np.int64)
+    if (counts < 0).any():
+        raise ValueError(f"corrupt {name}: negative box count")
+    return counts.reshape(num_times, num_levels).tolist()
 
 
 class AMReXInfo:
@@ -359,7 +385,7 @@ def write_amrexinfo(info: AMReXInfo, path: str, name: str = "amrexinfo.raw"):
 
 
 def read_amrexinfo(path: str, name: str = "amrexinfo.raw") -> AMReXInfo:
-    r = _Reader(open(os.path.join(path, name), "rb").read())
+    r = _Reader(open(os.path.join(path, name), "rb").read(), name)
     geom = []
     for _ in range(r.u64()):
         geom.append([r.f64() for _ in range(r.u64())])

@@ -33,6 +33,7 @@ __all__ = [
     "LevelBoxes",
     "read_header",
     "read_level",
+    "read_level_meta",
     "write_plotfile",
     "fmt_g17",
 ]
@@ -215,6 +216,22 @@ def _read_fab(f, offset: int):
     if data.size != count:
         raise IOError(f"short FAB read at offset {offset}")
     return lo, hi, ncomp, data.reshape(ncomp, nz, ny, nx)
+
+
+def read_level_meta(plotfile_dir: str, level: int):
+    """Box geometry of one level WITHOUT reading any FAB payload.
+
+    Parses only the small text ``Cell_H``; returns ``(locations, dimensions)``
+    as lists of int triples.  This is what lets the streaming pipeline write
+    all sidecars up front (the reference's sidecars-first property,
+    modes.cpp:71-89) while box *data* is read one timestep at a time.
+    """
+    hdr = _parse_cell_h(os.path.join(plotfile_dir, f"Level_{level}", "Cell_H"))
+    locations, dimensions = [], []
+    for lo, hi in hdr["boxes"]:
+        locations.append(tuple(int(v) for v in lo))
+        dimensions.append(tuple(h - l + 1 for l, h in zip(lo, hi)))
+    return locations, dimensions
 
 
 def read_level(plotfile_dir: str, level: int, comp_idxs) -> LevelBoxes:

@@ -17,7 +17,7 @@ import numpy as np
 from wavelet_tpu.io import archive, plotfile
 
 __all__ = ["Config", "clean_string", "format_files", "format_levels",
-           "RunData", "collect_run"]
+           "RunData", "collect_run", "RunMeta", "collect_run_meta"]
 
 
 @dataclass
@@ -87,6 +87,62 @@ class RunData:
     amrexinfo: archive.AMReXInfo
     files: list
     levels: list
+
+
+@dataclass
+class RunMeta:
+    """Sidecar-sufficient metadata of a run — everything ``write_sidecars``
+    needs, WITHOUT any box data in memory.  This is what makes the streaming
+    pipeline's peak RSS independent of the number of timesteps: pass 0
+    parses headers + ``Cell_H`` box lists (a few KB per level), writes the
+    five sidecars, and only then does the per-timestep read→compress→free
+    loop touch FAB payloads."""
+
+    locations: list            # [t][lev] -> list of int triples
+    dimensions: list           # [t][lev] -> list of int triples
+    counts: list               # [t][lev] -> box count
+    comp_idxs: list
+    components: list           # selected names, Header order
+    amrexinfo: archive.AMReXInfo
+    files: list
+    levels: list
+
+
+def collect_run_meta(files, components, levels) -> RunMeta:
+    """Metadata-only preprocessing pass (geometry of preprocess.cpp:107-307
+    without the box-data copies)."""
+    comp_idxs = None
+    names_ordered = list(components)
+    geom, true_times, lvl_steps = [], [], []
+    ref_ratios = None
+    base_dims = None
+    locations, dimensions, counts = [], [], []
+    for f in files:
+        h = plotfile.read_header(f)
+        if comp_idxs is None:
+            comp_idxs = h.component_indices(components)
+            names_ordered = [h.component_names[i] for i in comp_idxs]
+            r = h.ref_ratio[0] if h.ref_ratio else 2
+            ref_ratios = [r, r, r]
+            base_dims = h.domain_dims(0)
+        geom.append(list(h.prob_lo) + list(h.prob_hi))
+        true_times.append(np.longdouble(h.time_str))
+        lvl_steps.append([h.level_steps[l] if l < len(h.level_steps) else 0
+                          for l in levels])
+        locs_t, dims_t, counts_t = [], [], []
+        for lev in levels:
+            locs, dims = plotfile.read_level_meta(f, lev)
+            locs_t.append(locs)
+            dims_t.append(dims)
+            counts_t.append(len(locs))
+        locations.append(locs_t)
+        dimensions.append(dims_t)
+        counts.append(counts_t)
+    info = archive.AMReXInfo(geom, ref_ratios, true_times, lvl_steps,
+                             base_dims[0], base_dims[1], base_dims[2])
+    return RunMeta(locations=locations, dimensions=dimensions, counts=counts,
+                   comp_idxs=comp_idxs, components=names_ordered,
+                   amrexinfo=info, files=list(files), levels=list(levels))
 
 
 def collect_run(files, components, levels) -> RunData:

@@ -1,16 +1,19 @@
 """Compression pipeline (reference: ``compress(Config)``, modes.cpp:24-112).
 
 Stages:
-  1. host: discover files, parse headers, read FAB boxes (io/plotfile)
+  1. host: discover files, parse headers + Cell_H box lists (metadata only)
   2. host: write the five sidecar files first — the archive is then
      resumable state, every later output is an independent file
      (SURVEY.md §7 checkpoint/resume property)
-  3. device: shape-bucketed batches -> fused Haar + absmax -> exact
-     thresholds -> masks (runtime/engine)
-  4. host: RLE + serialize + xz in a thread pool
+  3. streaming loop, one timestep at a time: read FAB boxes (io/plotfile),
+     device codec (shape-bucketed batches -> fused Haar + absmax -> exact
+     thresholds, runtime/engine), host RLE + serialize + xz in a thread
+     pool, then free — peak RSS is bounded by one timestep, not the run
+     (the reference materializes the whole run in ``AllData``; a framework
+     for pod-scale AMR data cannot).
 
-Multi-host: each process takes its slice of the batch list and writes its
-own shard of ``.xz`` files (runtime/mesh.process_local_slice).
+Multi-host: each process takes its slice of the global work-item sequence
+and writes its own shard of ``.xz`` files (runtime/mesh.process_local_slice).
 """
 
 from __future__ import annotations
@@ -18,13 +21,12 @@ from __future__ import annotations
 import concurrent.futures as cf
 import logging
 import os
-import time
 
 import numpy as np
 
-from wavelet_tpu.io import archive
+from wavelet_tpu.io import archive, plotfile
 from wavelet_tpu.pipeline import common
-from wavelet_tpu.runtime import batching, engine, mesh as mesh_lib
+from wavelet_tpu.runtime import batching, debug, engine, mesh as mesh_lib
 
 log = logging.getLogger("wavelet_tpu")
 
@@ -41,21 +43,84 @@ def _iter_workitems(run: common.RunData):
                                              box=b), arr[c])
 
 
-def write_sidecars(run: common.RunData, min_level, max_level,
-                   out_dir: str):
-    """The five metadata files of modes.cpp:71-89, byte-compatible.
+def write_sidecars_meta(meta: common.RunMeta, min_level, max_level,
+                        out_dir: str):
+    """The five metadata files of modes.cpp:71-89, byte-compatible, written
+    from the metadata-only pass (no box data needed).
     Component names are recorded in Header order (matching comp_idxs)."""
-    info = archive.RunInfo(run.files, min_level, max_level,
-                           list(run.components), run.comp_idxs)
+    info = archive.RunInfo(meta.files, min_level, max_level,
+                           list(meta.components), meta.comp_idxs)
     archive.write_runinfo(info, out_dir)
     archive.write_meta(out_dir)  # defaults; compress_run overwrites
-    locations = [[lv.locations for lv in per_lev] for per_lev in run.levels_data]
-    dimensions = [[lv.dimensions for lv in per_lev] for per_lev in run.levels_data]
-    counts = [[len(lv.boxes) for lv in per_lev] for per_lev in run.levels_data]
-    archive.write_locdim(locations, out_dir, "locations.raw")
-    archive.write_locdim(dimensions, out_dir, "dimensions.raw")
-    archive.write_boxcounts(counts, out_dir)
-    archive.write_amrexinfo(run.amrexinfo, out_dir)
+    archive.write_locdim(meta.locations, out_dir, "locations.raw")
+    archive.write_locdim(meta.dimensions, out_dir, "dimensions.raw")
+    archive.write_boxcounts(meta.counts, out_dir)
+    archive.write_amrexinfo(meta.amrexinfo, out_dir)
+
+
+def write_sidecars(run: common.RunData, min_level, max_level, out_dir: str):
+    """Sidecars from an in-memory RunData (compress_collected callers)."""
+    meta = common.RunMeta(
+        locations=[[lv.locations for lv in per] for per in run.levels_data],
+        dimensions=[[lv.dimensions for lv in per] for per in run.levels_data],
+        counts=[[len(lv.boxes) for lv in per] for per in run.levels_data],
+        comp_idxs=run.comp_idxs, components=list(run.components),
+        amrexinfo=run.amrexinfo, files=run.files, levels=run.levels)
+    write_sidecars_meta(meta, min_level, max_level, out_dir)
+
+
+def _exists(out_dir: str, item) -> bool:
+    return os.path.exists(os.path.join(
+        out_dir, archive.payload_filename(item.t, item.level,
+                                          item.comp_idx, item.box)))
+
+
+def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
+                          transfer: str, scales: int):
+    """The overlapped device-codec + host-pack loop for per-box (parity)
+    thresholds: the device transforms batch i+1 while a pack thread runs
+    the host RLE+xz+write of batch i.  Returns (n_files, in_bytes, out_bytes)."""
+    n_files = 0
+    in_bytes = 0
+    out_bytes = 0
+    with cf.ThreadPoolExecutor(1) as pack_pool:
+        pending = None
+        for batch in batches:
+            if transfer == "sparse" and scales == 1:
+                # sparsification on device: only kept (index, value) pairs
+                # cross the device->host link
+                sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
+                job = (packer.pack_sparse, out_dir, sparse, t32)
+            else:
+                coeffs, t32 = eng.compress_shapebatch(batch, keep)
+                job = (packer.pack, out_dir, coeffs, t32)
+            if pending is not None:
+                out_bytes += pending.result()
+            pending = pack_pool.submit(*job)
+            n_files += len(batch.items)
+            in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
+        if pending is not None:
+            out_bytes += pending.result()
+    return n_files, in_bytes, out_bytes
+
+
+def _allreduce_histogram(hist: np.ndarray) -> np.ndarray:
+    """Sum int64 histograms across processes over DCN.
+
+    jax demotes int64 arrays to int32 when x64 is off, which would silently
+    truncate counts past 2^31 (realistic at pod scale); the gather therefore
+    ships two int32 halves and recombines in int64 on host.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    halves = np.stack([(hist & 0x7FFFFFFF).astype(np.int32),
+                       (hist >> 31).astype(np.int32)])
+    gathered = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(halves))).reshape(jax.process_count(), 2, -1)
+    gathered = gathered.astype(np.int64)
+    return (gathered[:, 0].sum(0) + (gathered[:, 1].sum(0) << 31))
 
 
 def compress_collected(run: common.RunData, keep: float, out_dir: str,
@@ -82,21 +147,14 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
     pad = mesh.size if mesh is not None else 1
     # multi-host fan-out: each process owns a contiguous slice of the work
     # items and writes its own shard of .xz files (the archive is a flat
-    # directory, so shards compose); sidecars are written by process 0 only
-    # (write_sidecars is called by compress_run on every host with identical
-    # content — last-writer-wins is benign, but slicing items avoids
-    # duplicate codec work).
+    # directory, so shards compose); sidecar writes are identical on every
+    # host — last-writer-wins is benign, slicing avoids duplicate codec work.
     items = list(_iter_workitems(run))
     import jax
 
     if jax.process_count() > 1:
         items = items[mesh_lib.process_local_slice(len(items))]
     skipped = 0
-
-    def _exists(item):
-        return os.path.exists(os.path.join(
-            out_dir, archive.payload_filename(item.t, item.level,
-                                              item.comp_idx, item.box)))
 
     if resume and threshold_mode != "global":
         # every (t, lev, comp, box) output is an independent file written
@@ -106,16 +164,13 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
         # mode items are NOT filtered here: the histogram (and therefore the
         # threshold) must cover every item or a resumed archive would mix
         # two thresholds — only the pack stage skips existing files.
-        kept_items = [p for p in items if not _exists(p[0])]
+        kept_items = [p for p in items if not _exists(out_dir, p[0])]
         skipped = len(items) - len(kept_items)
         if skipped:
             log.info("Resume: skipping %d already-compressed items", skipped)
         items = kept_items
     batches = batching.plan_batches(items, pad_multiple=pad,
                                     pack_fn=eng.pack_factor)
-    n_files = 0
-    in_bytes = 0
-    out_bytes = 0
     if threshold_mode == "global":
         if keep_fraction is None:
             raise ValueError("global threshold mode requires keep_fraction")
@@ -130,20 +185,19 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
         if jax.process_count() > 1:
             # all-reduce the histogram over DCN so every host derives the
             # same global threshold
-            import jax.numpy as jnp
-            from jax.experimental import multihost_utils
-
-            gathered = multihost_utils.process_allgather(jnp.asarray(hist))
-            hist = np.asarray(gathered).reshape(jax.process_count(), -1).sum(0)
+            hist = _allreduce_histogram(hist)
         t = thr.threshold_from_histogram(hist, keep_fraction)
         log.info("Global magnitude threshold (keep_fraction=%s): %s",
                  keep_fraction, t)
+        n_files = 0
+        in_bytes = 0
+        out_bytes = 0
         for cb in coeff_batches:
             t32 = np.full(len(cb.items), t, np.float32)
             subset = None
             if resume:
                 subset = [i for i, it in enumerate(cb.items)
-                          if not _exists(it)]
+                          if not _exists(out_dir, it)]
                 skipped += len(cb.items) - len(subset)
             out_bytes += packer.pack(out_dir, cb, t32, subset=subset)
             n_files += len(subset) if subset is not None else len(cb.items)
@@ -152,32 +206,125 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                 "output_bytes": out_bytes, "global_threshold": float(t),
                 "skipped": skipped}
 
-    # overlap: the device transforms batch i+1 while a pack thread runs the
-    # host RLE+xz+write of batch i
-    with cf.ThreadPoolExecutor(1) as pack_pool:
-        pending = None
-        for batch in batches:
-            if transfer == "sparse" and scales == 1:
-                # sparsification on device: only kept (index, value) pairs
-                # cross the device->host link
-                sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
-                job = (packer.pack_sparse, out_dir, sparse, t32)
-            else:
-                coeffs, t32 = eng.compress_shapebatch(batch, keep)
-                job = (packer.pack, out_dir, coeffs, t32)
-            if pending is not None:
-                out_bytes += pending.result()
-            pending = pack_pool.submit(*job)
-            n_files += len(batch.items)
-            in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
-        if pending is not None:
-            out_bytes += pending.result()
+    n_files, in_bytes, out_bytes = _pack_dense_or_sparse(
+        batches, eng, packer, out_dir, keep, transfer, scales)
     return {"files": n_files, "input_bytes": in_bytes,
             "output_bytes": out_bytes, "skipped": skipped}
 
 
+def _iter_timestep_items(meta: common.RunMeta, t: int, lv_boxes,
+                         lo: int, hi: int, base: int):
+    """This timestep's (WorkItem, array) pairs whose *global* item index
+    falls in [lo, hi) — the multi-host slice — in the same (t, lev, box,
+    comp) order as :func:`_iter_workitems`."""
+    g = base
+    for li in range(len(meta.levels)):
+        for b in range(meta.counts[t][li]):
+            arr = lv_boxes[li].boxes[b]
+            for c, comp_idx in enumerate(meta.comp_idxs):
+                if lo <= g < hi:
+                    yield (batching.WorkItem(t=t, level=li,
+                                             comp_idx=comp_idx, box=b),
+                           arr[c])
+                g += 1
+
+
+def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
+                        mesh) -> dict:
+    """One-timestep-at-a-time compression: read → device codec → host pack →
+    free.  Byte-identical output to :func:`compress_collected` (thresholds
+    are per-item or from an order-independent summed histogram), but peak
+    host RSS is bounded by the largest single timestep."""
+    import jax
+
+    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+    packer = engine.HostPacker(payload=cfg.payload)
+    pad = mesh.size if mesh is not None else 1
+    ncomp = len(meta.comp_idxs)
+    per_t = [sum(meta.counts[t]) * ncomp for t in range(len(meta.files))]
+    bases = np.concatenate([[0], np.cumsum(per_t)])
+    total_items = int(bases[-1])
+    if jax.process_count() > 1:
+        sl = mesh_lib.process_local_slice(total_items)
+        lo, hi = sl.start, sl.stop
+    else:
+        lo, hi = 0, total_items
+
+    def timestep_batches(t, resume_filter: bool):
+        """Read timestep t and plan its batches (data freed when the
+        returned batches are)."""
+        lv_boxes = [plotfile.read_level(meta.files[t], lev, meta.comp_idxs)
+                    for lev in meta.levels]
+        items = list(_iter_timestep_items(meta, t, lv_boxes, lo, hi,
+                                          int(bases[t])))
+        n_skip = 0
+        if resume_filter:
+            kept = [p for p in items if not _exists(cfg.compressed_dir, p[0])]
+            n_skip = len(items) - len(kept)
+            items = kept
+        return batching.plan_batches(items, pad_multiple=pad,
+                                     pack_fn=eng.pack_factor), n_skip
+
+    n_files = 0
+    in_bytes = 0
+    out_bytes = 0
+    skipped = 0
+    stats: dict = {}
+    if cfg.threshold_mode == "global":
+        if cfg.keep_fraction is None:
+            raise ValueError("global threshold mode requires keep_fraction")
+        from wavelet_tpu.core import threshold as thr
+
+        # pass 1: streamed histogram (coefficients are discarded — bounded
+        # memory costs re-reading + re-transforming in pass 2; fixed
+        # float-bit bins merge by addition across timesteps and hosts)
+        hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
+        for t in range(len(meta.files)):
+            batches, _ = timestep_batches(t, resume_filter=False)
+            for batch in batches:
+                _cb, h = eng.forward_hist_shapebatch(batch)
+                hist += h
+        if jax.process_count() > 1:
+            hist = _allreduce_histogram(hist)
+        tval = thr.threshold_from_histogram(hist, cfg.keep_fraction)
+        log.info("Global magnitude threshold (keep_fraction=%s): %s",
+                 cfg.keep_fraction, tval)
+        stats["global_threshold"] = float(tval)
+        # pass 2: streamed transform + pack at the one global threshold
+        for t in range(len(meta.files)):
+            batches, _ = timestep_batches(t, resume_filter=False)
+            for batch in batches:
+                cb, _h = eng.forward_hist_shapebatch(batch)
+                subset = None
+                if cfg.resume:
+                    subset = [i for i, it in enumerate(cb.items)
+                              if not _exists(cfg.compressed_dir, it)]
+                    skipped += len(cb.items) - len(subset)
+                t32 = np.full(len(cb.items), tval, np.float32)
+                out_bytes += packer.pack(cfg.compressed_dir, cb, t32,
+                                         subset=subset)
+                n_files += (len(subset) if subset is not None
+                            else len(cb.items))
+                in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
+    else:
+        for t in range(len(meta.files)):
+            batches, n_skip = timestep_batches(t, resume_filter=cfg.resume)
+            skipped += n_skip
+            nf, ib, ob = _pack_dense_or_sparse(
+                batches, eng, packer, cfg.compressed_dir, cfg.keep,
+                cfg.transfer, cfg.scales)
+            n_files += nf
+            in_bytes += ib
+            out_bytes += ob
+        if skipped:
+            log.info("Resume: skipped %d already-compressed items", skipped)
+    stats.update({"files": n_files, "input_bytes": in_bytes,
+                  "output_bytes": out_bytes, "skipped": skipped})
+    return stats
+
+
 def compress_run(cfg: common.Config, mesh=None) -> dict:
-    """Full compression mode (modes.cpp:24-112)."""
+    """Full compression mode (modes.cpp:24-112), streaming per timestep."""
     files = common.format_files(cfg.data_dir, cfg.min_time, cfg.max_time)
     levels = common.format_levels(cfg.min_level, cfg.max_level)
     log.info("This run involves the following files:")
@@ -185,24 +332,23 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
         log.info("%s", f)
 
     log.info("Processing data...")
-    t0 = time.perf_counter()
-    run = common.collect_run(files, cfg.components, levels)
-    os.makedirs(cfg.compressed_dir, exist_ok=True)
-    write_sidecars(run, cfg.min_level, cfg.max_level, cfg.compressed_dir)
-    archive.write_meta(cfg.compressed_dir, threshold_mode=cfg.threshold_mode,
-                       keep=cfg.keep, keep_fraction=cfg.keep_fraction,
-                       scales=cfg.scales, payload=cfg.payload)
-    t1 = time.perf_counter()
-    log.info("Successfully processed data in %s seconds. "
-             "Beginning compression...", t1 - t0)
+    with debug.phase_timer(
+            "preprocess",
+            message=("Successfully processed data in %s seconds. "
+                     "Beginning compression...")) as pre:
+        meta = common.collect_run_meta(files, cfg.components, levels)
+        os.makedirs(cfg.compressed_dir, exist_ok=True)
+        write_sidecars_meta(meta, cfg.min_level, cfg.max_level,
+                            cfg.compressed_dir)
+        archive.write_meta(cfg.compressed_dir,
+                           threshold_mode=cfg.threshold_mode,
+                           keep=cfg.keep, keep_fraction=cfg.keep_fraction,
+                           scales=cfg.scales, payload=cfg.payload)
 
-    stats = compress_collected(run, cfg.keep, cfg.compressed_dir, mesh=mesh,
-                               threshold_mode=cfg.threshold_mode,
-                               keep_fraction=cfg.keep_fraction,
-                               resume=cfg.resume, scales=cfg.scales,
-                               payload=cfg.payload, transfer=cfg.transfer)
-    t2 = time.perf_counter()
-    log.info("Compression completed in %s seconds.", t2 - t1)
-    stats["preprocess_seconds"] = t1 - t0
-    stats["compress_seconds"] = t2 - t1
+    with debug.phase_timer(
+            "compress", message="Compression completed in %s seconds.") as ph:
+        stats = _compress_streaming(cfg, meta, mesh)
+        ph.nbytes = stats["input_bytes"]
+    stats["preprocess_seconds"] = pre.seconds
+    stats["compress_seconds"] = ph.seconds
     return stats

@@ -66,15 +66,29 @@ def maybe_profile(trace_dir: str | None):
         yield
 
 
+class _Phase:
+    """Mutable handle yielded by :func:`phase_timer`; set ``nbytes`` inside
+    the block to get a GB/s figure, read ``seconds`` after it."""
+
+    def __init__(self, nbytes):
+        self.nbytes = nbytes
+        self.seconds = 0.0
+
+
 @contextlib.contextmanager
-def phase_timer(name: str, nbytes: int | None = None):
+def phase_timer(name: str, nbytes: int | None = None,
+                message: str | None = None):
     """Log a phase's wall time (and GB/s when a byte count is given) — the
-    TPU build's version of the reference's chrono phase logs, plus the
-    throughput figure BASELINE.json's metric asks for."""
+    TPU build's version of the reference's chrono phase logs (modes.cpp:93,
+    107, 170), plus the throughput figure BASELINE.json's metric asks for.
+
+    ``message`` overrides the default "name: N s" wording with a reference-
+    parity log line (one ``%s`` placeholder receives the seconds)."""
+    ph = _Phase(nbytes)
     t0 = time.perf_counter()
-    yield
-    dt = time.perf_counter() - t0
-    if nbytes:
-        log.info("%s: %.3f s (%.2f GB/s)", name, dt, nbytes / 1e9 / dt)
-    else:
-        log.info("%s: %.3f s", name, dt)
+    yield ph
+    ph.seconds = time.perf_counter() - t0
+    text = (message % ph.seconds) if message else f"{name}: {ph.seconds:.3f} s"
+    if ph.nbytes:
+        text += " (%.3g GB/s)" % (ph.nbytes / 1e9 / max(ph.seconds, 1e-12))
+    log.info("%s", text)

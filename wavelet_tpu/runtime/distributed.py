@@ -51,20 +51,23 @@ def make_parity_compress_step(mesh):
     return step
 
 
-def make_global_compress_step(mesh, keep_fraction: float, n_bins: int = 4096):
+def make_global_compress_step(mesh, keep_fraction: float):
     """jit(batch [N, X, Y, Z] sharded on N) ->
     (masked coeffs [N, XYZ], global threshold scalar, kept count scalar).
 
     The threshold is a single magnitude quantile over the *entire* sharded
-    batch, reduced across the mesh with psum/pmax (BASELINE.json configs 4-5).
-    """
+    batch, reduced across the mesh with a psum'd fixed float-bit histogram
+    (BASELINE.json configs 4-5) — the SAME bins and selection rule as the
+    CLI pipeline's host path (threshold.threshold_from_histogram), so both
+    paths derive the identical threshold and identical archive bytes for
+    the same data (tests/test_global_threshold.py)."""
 
     @partial(shard_map, mesh=mesh, in_specs=P(DATA_AXIS),
              out_specs=(P(DATA_AXIS), P(), P()))
     def step(batch):
         flat = haar.forward_flat(batch)
         thr = threshold.global_histogram_threshold(
-            flat, keep_fraction, n_bins=n_bins, axis_name=DATA_AXIS)
+            flat, keep_fraction, axis_name=DATA_AXIS)
         mask = jnp.abs(flat) > thr
         kept = jax.lax.psum(jnp.sum(mask, dtype=jnp.int32), DATA_AXIS)
         return jnp.where(mask, flat, jnp.zeros_like(flat)), thr, kept

@@ -96,13 +96,6 @@ def _compact_step(flat: jax.Array, t32: jax.Array, cap: int):
     return counts, idxs, vals
 
 
-@jax.jit
-def _mask_step(flat: jax.Array, t32: jax.Array):
-    """Exact-parity keep mask + per-item kept counts, on device."""
-    mask = threshold.mask_coefficients(flat, t32)
-    return mask, jnp.sum(mask, axis=-1, dtype=jnp.int32)
-
-
 def _inverse_step(flat: jax.Array, dims):
     return haar.inverse_from_flat(flat, dims)
 
@@ -292,7 +285,8 @@ class CodecEngine:
             flat, signed_dev = _compress_step(dev)
             signed = np.asarray(signed_dev)
         t32 = threshold.exact_threshold32(signed, keep)
-        cap = int(min(m, max(128, -(-int(m * cap_fraction)) // 128 * 128)))
+        # cap rounded UP to a lane multiple (VPU-friendly gather width)
+        cap = int(min(m, max(128, -(-int(m * cap_fraction) // 128) * 128)))
         counts, idxs, vals = _compact_step(
             flat, self._put(jnp.asarray(t32)), cap)
         return SparseCoeffs(shape=dims, items=batch.items,
