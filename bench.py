@@ -14,7 +14,13 @@ Methodology notes (this rig tunnels to the TPU through axon):
   region uses a device-side ``fori_loop`` whose carry chains iterations;
 - per-call dispatch overhead (~30 ms here) is removed by two-point timing:
   slope between a K1-iteration and a K2-iteration call;
-- inputs are synced onto the device before timing.
+- inputs are synced onto the device before timing;
+- the reported figure is the MEDIAN of 5 fresh-input reps (not the min:
+  one cache-contaminated rep would poison a min in the optimistic
+  direction), with the min/max spread recorded in the artifact;
+- hard plausibility guard: any rep whose implied HBM traffic exceeds the
+  v5e's ~819 GB/s physical bandwidth is discarded — a reported number can
+  never again be faster than the hardware.
 """
 
 import json
@@ -24,15 +30,30 @@ import time
 import numpy as np
 
 
-def _two_point(many_k, make_x, k1, k2, reps: int = 3):
+# Speed of light: a v5e chip has ~819 GB/s of HBM bandwidth.  Any stage
+# whose implied HBM traffic rate exceeds this is NOT a measurement — it is
+# cache contamination (the axon layer can serve repeated executions from a
+# cache) or timer noise, and must never become a reported number.
+HBM_BYTES_PER_S = 819e9
+
+
+def _two_point(many_k, make_x, k1, k2, nbytes, traffic_mult,
+               reps: int = 5):
     """Per-iteration seconds via slope between k1- and k2-iteration calls.
 
     Repeated ``reps`` times with a FRESH input each rep (the axon runtime
     caches identical (executable, input) executions, which would fake
-    near-zero times), keeping the fastest slope — the tunnel-attached chip
-    shows run-to-run interference and the minimum is the honest number.
+    near-zero times).  The reported figure is the MEDIAN plausible slope:
+    any rep whose implied HBM traffic (``nbytes * traffic_mult`` per
+    iteration) exceeds the chip's physical bandwidth is discarded as
+    contaminated, and the min/max spread of the surviving reps is returned
+    alongside so the variance is visible in the artifact.
+
+    Returns ``(median_dt, spread_dict)``.
     """
-    best = float("inf")
+    floor_dt = nbytes * traffic_mult / HBM_BYTES_PER_S
+    slopes = []
+    dropped = 0
     for _ in range(reps):
         x = make_x()
         t0 = time.perf_counter()
@@ -41,8 +62,22 @@ def _two_point(many_k, make_x, k1, k2, reps: int = 3):
         t0 = time.perf_counter()
         _ = np.asarray(many_k(x, k2).ravel()[0])
         tb = time.perf_counter() - t0
-        best = min(best, (tb - ta) / (k2 - k1))
-    return max(best, 1e-9)
+        dt = (tb - ta) / (k2 - k1)
+        if dt < floor_dt:          # faster than the hardware can move bytes
+            dropped += 1
+            continue
+        slopes.append(dt)
+    if not slopes:
+        # every rep was implausible — report the physical floor and say so
+        # rather than publishing fiction
+        return floor_dt, {"min_gbps_dt": floor_dt, "max_gbps_dt": floor_dt,
+                          "reps_used": 0, "reps_dropped_implausible": dropped,
+                          "all_reps_implausible": True}
+    med = float(np.median(slopes))
+    return med, {"min_gbps_dt": float(min(slopes)),
+                 "max_gbps_dt": float(max(slopes)),
+                 "reps_used": len(slopes),
+                 "reps_dropped_implausible": dropped}
 
 
 def main():
@@ -128,14 +163,28 @@ def main():
     _ = np.asarray(mask_many(x, t32, 2).ravel()[0])
     _ = np.asarray(inv_many(x, 2).ravel()[0])
 
-    dt_fwd = _two_point(fwd_many, make_x, K1, K2)
-    dt_mask = _two_point(lambda v, k: mask_many(v, t32, k), make_x, K1, K2)
-    dt_inv = _two_point(inv_many, make_x, K1, K2)
+    # traffic multiplier: each stage reads its input once and writes its
+    # output once -> ~2x the input bytes of HBM traffic per iteration
+    dt_fwd, sp_fwd = _two_point(fwd_many, make_x, K1, K2, nbytes, 2.0)
+    dt_mask, sp_mask = _two_point(lambda v, k: mask_many(v, t32, k),
+                                  make_x, K1, K2, nbytes, 2.0)
+    dt_inv, sp_inv = _two_point(inv_many, make_x, K1, K2, nbytes, 2.0)
 
     gb = nbytes / 1e9
     compress_gbps = gb / (dt_fwd + dt_mask)
     decompress_gbps = gb / dt_inv
     roundtrip_gbps = gb / (dt_fwd + dt_mask + dt_inv)
+
+    def _stage(name, dt, sp):
+        """Per-stage report: median GB/s + spread + plausibility evidence."""
+        d = {"gbps": round(gb / dt, 3),
+             "gbps_max": round(gb / sp["min_gbps_dt"], 3),
+             "gbps_min": round(gb / sp["max_gbps_dt"], 3),
+             "reps_used": sp["reps_used"],
+             "reps_dropped_implausible": sp["reps_dropped_implausible"]}
+        if sp.get("all_reps_implausible"):
+            d["all_reps_implausible"] = True
+        return d
 
     # quality on a real (non-chained) round trip through the engine
     eng = engine.CodecEngine()
@@ -155,8 +204,13 @@ def main():
             "platform": platform,
             "block_shape": [n, d, d, d],
             "bytes": nbytes,
-            "forward_gbps": round(gb / dt_fwd, 3),
-            "mask_gbps": round(gb / dt_mask, 3),
+            "methodology": ("median of 5 fresh-input two-point slopes; "
+                            "reps implying > 819 GB/s HBM traffic (v5e "
+                            "speed of light) are dropped as cache-"
+                            "contaminated"),
+            "forward": _stage("forward", dt_fwd, sp_fwd),
+            "mask": _stage("mask", dt_mask, sp_mask),
+            "inverse": _stage("inverse", dt_inv, sp_inv),
             "decompress_gbps": round(decompress_gbps, 3),
             "roundtrip_gbps": round(roundtrip_gbps, 3),
             "keep": keep,

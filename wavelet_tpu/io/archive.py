@@ -49,6 +49,16 @@ __all__ = [
 _XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
 
 
+def _atomic_write_bytes(path: str, blob: bytes) -> None:
+    """Write via a per-process temp name + rename: concurrent writers (every
+    host writes identical sidecars in a multi-process run) can never leave a
+    torn file, and a crash mid-write never leaves a truncated sidecar."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
 # ---------------------------------------------------------------------------
 # .xz payloads
 # ---------------------------------------------------------------------------
@@ -144,8 +154,8 @@ def write_meta(path: str, *, threshold_mode: str = "box", keep: float = None,
         meta["keep"] = float(keep)
     if keep_fraction is not None:
         meta["keep_fraction"] = float(keep_fraction)
-    with open(os.path.join(path, META_NAME), "w") as f:
-        json.dump(meta, f)
+    _atomic_write_bytes(os.path.join(path, META_NAME),
+                        json.dumps(meta).encode())
 
 
 def read_meta(path: str) -> dict:
@@ -180,8 +190,14 @@ class _Writer:
         self.parts.append(struct.pack("<d", float(v)))
 
     def f80(self, v):
-        # x86-64 long double: 80-bit extended padded to 16 bytes
-        self.parts.append(np.asarray([v], dtype=np.longdouble).tobytes())
+        # x86-64 long double: 80-bit extended padded to 16 bytes.  numpy
+        # leaves the 6 padding bytes as allocator garbage (as does the
+        # reference's raw fwrite of a long double) — zero them so archive
+        # bytes are deterministic across processes and runs
+        raw = np.asarray([v], dtype=np.longdouble).tobytes()
+        buf = bytearray(len(raw))
+        buf[:10] = raw[:10]
+        self.parts.append(bytes(buf))
 
     def string(self, s: str):
         b = s.encode()
@@ -277,8 +293,7 @@ def write_runinfo(info: RunInfo, path: str, name: str = "runinfo.raw"):
     w.u64(len(info.comp_idxs))
     for v in info.comp_idxs:
         w.i32(v)
-    with open(os.path.join(path, name), "wb") as f:
-        f.write(w.getvalue())
+    _atomic_write_bytes(os.path.join(path, name), w.getvalue())
 
 
 def read_runinfo(path: str, name: str = "runinfo.raw") -> RunInfo:
@@ -300,7 +315,8 @@ def write_locdim(data, path: str, name: str):
         for per_lev in per_t:
             for triple in per_lev:
                 flat.extend(float(v) for v in triple[:3])
-    np.asarray(flat, dtype=np.float32).tofile(os.path.join(path, name))
+    _atomic_write_bytes(os.path.join(path, name),
+                        np.asarray(flat, dtype=np.float32).tobytes())
 
 
 def read_locdim(path: str, name: str, box_counts):
@@ -327,7 +343,8 @@ def read_locdim(path: str, name: str, box_counts):
 def write_boxcounts(counts, path: str, name: str = "boxcounts.raw"):
     """num_times x num_levels counts as float32 (readandwrite.cpp:273-291)."""
     flat = [float(c) for per_t in counts for c in per_t]
-    np.asarray(flat, dtype=np.float32).tofile(os.path.join(path, name))
+    _atomic_write_bytes(os.path.join(path, name),
+                        np.asarray(flat, dtype=np.float32).tobytes())
 
 
 def read_boxcounts(path: str, num_times: int, num_levels: int,
@@ -380,8 +397,7 @@ def write_amrexinfo(info: AMReXInfo, path: str, name: str = "amrexinfo.raw"):
     w.i32(info.x_dim)
     w.i32(info.y_dim)
     w.i32(info.z_dim)
-    with open(os.path.join(path, name), "wb") as f:
-        f.write(w.getvalue())
+    _atomic_write_bytes(os.path.join(path, name), w.getvalue())
 
 
 def read_amrexinfo(path: str, name: str = "amrexinfo.raw") -> AMReXInfo:
