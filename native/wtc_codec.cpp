@@ -84,15 +84,24 @@ std::string serialize_payload_q16(const int32_t shape[3], int64_t total,
     return buf;
 }
 
-bool xz_encode_to_file(const std::string& payload, const char* path) {
+// codec 0 = xz container at the given preset (reference-compatible at 6);
+// codec 1 = raw payload bytes (extension: no entropy stage, declared in
+// wtc-meta.json; trades size for host-pack speed)
+bool encode_to_file(const std::string& payload, const char* path,
+                    int codec, int preset) {
     size_t cap = payload.size() + payload.size() / 3 + 256;
     std::vector<uint8_t> out(cap);
     size_t out_pos = 0;
-    lzma_ret ret = lzma_easy_buffer_encode(
-        6 /*preset*/, LZMA_CHECK_CRC64, nullptr,
-        reinterpret_cast<const uint8_t*>(payload.data()), payload.size(),
-        out.data(), &out_pos, out.size());
-    if (ret != LZMA_OK) return false;
+    if (codec == 1) {
+        out.assign(payload.begin(), payload.end());
+        out_pos = payload.size();
+    } else {
+        lzma_ret ret = lzma_easy_buffer_encode(
+            static_cast<uint32_t>(preset), LZMA_CHECK_CRC64, nullptr,
+            reinterpret_cast<const uint8_t*>(payload.data()), payload.size(),
+            out.data(), &out_pos, out.size());
+        if (ret != LZMA_OK) return false;
+    }
     // write to a temp name and rename so a crash mid-write never leaves a
     // truncated .xz that a resumed run (resume=1) would skip as complete
     std::string tmp = std::string(path) + ".tmp";
@@ -104,7 +113,8 @@ bool xz_encode_to_file(const std::string& payload, const char* path) {
     return std::rename(tmp.c_str(), path) == 0;
 }
 
-bool xz_decode_file(const char* path, std::vector<uint8_t>& payload) {
+bool xz_decode_file(const char* path, std::vector<uint8_t>& payload,
+                    int codec) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
     std::fseek(f, 0, SEEK_END);
@@ -114,6 +124,10 @@ bool xz_decode_file(const char* path, std::vector<uint8_t>& payload) {
     size_t r = blob.empty() ? 0 : std::fread(blob.data(), 1, blob.size(), f);
     std::fclose(f);
     if (r != blob.size()) return false;
+    if (codec == 1) {
+        payload = std::move(blob);
+        return true;
+    }
 
     // streaming decode with a growing buffer
     lzma_stream strm = LZMA_STREAM_INIT;
@@ -175,7 +189,8 @@ int64_t wtc_pack_strided(const float* coeffs, const float* t32,
                          int64_t n_items, int64_t rows, int64_t row_len,
                          int64_t row_stride, const int64_t* offsets,
                          const int32_t* shape, const char* const* paths,
-                         int n_threads, int payload_fmt /*0=f32, 1=q16*/) {
+                         int n_threads, int payload_fmt /*0=f32, 1=q16*/,
+                         int codec /*0=xz, 1=raw*/, int preset /*xz 0-9*/) {
     const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> total_bytes(0);
     std::atomic<int64_t> first_err(-1);
@@ -198,7 +213,7 @@ int64_t wtc_pack_strided(const float* coeffs, const float* t32,
         std::string payload = payload_fmt == 1
             ? serialize_payload_q16(shape, n_coeffs, pairs)
             : serialize_payload(shape, n_coeffs, pairs);
-        if (!xz_encode_to_file(payload, paths[i])) {
+        if (!encode_to_file(payload, paths[i], codec, preset)) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;
@@ -223,14 +238,16 @@ int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
                            int64_t rows, int64_t row_len, int64_t row_stride,
                            const int64_t* offsets, float* out,
                            int32_t* shapes_out, int n_threads,
-                           int payload_fmt /*0=f32, 1=q16*/) {
+                           int payload_fmt /*0=f32, 1=q16*/,
+                           int codec /*0=xz, 1=raw*/) {
     const int64_t n_coeffs = rows * row_len;
     const size_t head_bytes = payload_fmt == 1 ? 24 : 20;
     const size_t pair_bytes = payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
     std::atomic<int64_t> first_err(-1);
     run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
-        if (!xz_decode_file(paths[i], payload) || payload.size() < head_bytes) {
+        if (!xz_decode_file(paths[i], payload, codec)
+            || payload.size() < head_bytes) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;

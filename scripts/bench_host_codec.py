@@ -50,11 +50,14 @@ def make_coeffs(n_items: int, m: int, kept_frac: float, seed: int = 0):
     return flat, t32
 
 
-def bench_native_pack(flat, t32, dims, threads, out_dir):
+def bench_native_pack(flat, t32, dims, threads, out_dir, codec="xz",
+                      preset=6):
     n, m = flat.shape
     paths = [os.path.join(out_dir, f"pk-{i}.xz") for i in range(n)]
+    offsets = np.arange(n, dtype=np.int64) * m
     t0 = time.perf_counter()
-    total = native.pack_batch(flat, t32, dims, paths, n_threads=threads)
+    total = native.pack_strided(flat, t32, dims, paths, 1, m, m, offsets,
+                                n_threads=threads, codec=codec, preset=preset)
     dt = time.perf_counter() - t0
     return flat.nbytes / dt / 1e9, total, paths
 
@@ -142,6 +145,17 @@ def main():
                     "output_gbps": round(ug, 4)}
             pg, _ = bench_python_pack(flat[:16], t32[:16], dims, d)
             results["python_pack"][key] = {"input_gbps_1thread": round(pg, 4)}
+            # extension codecs: raw (no entropy stage) and xz preset 1
+            for codec, preset, label in (("raw", 6, "raw"), ("xz", 1, "xz1")):
+                g1, ob, _ = bench_native_pack(flat, t32, dims, ncpu, d,
+                                              codec=codec, preset=preset)
+                g2, _, _ = bench_native_pack(flat, t32, dims, ncpu, d,
+                                             codec=codec, preset=preset)
+                results["pack"][key][f"codec={label},threads={ncpu}"] = {
+                    "input_gbps": round(max(g1, g2), 4),
+                    "output_bytes": int(ob),
+                    "ratio_pct": round(100.0 * ob / flat.nbytes, 3),
+                }
         if kept == 0.01:
             results["preset_sensitivity"] = bench_preset_sensitivity(
                 flat[:16], t32[:16], dims)
@@ -151,22 +165,84 @@ def main():
     pack1 = results["pack"]["kept=0.01"]["threads=1"]["input_gbps"]
     packN = results["pack"]["kept=0.01"][f"threads={ncpu}"]["input_gbps"]
     per_core = packN / ncpu
+    raw_rate = results["pack"]["kept=0.01"][
+        f"codec=raw,threads={ncpu}"]["input_gbps"]
+    raw_per_core = raw_rate / ncpu
     results["analysis"] = {
         "device_compress_gbps_chip": dev_rate,
         "pack_gbps_per_core_kept1pct": round(per_core, 4),
         "cores_to_match_device_rate": round(dev_rate / per_core, 1),
         "cores_for_10gbps_north_star": round(10.0 / per_core, 1),
+        "raw_codec_gbps_per_core": round(raw_per_core, 4),
+        "raw_codec_cores_for_10gbps": round(10.0 / raw_per_core, 1),
         "e2e_gbps_with_this_host": round(min(dev_rate, packN), 4),
         "note": ("end-to-end compress = min(device, host pack) once "
                  "overlapped; pack scales ~linearly in cores (independent "
-                 "items, no shared state)"),
+                 "items, no shared state).  At xz preset 6 the north star "
+                 "needs ~70 cores/chip; codec=raw (extension) needs ~10 — "
+                 "a real v5e host (~14 vCPU/chip on v5e-8) reaches "
+                 "~2 GB/s/chip e2e at xz6 and ~15 GB/s/chip at raw"),
         "pack1_gbps": pack1,
     }
+    results["pipeline_e2e"] = bench_overlapped_pipeline()
+
     os.makedirs("bench_results", exist_ok=True)
     with open("bench_results/host_codec.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results["analysis"]))
+    print(json.dumps(results["pipeline_e2e"]))
     return 0
+
+
+def bench_overlapped_pipeline():
+    """The REAL overlapped device-codec + host-pack loop
+    (pipeline/compress.py _pack_dense_or_sparse) end to end on this host,
+    with the device stage on CPU: demonstrates the overlap machinery and
+    puts a measured number on 'e2e = min(device, host-pack)'.  Smooth data
+    (realistic coefficient decay) so keep=0.999 keeps a few percent."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
+    from wavelet_tpu.pipeline import compress as cmod
+    from wavelet_tpu.runtime import batching, engine as eng_mod
+
+    n, d = 48, 64
+    boxes = np.empty((n, d, d, d), np.float32)
+    for b in range(n):
+        boxes[b] = np.fromfunction(
+            lambda i, j, k: np.sin(0.1 * i + 0.03 * b) * np.cos(0.07 * j)
+            + 0.01 * k, (d, d, d)).astype(np.float32)
+    eng = eng_mod.CodecEngine()
+    # pick the keep whose kept fraction lands nearest the realistic 1-5%
+    # regime for this data (the per-box rule's kept fraction is data-
+    # dependent; real AMR fields at keep=0.999 keep a few percent)
+    keep = 0.999
+    kept = 1.0
+    for cand in (0.999, 0.99, 0.97, 0.9, 0.8):
+        _flat, mask = eng.compress_batch(boxes[:4], cand)
+        kf = float(mask.mean())
+        keep, kept = cand, kf
+        if kf <= 0.05:
+            break
+    out = {"keep": keep, "kept_fraction": round(kept, 5),
+           "boxes": n, "dims": [d, d, d], "input_bytes": int(boxes.nbytes)}
+    for codec in ("xz", "raw"):
+        packer = eng_mod.HostPacker(codec=codec)
+        items = [(batching.WorkItem(t=0, level=0, comp_idx=0, box=b),
+                  boxes[b]) for b in range(n)]
+        with tempfile.TemporaryDirectory() as tdir:
+            batches = batching.plan_batches(items, pack_fn=eng.pack_factor,
+                                            max_batch_bytes=16 << 20)
+            t0 = time.perf_counter()
+            _nf, ib, ob = cmod._pack_dense_or_sparse(
+                batches, eng, packer, tdir, keep, "dense", 1)
+            dt = time.perf_counter() - t0
+        out[f"codec={codec}"] = {
+            "e2e_input_gbps": round(ib / dt / 1e9, 4),
+            "output_ratio_pct": round(100.0 * ob / ib, 3)}
+    return out
 
 
 if __name__ == "__main__":

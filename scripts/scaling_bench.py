@@ -60,22 +60,41 @@ def main():
             "validates the sharded program's structure; run on a real "
             "pod slice for ICI scaling numbers")
 
+    # speed of light per device (v5e HBM ~819 GB/s; stage traffic ~2x input)
+    sol_input_gbps = 819.0 / 2.0
+
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
     base_rate = None
     for s in sizes:
         mesh = mesh_lib.data_mesh(devices[:s])
         n = args.per_device_boxes * s
-        batch = rng.standard_normal((n, d, d, d)).astype(np.float32)
-        sharded = mesh_lib.shard_batch(batch, mesh)
         step = distributed.make_parity_compress_step(mesh)
-        out = step(sharded)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = step(sharded)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
-        rate = batch.nbytes / 1e9 / dt
+
+        # cache-proof methodology (CLAUDE.md: the axon layer can serve
+        # repeated identical executions from a cache): every timed call gets
+        # a FRESH input, all inputs are sharded + synced before the clock
+        # starts, and the reported rate is the median of 3 reps
+        def one_rep(seed):
+            xs = [mesh_lib.shard_batch(
+                np.random.default_rng(seed + i)
+                .standard_normal((n, d, d, d)).astype(np.float32), mesh)
+                for i in range(args.iters)]
+            jax.block_until_ready(xs)
+            t0 = time.perf_counter()
+            outs = [step(x) for x in xs]
+            jax.block_until_ready(outs)
+            return (time.perf_counter() - t0) / args.iters
+
+        nbytes = n * d * d * d * 4
+        rates = []
+        for rep in range(3):
+            dt = one_rep(1000 * rep)
+            rate = nbytes / 1e9 / dt
+            if (devices[0].platform != "cpu"
+                    and rate / s > sol_input_gbps):
+                continue  # faster than HBM: cache-contaminated rep
+            rates.append(rate)
+        rate = float(np.median(rates)) if rates else float("nan")
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * s)
@@ -83,9 +102,32 @@ def main():
             "gbps_total": round(rate, 3),
             "gbps_per_device": round(rate / s, 3),
             "scaling_efficiency": round(eff, 3),
+            "reps_used": len(rates),
         }
         print(f"mesh={s:2d}: {rate:8.2f} GB/s total, "
               f"{rate/s:7.2f} GB/s/dev, efficiency {eff:5.1%}")
+
+    # Quantitative ICI expectation (why >= 85% scaling efficiency is the
+    # structurally expected outcome on a real pod, even though virtual CPU
+    # devices cannot demonstrate it): parity mode is embarrassingly
+    # parallel — the compiled program contains NO cross-device collectives
+    # (per-item thresholds; XLA inserts nothing but the initial shard
+    # placement).  Global mode all-reduces one fixed 4096-bin histogram
+    # (16 KiB as two int32 limb vectors = 32 KiB) + two scalars per
+    # compiled step, INDEPENDENT of data volume.
+    n_ref = args.per_device_boxes * 8
+    step_bytes = n_ref * d * d * d * 4
+    coll_bytes = 2 * 4096 * 4 + 8
+    results["ici_analysis"] = {
+        "parity_mode_collective_bytes_per_step": 0,
+        "global_mode_collective_bytes_per_step": coll_bytes,
+        "data_bytes_per_step_8dev_example": step_bytes,
+        "global_mode_collective_fraction": round(coll_bytes / step_bytes, 8),
+        "note": ("collective volume is O(1) in data size; at 1 GiB/step the "
+                 "all-reduce is ~3e-5 of the data moved, so ICI time is "
+                 "negligible and scaling is bounded by per-chip HBM rate, "
+                 "not communication"),
+    }
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -62,7 +62,7 @@ def test_q16_payload_roundtrip():
 def test_meta_sidecar_defaults():
     assert archive.read_meta("/nonexistent") == {
         "format_version": 0, "threshold_mode": "box", "scales": 1,
-        "payload": "f32"}
+        "payload": "f32", "codec": "xz", "xz_preset": 6}
 
 
 def _synth(tmp_path):

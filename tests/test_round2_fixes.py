@@ -141,3 +141,82 @@ def test_abs_exponent_histogram_is_uint32():
     h = thr.abs_exponent_histogram(jnp.asarray(np.ones(16, np.float32)))
     assert h.dtype == jnp.uint32
     assert int(np.asarray(h).sum()) == 16
+
+
+# ---------------------------------------------------------------------------
+# payload codec extension: codec=raw and xzpreset=N (host-pack bottleneck
+# relief; bench_results/host_codec.json motivates it)
+# ---------------------------------------------------------------------------
+
+def _codec_synth(tmp_path):
+    from wavelet_tpu.io import plotfile as pf
+
+    rng = np.random.default_rng(4)
+    smooth = np.fromfunction(
+        lambda i, j, k: np.sin(0.2 * i) + 0.1 * j * k, (16, 8, 8)
+    ).astype(np.float32)
+    noisy = (smooth + 0.05 * rng.standard_normal(smooth.shape)
+             ).astype(np.float32)
+    pf.write_plotfile(str(tmp_path / "data" / "plt00030"),
+                      [[np.stack([smooth, noisy])]], [[(0, 0, 0)]],
+                      [[(16, 8, 8)]], ["a", "b"], 0.5, [0., 0., 0.],
+                      [1., 1., 1.], (2, 2, 2), (16, 8, 8), [30])
+    return str(tmp_path / "data")
+
+
+@pytest.mark.parametrize("extra", [
+    {"codec": "raw"},
+    {"xz_preset": 1},
+], ids=["raw", "xz1"])
+def test_codec_extension_roundtrip(tmp_path, extra):
+    from wavelet_tpu.io import plotfile as pf
+    from wavelet_tpu.pipeline import (Config, compress_run, decompress_run)
+
+    data_dir = _codec_synth(tmp_path)
+    comp_dir = str(tmp_path / "comp") + os.sep
+    out_dir = str(tmp_path / "out") + os.sep
+    cfg = Config(data_dir=data_dir, min_time="plt00030", max_time="plt00030",
+                 min_level=0, max_level=0, components=["a", "b"],
+                 keep=0.999, compressed_dir=comp_dir, **extra)
+    compress_run(cfg)
+    meta = archive.read_meta(comp_dir)
+    assert meta["codec"] == extra.get("codec", "xz")
+    assert meta["xz_preset"] == extra.get("xz_preset", 6)
+    # decompression is self-describing via the meta sidecar
+    decompress_run(Config(compressed_dir=comp_dir, out_dir=out_dir))
+    orig = pf.read_level(data_dir + "/plt00030", 0, [0, 1])
+    regen = pf.read_level(out_dir + "plt00030", 0, [0, 1])
+    # keep=0.999 on smooth+noise: reconstruction within lossy tolerance,
+    # and identical to what the default-codec pipeline produces
+    assert np.abs(regen.boxes[0] - orig.boxes[0]).mean() < 0.05
+
+
+def test_raw_codec_native_python_identical(tmp_path):
+    """codec=raw bytes from the native packer == python packer."""
+    from wavelet_tpu.runtime import batching, engine as eng_mod
+
+    rng = np.random.default_rng(9)
+    flat = np.zeros((4, 512), np.float32)
+    for i in range(4):
+        idx = rng.choice(512, 20, replace=False)
+        flat[i, idx] = rng.standard_normal(20)
+    t32 = np.zeros(4, np.float32)
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+             for b in range(4)]
+    batch = batching.ShapeBatch(shape=(8, 8, 8), data=flat.reshape(4, 8, 8, 8),
+                                items=items, n_valid=4)
+    outs = {}
+    for use_native in ((True, False) if native.available() else (False,)):
+        d = tmp_path / ("n" if use_native else "p")
+        os.makedirs(d)
+        packer = eng_mod.HostPacker(use_native=use_native, codec="raw")
+        packer.pack(str(d), batch, t32)
+        outs[use_native] = {f: open(os.path.join(d, f), "rb").read()
+                            for f in sorted(os.listdir(d))}
+    if len(outs) == 2:
+        assert outs[True] == outs[False]
+    # raw blobs are the bare serialized payload (no xz magic)
+    blob = next(iter(outs[False].values()))
+    assert not blob.startswith(b"\xfd7zXZ")
+    shape, total, runs, vals = archive.deserialize_payload(blob)
+    assert shape == (8, 8, 8) and total == 512

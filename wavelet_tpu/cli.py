@@ -65,6 +65,8 @@ def parse_argv(argv):
         cfg.resume = kv.get("resume", "0") in ("1", "true", "yes")
         cfg.scales = int(kv.get("scales", "1"))
         cfg.payload = kv.get("payload", "f32")
+        cfg.codec = kv.get("codec", "xz")
+        cfg.xz_preset = int(kv.get("xzpreset", "6"))
         cfg.transfer = kv.get("transfer", "dense")
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")

@@ -37,7 +37,7 @@ __all__ = [
     "RunInfo", "AMReXInfo",
     "serialize_payload", "deserialize_payload",
     "serialize_payload_q16", "deserialize_payload_q16",
-    "xz_compress", "xz_decompress",
+    "xz_compress", "xz_decompress", "encode_blob", "decode_blob",
     "payload_filename",
     "write_runinfo", "read_runinfo",
     "write_locdim", "read_locdim",
@@ -84,14 +84,34 @@ def deserialize_payload(data: bytes):
     return (x, y, z), total, pairs["run"], pairs["val"]
 
 
-def xz_compress(payload: bytes) -> bytes:
-    """xz container, LZMA2 preset 6, CRC64 — matching lzma_easy_encoder(6, CRC64)."""
+def xz_compress(payload: bytes, preset: int = 6) -> bytes:
+    """xz container, LZMA2 CRC64 — at preset 6, byte-matching
+    lzma_easy_encoder(6, CRC64); other presets are an extension (recorded
+    in wtc-meta.json; the xz container itself is self-describing so any
+    xz reader, including the reference, still decodes them)."""
+    filters = (_XZ_FILTERS if preset == 6
+               else [{"id": lzma.FILTER_LZMA2, "preset": int(preset)}])
     return lzma.compress(payload, format=lzma.FORMAT_XZ,
-                         check=lzma.CHECK_CRC64, filters=_XZ_FILTERS)
+                         check=lzma.CHECK_CRC64, filters=filters)
 
 
 def xz_decompress(blob: bytes) -> bytes:
     return lzma.decompress(blob, format=lzma.FORMAT_XZ)
+
+
+def encode_blob(payload: bytes, codec: str = "xz", preset: int = 6) -> bytes:
+    """Entropy stage selector: ``xz`` (reference format) or ``raw`` (no
+    entropy coding — extension for hosts where xz is the pipeline
+    bottleneck; ~1/5 the host cost for ~6x the bytes at 1% kept)."""
+    if codec == "raw":
+        return payload
+    return xz_compress(payload, preset)
+
+
+def decode_blob(blob: bytes, codec: str = "xz") -> bytes:
+    if codec == "raw":
+        return blob
+    return xz_decompress(blob)
 
 
 def payload_filename(t: int, level: int, comp_idx: int, box: int) -> str:
@@ -139,7 +159,7 @@ META_NAME = "wtc-meta.json"
 
 def write_meta(path: str, *, threshold_mode: str = "box", keep: float = None,
                keep_fraction: float = None, scales: int = 1,
-               payload: str = "f32"):
+               payload: str = "f32", codec: str = "xz", xz_preset: int = 6):
     """Record extension settings so decompression is self-describing.
 
     A reference-compatible archive (default settings) also gets the file —
@@ -149,7 +169,8 @@ def write_meta(path: str, *, threshold_mode: str = "box", keep: float = None,
     import json
 
     meta = {"format_version": 1, "threshold_mode": threshold_mode,
-            "scales": int(scales), "payload": payload}
+            "scales": int(scales), "payload": payload, "codec": codec,
+            "xz_preset": int(xz_preset)}
     if keep is not None:
         meta["keep"] = float(keep)
     if keep_fraction is not None:
@@ -164,7 +185,7 @@ def read_meta(path: str) -> dict:
     p = os.path.join(path, META_NAME)
     if not os.path.exists(p):
         return {"format_version": 0, "threshold_mode": "box", "scales": 1,
-                "payload": "f32"}
+                "payload": "f32", "codec": "xz", "xz_preset": 6}
     with open(p) as f:
         return json.load(f)
 

@@ -58,11 +58,11 @@ def _try_load():
     handle.wtc_pack_strided.restype = _i64
     handle.wtc_pack_strided.argtypes = [
         _pf, _pf, _i64, _i64, _i64, _i64, _pi64, _pi32, _pstr, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     handle.wtc_unpack_strided.restype = _i64
     handle.wtc_unpack_strided.argtypes = [
         _pstr, _i64, _i64, _i64, _i64, _pi64, _pf, _pi32, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int]
     lib = handle
 
 
@@ -80,12 +80,14 @@ def _paths_array(paths):
 
 
 _FMT = {"f32": 0, "q16": 1}
+_CODEC = {"xz": 0, "raw": 1}
 
 
 def pack_strided(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
                  rows: int, row_len: int, row_stride: int,
                  offsets: np.ndarray, n_threads: int = 0,
-                 payload: str = "f32") -> int:
+                 payload: str = "f32", codec: str = "xz",
+                 preset: int = 6) -> int:
     """Threshold+RLE+xz+write items out of a strided float32 buffer.
 
     Item i = ``rows`` runs of ``row_len`` floats, ``row_stride`` apart, at
@@ -98,7 +100,8 @@ def pack_strided(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
         coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
         len(paths), rows, row_len, row_stride,
         offsets.ctypes.data_as(_pi64), shp.ctypes.data_as(_pi32),
-        _paths_array(list(paths)), n_threads, _FMT[payload])
+        _paths_array(list(paths)), n_threads, _FMT[payload],
+        _CODEC[codec], int(preset))
     if ret < 0:
         raise IOError(f"native pack failed at item {-(ret + 1)}")
     return int(ret)
@@ -106,7 +109,8 @@ def pack_strided(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
 
 def unpack_strided(paths, dest: np.ndarray, rows: int, row_len: int,
                    row_stride: int, offsets: np.ndarray,
-                   n_threads: int = 0, payload: str = "f32") -> np.ndarray:
+                   n_threads: int = 0, payload: str = "f32",
+                   codec: str = "xz") -> np.ndarray:
     """Read .xz payloads into a strided float32 destination (regions are
     zero-filled first).  Returns the per-item shapes int32 [N, 3]."""
     assert dest.dtype == np.float32 and dest.flags.c_contiguous
@@ -116,7 +120,8 @@ def unpack_strided(paths, dest: np.ndarray, rows: int, row_len: int,
     ret = lib.wtc_unpack_strided(
         _paths_array(list(paths)), n, rows, row_len, row_stride,
         offsets.ctypes.data_as(_pi64), dest.ctypes.data_as(_pf),
-        shapes.ctypes.data_as(_pi32), n_threads, _FMT[payload])
+        shapes.ctypes.data_as(_pi32), n_threads, _FMT[payload],
+        _CODEC[codec])
     if ret < 0:
         raise IOError(f"native unpack failed at item {-(ret + 1)}")
     return shapes

@@ -39,6 +39,8 @@ class Config:
     resume: bool = False              # skip already-written .xz outputs
     scales: int = 1                   # wavelet scales (1 = reference parity)
     payload: str = "f32"              # "f32" (parity) | "q16" (quantized)
+    codec: str = "xz"                 # "xz" (parity) | "raw" (no entropy stage)
+    xz_preset: int = 6                # xz preset (6 = reference parity)
     transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
     device_metrics: bool = False      # estimate RMSE on device (f32 fast path)
 

@@ -238,7 +238,8 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
     import jax
 
     eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
-    packer = engine.HostPacker(payload=cfg.payload)
+    packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
+                               xz_preset=cfg.xz_preset)
     pad = mesh.size if mesh is not None else 1
     ncomp = len(meta.comp_idxs)
     per_t = [sum(meta.counts[t]) * ncomp for t in range(len(meta.files))]
@@ -343,7 +344,8 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
         archive.write_meta(cfg.compressed_dir,
                            threshold_mode=cfg.threshold_mode,
                            keep=cfg.keep, keep_fraction=cfg.keep_fraction,
-                           scales=cfg.scales, payload=cfg.payload)
+                           scales=cfg.scales, payload=cfg.payload,
+                           codec=cfg.codec, xz_preset=cfg.xz_preset)
 
     with debug.phase_timer(
             "compress", message="Compression completed in %s seconds.") as ph:

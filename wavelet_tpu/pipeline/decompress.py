@@ -76,7 +76,8 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None):
                                      counts)
     amrex = archive.read_amrexinfo(cfg.compressed_dir)
     meta = archive.read_meta(cfg.compressed_dir)
-    packer = engine.HostPacker(payload=meta.get("payload", "f32"))
+    packer = engine.HostPacker(payload=meta.get("payload", "f32"),
+                               codec=meta.get("codec", "xz"))
     eng = engine.CodecEngine(mesh=mesh, scales=meta.get("scales", 1))
     pad = mesh.size if mesh is not None else 1
     for t in range(num_times):

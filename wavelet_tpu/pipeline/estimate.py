@@ -33,14 +33,14 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
     run = common.collect_run(files, cfg.components, levels)
 
     with tempfile.TemporaryDirectory() as scratch:
+        packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
+                                   xz_preset=cfg.xz_preset)
         compress.compress_collected(run, cfg.keep, scratch, mesh=mesh,
+                                    packer=packer,
                                     threshold_mode=cfg.threshold_mode,
                                     keep_fraction=cfg.keep_fraction,
                                     scales=cfg.scales, payload=cfg.payload)
         log.info("Compression complete.")
-
-        # decompress every work item back (modes.cpp:250-265)
-        packer = engine.HostPacker(payload=cfg.payload)
         eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
         lv = run.levels_data[0][0]
         buckets = {}

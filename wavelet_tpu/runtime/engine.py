@@ -380,11 +380,16 @@ class HostPacker:
     """
 
     def __init__(self, workers: int | None = None,
-                 use_native: bool | None = None, payload: str = "f32"):
+                 use_native: bool | None = None, payload: str = "f32",
+                 codec: str = "xz", xz_preset: int = 6):
         self.workers = workers or min(32, (os.cpu_count() or 4))
         if payload not in ("f32", "q16"):
             raise ValueError(f"unknown payload format {payload!r}")
+        if codec not in ("xz", "raw"):
+            raise ValueError(f"unknown payload codec {codec!r}")
         self.payload = payload
+        self.codec = codec
+        self.xz_preset = int(xz_preset)
         if use_native is None:
             use_native = native.available()
         self.use_native = use_native and native.available()
@@ -420,7 +425,8 @@ class HostPacker:
             return native.pack_strided(
                 coeff_batch.data, np.asarray(t32)[sel], coeff_batch.shape,
                 [paths[i] for i in sel], rows, row_len, row_stride,
-                offsets[sel], self.workers, payload=self.payload)
+                offsets[sel], self.workers, payload=self.payload,
+                codec=self.codec, preset=self.xz_preset)
 
         serialize = (archive.serialize_payload_q16 if self.payload == "q16"
                      else archive.serialize_payload)
@@ -429,8 +435,9 @@ class HostPacker:
             flat = np.ascontiguousarray(coeff_batch.item_view(i)).reshape(-1)
             mask = np.abs(flat) > t32[i]
             runs, vals = rle.rle_encode_mask(mask, flat)
-            blob = archive.xz_compress(
-                serialize(coeff_batch.shape, runs, vals))
+            blob = archive.encode_blob(
+                serialize(coeff_batch.shape, runs, vals),
+                self.codec, self.xz_preset)
             _atomic_write(paths[i], blob)
             return len(blob)
 
@@ -449,7 +456,8 @@ class HostPacker:
         def one(i):
             idx, vals = sparse.item_pairs(i, float(t32[i]))
             runs = np.diff(idx, prepend=np.int32(-1)).astype(np.int32) - 1
-            blob = archive.xz_compress(serialize(sparse.shape, runs, vals))
+            blob = archive.encode_blob(serialize(sparse.shape, runs, vals),
+                                       self.codec, self.xz_preset)
             _atomic_write(paths[i], blob)
             return len(blob)
 
@@ -464,7 +472,8 @@ class HostPacker:
         if self.use_native:
             shapes = native.unpack_strided(
                 paths, batch.data, rows, row_len, row_stride,
-                batch.item_offsets(), self.workers, payload=self.payload)
+                batch.item_offsets(), self.workers, payload=self.payload,
+                codec=self.codec)
             if not np.all(shapes == np.asarray(dims, np.int32)):
                 raise ValueError(
                     f"payload shapes disagree with dimensions.raw {dims}")
@@ -476,7 +485,7 @@ class HostPacker:
 
         def one(i):
             with open(paths[i], "rb") as f:
-                payload = archive.xz_decompress(f.read())
+                payload = archive.decode_blob(f.read(), self.codec)
             shape, total, runs, vals = deserialize(payload)
             if tuple(shape) != tuple(dims):
                 raise ValueError(
