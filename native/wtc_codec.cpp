@@ -298,4 +298,127 @@ int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
     return 0;
 }
 
+// Indexed variants: item i's coefficient at LOGICAL position (a, b, c)
+// (the reference's flatten order) lives at coeffs[offsets[i] + ix[a] +
+// iy[b] + iz[c]] — the per-axis tables carry both the layout's strides and
+// any in-place permutation (e.g. the interleaved Haar layout, where the
+// device skips the low/high deinterleave and the host walks coefficients
+// through kernels/haar_pallas.interleave_perm instead).  Same payload
+// bytes as the strided variants for the same logical data.
+
+int64_t wtc_pack_indexed(const float* coeffs, const float* t32,
+                         int64_t n_items, int64_t nx, int64_t ny, int64_t nz,
+                         const int64_t* ix, const int64_t* iy,
+                         const int64_t* iz, const int64_t* offsets,
+                         const int32_t* shape, const char* const* paths,
+                         int n_threads, int payload_fmt, int codec,
+                         int preset) {
+    const int64_t n_coeffs = nx * ny * nz;
+    std::atomic<int64_t> total_bytes(0);
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        const float* base = coeffs + offsets[i];
+        const float thresh = t32[i];
+        std::vector<Pair> pairs;
+        int32_t run = 0;
+        for (int64_t a = 0; a < nx; ++a) {
+            const float* pa = base + ix[a];
+            for (int64_t b = 0; b < ny; ++b) {
+                const float* pb = pa + iy[b];
+                for (int64_t c = 0; c < nz; ++c) {
+                    const float v = pb[iz[c]];
+                    if (std::fabs(v) > thresh) {
+                        pairs.push_back({run, v});
+                        run = 0;
+                    } else {
+                        ++run;
+                    }
+                }
+            }
+        }
+        std::string payload = payload_fmt == 1
+            ? serialize_payload_q16(shape, n_coeffs, pairs)
+            : serialize_payload(shape, n_coeffs, pairs);
+        if (!encode_to_file(payload, paths[i], codec, preset)) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        FILE* f = std::fopen(paths[i], "rb");
+        if (f) {
+            std::fseek(f, 0, SEEK_END);
+            total_bytes.fetch_add(std::ftell(f));
+            std::fclose(f);
+        }
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return total_bytes.load();
+}
+
+int64_t wtc_unpack_indexed(const char* const* paths, int64_t n_items,
+                           int64_t nx, int64_t ny, int64_t nz,
+                           const int64_t* ix, const int64_t* iy,
+                           const int64_t* iz, const int64_t* offsets,
+                           float* out, int32_t* shapes_out, int n_threads,
+                           int payload_fmt, int codec) {
+    const int64_t n_coeffs = nx * ny * nz;
+    const size_t head_bytes = payload_fmt == 1 ? 24 : 20;
+    const size_t pair_bytes = payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        std::vector<uint8_t> payload;
+        if (!xz_decode_file(paths[i], payload, codec)
+            || payload.size() < head_bytes) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        int32_t head[5];
+        std::memcpy(head, payload.data(), sizeof(head));
+        const int64_t total = head[3];
+        const int64_t n_pairs = head[4];
+        if (total > n_coeffs ||
+            payload.size() < head_bytes + n_pairs * pair_bytes) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        if (shapes_out) std::memcpy(shapes_out + 3 * i, head, 3 * sizeof(int32_t));
+        float* base = out + offsets[i];
+        for (int64_t a = 0; a < nx; ++a)
+            for (int64_t b = 0; b < ny; ++b)
+                for (int64_t c = 0; c < nz; ++c)
+                    base[ix[a] + iy[b] + iz[c]] = 0.0f;
+        float scale = 0.0f;
+        if (payload_fmt == 1) std::memcpy(&scale, payload.data() + 20, 4);
+        const uint8_t* pd = payload.data() + head_bytes;
+        int64_t idx = 0;
+        for (int64_t p = 0; p < n_pairs; ++p) {
+            int32_t run;
+            float val;
+            if (payload_fmt == 1) {
+                PairQ16 q;
+                std::memcpy(&q, pd + p * sizeof(PairQ16), sizeof(q));
+                run = q.run;
+                val = static_cast<float>(q.val) * scale;
+            } else {
+                Pair pr;
+                std::memcpy(&pr, pd + p * sizeof(Pair), sizeof(pr));
+                run = pr.run;
+                val = pr.val;
+            }
+            idx += run;
+            if (idx >= 0 && idx < total) {
+                const int64_t c = idx % nz;
+                const int64_t b = (idx / nz) % ny;
+                const int64_t a = idx / (ny * nz);
+                base[ix[a] + iy[b] + iz[c]] = val;
+                ++idx;
+            }
+        }
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return 0;
+}
+
 }  // extern "C"

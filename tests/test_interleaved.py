@@ -1,0 +1,230 @@
+"""Interleaved-layout kernels (round-2 kernel redesign).
+
+The in-place stencil kernels keep each Haar pass's (low, high) pairs at
+their source positions (even/odd) instead of deinterleaving into axis
+halves; the host packer recovers the reference byte order through
+per-axis index permutations.  These tests pin the contract: bitwise
+equality with the reference transform after permutation, identical
+archive bytes through both layouts and both packer backends, and the
+inverse consuming interleaved coefficients directly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wavelet_tpu import native
+from wavelet_tpu.core import haar
+from wavelet_tpu.io import archive
+from wavelet_tpu.kernels import haar_pallas as hp
+from wavelet_tpu.runtime import batching, engine
+
+
+def _perm_deint(arr):
+    x, y, z = arr.shape
+    return arr[np.ix_(hp.interleave_perm(x), hp.interleave_perm(y),
+                      hp.interleave_perm(z))]
+
+
+@pytest.mark.parametrize("dims,pack", [
+    ((8, 4, 4), 1),
+    ((8, 4, 4), 2),
+    ((16, 8, 8), 4),
+    ((4, 8, 2), 8),
+])
+def test_interleaved_forward_bitwise_vs_reference(dims, pack):
+    rng = np.random.default_rng(0)
+    x, y, z = dims
+    n = 2 * pack
+    boxes = rng.standard_normal((n, x, y, z)).astype(np.float32)
+    packed = (boxes.reshape(n // pack, pack, x, y, z)
+              .transpose(0, 2, 3, 1, 4)
+              .reshape(n // pack, x, y, pack * z))
+    c, maxv, minv = hp.fused_forward_interleaved(
+        jnp.asarray(np.ascontiguousarray(packed)), pack)
+    c = np.asarray(c)
+    ref = np.asarray(haar.haar3d_forward(jnp.asarray(boxes)))
+    for i in range(n):
+        m, p = divmod(i, pack)
+        phys = c[m, :, :, p * z : (p + 1) * z]
+        np.testing.assert_array_equal(
+            _perm_deint(phys).view(np.int32), ref[i].view(np.int32))
+        flat = ref[i].reshape(-1)
+        assert float(maxv[i]) == flat.max()
+        assert float(minv[i]) == flat.min()
+
+
+@pytest.mark.parametrize("dims,pack", [((8, 4, 4), 2), ((16, 8, 8), 4)])
+def test_interleaved_inverse_bitwise(dims, pack):
+    """Inverse consumes interleaved coefficients, emits natural spatial."""
+    rng = np.random.default_rng(1)
+    x, y, z = dims
+    n = 2 * pack
+    boxes = rng.standard_normal((n, x, y, z)).astype(np.float32)
+    packed = (boxes.reshape(n // pack, pack, x, y, z)
+              .transpose(0, 2, 3, 1, 4)
+              .reshape(n // pack, x, y, pack * z))
+    c, _, _ = hp.fused_forward_interleaved(
+        jnp.asarray(np.ascontiguousarray(packed)), pack)
+    out = np.asarray(hp.fused_inverse_interleaved(c))
+    ref_c = np.asarray(haar.haar3d_forward(jnp.asarray(boxes)))
+    ref_out = np.asarray(haar.haar3d_inverse(jnp.asarray(ref_c)))
+    for i in range(n):
+        m, p = divmod(i, pack)
+        np.testing.assert_array_equal(
+            out[m, :, :, p * z : (p + 1) * z].view(np.int32),
+            ref_out[i].view(np.int32))
+
+
+def test_interleave_perm_roundtrip():
+    for n in (2, 4, 7, 8, 64):
+        p = hp.interleave_perm(n)
+        assert sorted(p) == list(range(n))
+
+
+@pytest.fixture
+def interleaved_env(monkeypatch):
+    monkeypatch.setenv("WAVELET_TPU_LAYOUT", "interleaved")
+    monkeypatch.setenv("WAVELET_TPU_FORCE_PALLAS", "1")
+
+
+def _synth(tmp_path):
+    from wavelet_tpu.io import plotfile as pf
+
+    rng = np.random.default_rng(5)
+    boxes = []
+    for b in range(3):
+        smooth = np.fromfunction(
+            lambda i, j, k: np.sin(0.3 * i + b) * np.cos(0.2 * j) + 0.1 * k,
+            (8, 8, 8)).astype(np.float32)
+        noisy = (smooth + 0.05 * rng.standard_normal(smooth.shape)
+                 ).astype(np.float32)
+        boxes.append(np.stack([smooth, noisy]))
+    pf.write_plotfile(str(tmp_path / "data" / "plt00050"),
+                      [boxes], [[(0, 0, 0), (8, 0, 0), (16, 0, 0)]],
+                      [[(8, 8, 8)] * 3], ["a", "b"], 0.5, [0., 0., 0.],
+                      [1., 1., 1.], (2, 2, 2), (24, 8, 8), [50])
+    return str(tmp_path / "data")
+
+
+def test_interleaved_pipeline_bytes_match_default(tmp_path, interleaved_env):
+    """compress_run under WAVELET_TPU_LAYOUT=interleaved produces the
+    byte-identical archive of the default layout, and decompresses back
+    byte-identically (archives are layout-independent by design)."""
+    from wavelet_tpu.pipeline import Config, compress_run, decompress_run
+    from wavelet_tpu.io import plotfile as pf
+
+    data_dir = _synth(tmp_path)
+    int_dir = str(tmp_path / "int") + os.sep
+    cfg = Config(data_dir=data_dir, min_time="plt00050",
+                 max_time="plt00050", min_level=0, max_level=0,
+                 components=["a", "b"], keep=0.999, compressed_dir=int_dir)
+    compress_run(cfg)
+
+    # default layout archive (fresh env)
+    os.environ.pop("WAVELET_TPU_LAYOUT")
+    os.environ.pop("WAVELET_TPU_FORCE_PALLAS")
+    dfl_dir = str(tmp_path / "dfl") + os.sep
+    compress_run(Config(data_dir=data_dir, min_time="plt00050",
+                        max_time="plt00050", min_level=0, max_level=0,
+                        components=["a", "b"], keep=0.999,
+                        compressed_dir=dfl_dir))
+    for name in sorted(os.listdir(dfl_dir)):
+        a = open(os.path.join(dfl_dir, name), "rb").read()
+        b = open(os.path.join(int_dir, name), "rb").read()
+        assert a == b, f"{name} differs between layouts"
+
+    # decompress THROUGH the interleaved path
+    os.environ["WAVELET_TPU_LAYOUT"] = "interleaved"
+    os.environ["WAVELET_TPU_FORCE_PALLAS"] = "1"
+    out_dir = str(tmp_path / "out") + os.sep
+    decompress_run(Config(compressed_dir=int_dir, out_dir=out_dir))
+    regen = pf.read_level(out_dir + "plt00050", 0, [0, 1])
+    orig = pf.read_level(data_dir + "/plt00050", 0, [0, 1])
+    assert np.abs(regen.boxes[0] - orig.boxes[0]).mean() < 0.05
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+def test_indexed_native_pack_matches_python(tmp_path):
+    """native pack_indexed/unpack_indexed == the python permuted walk."""
+    rng = np.random.default_rng(7)
+    x, y, z, pack = 8, 4, 4, 2
+    n = 4
+    boxes = rng.standard_normal((n, x, y, z)).astype(np.float32)
+    packed = np.ascontiguousarray(
+        boxes.reshape(n // pack, pack, x, y, z)
+        .transpose(0, 2, 3, 1, 4).reshape(n // pack, x, y, pack * z))
+    c, maxv, minv = hp.fused_forward_interleaved(jnp.asarray(packed), pack)
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+             for b in range(n)]
+    cb = batching.ShapeBatch(shape=(x, y, z), data=np.asarray(c),
+                             items=items, n_valid=n, pack=pack,
+                             layout="interleaved")
+    signed = engine.resolve_signed_absmax(
+        np.asarray(maxv), np.asarray(minv),
+        row_getter=lambda i: cb.item_view(i).reshape(-1))
+    from wavelet_tpu.core import threshold
+
+    t32 = threshold.exact_threshold32(signed, 0.999)
+    outs = {}
+    for use_native in (True, False):
+        d = tmp_path / ("n" if use_native else "p")
+        os.makedirs(d)
+        packer = engine.HostPacker(use_native=use_native)
+        packer.pack(str(d), cb, t32)
+        # compare serialized payloads: the xz container bytes differ
+        # between liblzma's buffer API and python's lzma (established in
+        # round 1, test_native.py) — the payload is the format contract
+        outs[use_native] = {
+            f: archive.xz_decompress(open(os.path.join(d, f), "rb").read())
+            for f in sorted(os.listdir(d))}
+    assert outs[True] == outs[False]
+
+    # and both agree with the plain (non-interleaved) reference pack
+    ref_c = np.asarray(haar.haar3d_forward(jnp.asarray(boxes)))
+    d = tmp_path / "ref"
+    os.makedirs(d)
+    rb = batching.ShapeBatch(shape=(x, y, z), data=ref_c, items=items,
+                             n_valid=n)
+    engine.HostPacker(use_native=False).pack(str(d), rb, t32)
+    ref_bytes = {
+        f: archive.xz_decompress(open(os.path.join(d, f), "rb").read())
+        for f in sorted(os.listdir(d))}
+    assert ref_bytes == outs[False]
+
+    # unpack back through both backends
+    for use_native in (True, False):
+        ub = batching.empty_batch(items, (x, y, z), pack=pack,
+                                  layout="interleaved")
+        packer = engine.HostPacker(use_native=use_native)
+        packer.unpack_into(str(tmp_path / "p"), ub)
+        for i in range(n):
+            masked = np.where(np.abs(ref_c[i]) > t32[i], ref_c[i], 0.0)
+            np.testing.assert_array_equal(ub.item_view(i), masked)
+
+
+def test_interleaved_sparse_transfer_matches_dense(tmp_path, interleaved_env):
+    """transfer=sparse under the interleaved layout produces the same
+    bytes as dense (the device-side gather translates physical->logical
+    indices before compaction)."""
+    from wavelet_tpu.pipeline import Config, compress_run
+
+    data_dir = _synth(tmp_path)
+    dirs = {}
+    for mode in ("dense", "sparse"):
+        d = str(tmp_path / mode) + os.sep
+        compress_run(Config(data_dir=data_dir, min_time="plt00050",
+                            max_time="plt00050", min_level=0, max_level=0,
+                            components=["a", "b"], keep=0.999,
+                            compressed_dir=d, transfer=mode))
+        dirs[mode] = d
+    for name in sorted(os.listdir(dirs["dense"])):
+        a = open(os.path.join(dirs["dense"], name), "rb").read()
+        b = open(os.path.join(dirs["sparse"], name), "rb").read()
+        if name.endswith(".xz"):
+            # payload contract (containers differ between backends)
+            a, b = archive.xz_decompress(a), archive.xz_decompress(b)
+        assert a == b, f"{name} differs dense vs sparse"

@@ -27,7 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wavelet_tpu.core import haar
 
-__all__ = ["fused_forward", "fused_inverse", "supported"]
+__all__ = ["fused_forward", "fused_inverse", "supported",
+           "fused_forward_packed", "fused_inverse_packed",
+           "lane_pack_factor",
+           "fused_forward_interleaved", "fused_inverse_interleaved",
+           "interleaved_pack_factor", "interleave_perm", "interleaved_ok"]
 
 
 def supported() -> bool:
@@ -269,6 +273,198 @@ def _fused_inverse_packed_call(packed: jax.Array, n_seg: int,
         out_shape=jax.ShapeDtypeStruct((m, x, y, L), packed.dtype),
         interpret=interpret,
     )(packed)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-layout kernels (round-2 redesign)
+#
+# The halves-layout kernels above deinterleave each pass's (low, high) pairs
+# into axis halves, which forces pair-split reshapes and a transpose per
+# axis; those cap DMA efficiency (small contiguous runs, VMEM inflation).
+# The interleaved kernels keep every pass IN PLACE:
+#
+#     out[2l]   = (v[2l] + v[2l+1]) / 2      (low  stays at even index)
+#     out[2l+1] = (v[2l] - v[2l+1]) / 2      (high stays at odd index)
+#
+# — a roll + parity-select stencil with no reshapes and no transposes, so
+# it works at any lane width (wide L -> >= 4 KiB HBM runs) and can be
+# blocked over rows (pairs are adjacent; an even block never splits one).
+# The reference's halves order is recovered by a fixed per-axis index
+# permutation (interleave_perm) applied by the HOST packer while it walks
+# coefficients — archive bytes are identical, the device never pays for
+# the shuffle.  The inverse consumes interleaved coefficients directly and
+# emits natural spatial order, so decompress needs no permutation at all.
+# Bitwise-equal to the reference math (same single rounding per output);
+# asserted in tests/test_interleaved.py.
+# ---------------------------------------------------------------------------
+
+
+def interleave_perm(n: int) -> "jnp.ndarray":
+    """Logical (reference halves-order) index -> physical interleaved index.
+
+    lows l < n//2 live at 2l; highs at 2(l - n//2) + 1; an odd axis's last
+    element stays in place (compressor.cpp:107 leaves it untransformed).
+    """
+    import numpy as np
+
+    h = n // 2
+    p = np.empty(n, np.int64)
+    p[:h] = 2 * np.arange(h)
+    p[h : 2 * h] = 2 * np.arange(h) + 1
+    if n % 2:
+        p[n - 1] = n - 1
+    return p
+
+
+def _interleave_pass(v: jax.Array, axis: int, seg: int | None = None,
+                     inverse: bool = False) -> jax.Array:
+    """One in-place Haar pass along ``axis`` (stencil form).
+
+    ``seg``: segment length when the axis packs several boxes (the lane
+    axis holds P boxes' Z-extents); pairs (2l, 2l+1) never straddle a
+    segment boundary for even ``seg``, so no masking is needed — the roll
+    partners at boundaries are only read at positions whose parity selects
+    the in-segment neighbour.
+    """
+    left = jnp.roll(v, -1, axis)    # v[i+1], partner of even i
+    right = jnp.roll(v, 1, axis)    # v[i-1], partner of odd i
+    parity = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis) % 2
+    half = jnp.asarray(0.5, v.dtype)
+    if inverse:
+        even_out = v + left          # avg + diff
+        odd_out = right - v          # avg - diff
+    else:
+        even_out = (v + left) * half
+        odd_out = (right - v) * half
+    return jnp.where(parity == 0, even_out, odd_out)
+
+
+def _fwd_interleaved_block(v: jax.Array) -> jax.Array:
+    """(rows, Y, L) forward: Z, Y, X passes, all in place (rows = X chunk)."""
+    t = _interleave_pass(v, 2)
+    t = _interleave_pass(t, 1)
+    return _interleave_pass(t, 0)
+
+
+def _inv_interleaved_block(v: jax.Array) -> jax.Array:
+    """X, Y, Z inverse passes; input interleaved, output natural spatial."""
+    t = _interleave_pass(v, 0, inverse=True)
+    t = _interleave_pass(t, 1, inverse=True)
+    return _interleave_pass(t, 2, inverse=True)
+
+
+def interleaved_ok(dims) -> bool:
+    """Interleaved kernels need even extents (odd tails take the halves
+    path, which handles the reference's stay-in-place/zeroing quirks)."""
+    x, y, z = (int(d) for d in dims)
+    return x % 2 == 0 and y % 2 == 0 and z % 2 == 0
+
+
+def _x_block(x: int, y: int, L: int, target_bytes: int = 1 << 20) -> int:
+    """Rows per grid step: largest even divisor of X within the VMEM
+    target (the stencil's intermediates are ~4-6x the block bytes)."""
+    row = y * L * 4
+    xb = max(1, min(x, target_bytes // max(row, 1)))
+    while xb > 1 and (x % xb or xb % 2):
+        xb -= 1
+    return xb if x % 2 == 0 else 1
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
+def _fwd_interleaved_call(packed: jax.Array, n_seg: int,
+                          *, interpret: bool = False):
+    m, x, y, L = packed.shape
+    flat = packed.reshape(m * x, y, L)
+    xb = _x_block(x, y, L)
+    g = (m * x) // xb
+
+    def kern(x_ref, out_ref, maxv_ref, minv_ref):
+        c = _fwd_interleaved_block(x_ref[:])
+        out_ref[:] = c
+        # per-lane partials; the caller reduces blocks -> per-box extrema
+        maxv_ref[0] = jnp.max(c, axis=(0, 1))
+        minv_ref[0] = jnp.min(c, axis=(0, 1))
+
+    c, pmax, pmin = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((xb, y, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((xb, y, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m * x, y, L), packed.dtype),
+            jax.ShapeDtypeStruct((g, L), packed.dtype),
+            jax.ShapeDtypeStruct((g, L), packed.dtype),
+        ),
+        interpret=interpret,
+    )(flat)
+    # finish the reduction: blocks of box (mm, p) are rows mm*x/xb..(mm+1)*x/xb
+    z = L // n_seg
+    blocks_per_box = x // xb
+    maxv = jnp.max(pmax.reshape(m, blocks_per_box, n_seg, z),
+                   axis=(1, 3)).reshape(-1)
+    minv = jnp.min(pmin.reshape(m, blocks_per_box, n_seg, z),
+                   axis=(1, 3)).reshape(-1)
+    return c.reshape(m, x, y, L), maxv, minv
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _inv_interleaved_call(packed: jax.Array, *, interpret: bool = False):
+    m, x, y, L = packed.shape
+    flat = packed.reshape(m * x, y, L)
+    xb = _x_block(x, y, L)
+
+    def kern(c_ref, out_ref):
+        out_ref[:] = _inv_interleaved_block(c_ref[:])
+
+    out = pl.pallas_call(
+        kern,
+        grid=((m * x) // xb,),
+        in_specs=[pl.BlockSpec((xb, y, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((xb, y, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m * x, y, L), packed.dtype),
+        interpret=interpret,
+    )(flat)
+    return out.reshape(m, x, y, L)
+
+
+def fused_forward_interleaved(packed: jax.Array, n_seg: int):
+    """Packed [M, X, Y, n_seg*Z] -> (interleaved coeffs, max [M*n_seg],
+    min [M*n_seg]).  Coefficients stay in interleaved (in-place) order;
+    the host packer applies :func:`interleave_perm` per axis while
+    walking them, so archive bytes match the reference exactly."""
+    if supported():
+        return _fwd_interleaved_call(packed, n_seg)
+    return _fwd_interleaved_call(packed, n_seg, interpret=True)
+
+
+def fused_inverse_interleaved(packed: jax.Array) -> jax.Array:
+    """Interleaved coeffs [M, X, Y, L] -> natural spatial boxes (packed)."""
+    if supported():
+        return _inv_interleaved_call(packed)
+    return _inv_interleaved_call(packed, interpret=True)
+
+
+def interleaved_pack_factor(dims, target_lanes: int = 1024) -> int:
+    """Boxes per packed row for the interleaved layout: fill up to
+    ``target_lanes`` lanes (wide rows -> >= 4 KiB contiguous HBM runs,
+    the DMA-efficient regime) with P = target/Z whole Z-extents."""
+    z = int(dims[-1])
+    if z <= 0 or z % 2 or not interleaved_ok(dims):
+        return 1
+    if z >= target_lanes:
+        return 1
+    p = target_lanes // z
+    return max(1, p)
 
 
 def lane_pack_factor(dims) -> int:

@@ -18,7 +18,8 @@ import subprocess
 import numpy as np
 
 __all__ = ["available", "pack_batch", "unpack_batch",
-           "pack_strided", "unpack_strided"]
+           "pack_strided", "unpack_strided",
+           "pack_indexed", "unpack_indexed"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -63,6 +64,15 @@ def _try_load():
     handle.wtc_unpack_strided.argtypes = [
         _pstr, _i64, _i64, _i64, _i64, _pi64, _pf, _pi32, ctypes.c_int,
         ctypes.c_int, ctypes.c_int]
+    handle.wtc_pack_indexed.restype = _i64
+    handle.wtc_pack_indexed.argtypes = [
+        _pf, _pf, _i64, _i64, _i64, _i64, _pi64, _pi64, _pi64, _pi64,
+        _pi32, _pstr, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    handle.wtc_unpack_indexed.restype = _i64
+    handle.wtc_unpack_indexed.argtypes = [
+        _pstr, _i64, _i64, _i64, _i64, _pi64, _pi64, _pi64, _pi64, _pf,
+        _pi32, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib = handle
 
 
@@ -145,3 +155,53 @@ def unpack_batch(paths, n_coeffs: int, n_threads: int = 0):
     shapes = unpack_strided(paths, out, 1, n_coeffs, n_coeffs, offsets,
                             n_threads)
     return out, shapes
+
+
+def pack_indexed(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
+                 ix: np.ndarray, iy: np.ndarray, iz: np.ndarray,
+                 offsets: np.ndarray, n_threads: int = 0,
+                 payload: str = "f32", codec: str = "xz",
+                 preset: int = 6) -> int:
+    """Pack items whose logical (reference-order) coefficient (a, b, c)
+    lives at ``coeffs.ravel()[offsets[i] + ix[a] + iy[b] + iz[c]]`` —
+    the general layout walk (permuted/interleaved device layouts)."""
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
+    t32 = np.ascontiguousarray(t32, dtype=np.float32)
+    ix = np.ascontiguousarray(ix, dtype=np.int64)
+    iy = np.ascontiguousarray(iy, dtype=np.int64)
+    iz = np.ascontiguousarray(iz, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    shp = np.asarray(shape, dtype=np.int32)
+    ret = lib.wtc_pack_indexed(
+        coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
+        len(paths), len(ix), len(iy), len(iz),
+        ix.ctypes.data_as(_pi64), iy.ctypes.data_as(_pi64),
+        iz.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        shp.ctypes.data_as(_pi32), _paths_array(list(paths)), n_threads,
+        _FMT[payload], _CODEC[codec], int(preset))
+    if ret < 0:
+        raise IOError(f"native pack failed at item {-(ret + 1)}")
+    return int(ret)
+
+
+def unpack_indexed(paths, dest: np.ndarray, ix: np.ndarray, iy: np.ndarray,
+                   iz: np.ndarray, offsets: np.ndarray, n_threads: int = 0,
+                   payload: str = "f32", codec: str = "xz") -> np.ndarray:
+    """Scatter payloads into an indexed destination layout (regions are
+    zero-filled first).  Returns per-item shapes int32 [N, 3]."""
+    assert dest.dtype == np.float32 and dest.flags.c_contiguous
+    ix = np.ascontiguousarray(ix, dtype=np.int64)
+    iy = np.ascontiguousarray(iy, dtype=np.int64)
+    iz = np.ascontiguousarray(iz, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(paths)
+    shapes = np.empty((n, 3), dtype=np.int32)
+    ret = lib.wtc_unpack_indexed(
+        _paths_array(list(paths)), n, len(ix), len(iy), len(iz),
+        ix.ctypes.data_as(_pi64), iy.ctypes.data_as(_pi64),
+        iz.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        dest.ctypes.data_as(_pf), shapes.ctypes.data_as(_pi32), n_threads,
+        _FMT[payload], _CODEC[codec])
+    if ret < 0:
+        raise IOError(f"native unpack failed at item {-(ret + 1)}")
+    return shapes

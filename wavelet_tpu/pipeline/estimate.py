@@ -55,7 +55,8 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
         for dims, items in buckets.items():
             batch = batching.empty_batch(items, dims,
                                          pack=eng.pack_factor(dims),
-                                         pad_multiple=pad)
+                                         pad_multiple=pad,
+                                         layout=eng.coeff_layout(dims))
             packer.unpack_into(scratch, batch)
             out = eng.decompress_shapebatch(batch)
             for i, it in enumerate(items):

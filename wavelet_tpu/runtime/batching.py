@@ -48,14 +48,48 @@ class ShapeBatch:
     items: list               # length n_valid
     n_valid: int
     pack: int = 1
+    # coefficient layout: "halves" = each axis deinterleaved into
+    # (low half, high half) — the reference's order; "interleaved" = lows
+    # at even, highs at odd indices (the in-place kernel layout; the host
+    # packer walks kernels/haar_pallas.interleave_perm to recover the
+    # reference byte order).  Spatial (non-coefficient) batches are always
+    # natural order and keep the default.
+    layout: str = "halves"
 
     def item_view(self, i: int) -> np.ndarray:
-        """Item i's (X, Y, Z) array (a view into ``data``)."""
+        """Item i's (X, Y, Z) array in LOGICAL (reference) order.
+
+        A view into ``data`` for natural layouts; a permuted copy for
+        ``layout == "interleaved"`` coefficient batches."""
+        phys = self._item_phys(i)
+        if self.layout != "interleaved":
+            return phys
+        from wavelet_tpu.kernels.haar_pallas import interleave_perm
+
+        x, y, z = self.shape
+        return phys[np.ix_(interleave_perm(x), interleave_perm(y),
+                           interleave_perm(z))]
+
+    def _item_phys(self, i: int) -> np.ndarray:
+        """Item i's physical (X, Y, Z) region (always a view)."""
         if self.pack == 1:
             return self.data[i]
         z = self.shape[-1]
         m, p = divmod(i, self.pack)
         return self.data[m, :, :, p * z : (p + 1) * z]
+
+    def item_write(self, i: int, logical: np.ndarray) -> None:
+        """Store item i from a LOGICAL-order (X, Y, Z) array (scatters
+        through the interleave permutation when needed)."""
+        phys = self._item_phys(i)
+        if self.layout != "interleaved":
+            phys[:] = logical
+            return
+        from wavelet_tpu.kernels.haar_pallas import interleave_perm
+
+        x, y, z = self.shape
+        phys[np.ix_(interleave_perm(x), interleave_perm(y),
+                    interleave_perm(z))] = logical
 
     def item_offsets(self) -> np.ndarray:
         """Flat-element offset of each item's first coefficient (for the
@@ -73,7 +107,8 @@ def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m if m > 1 else n
 
 
-def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1) -> ShapeBatch:
+def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,
+                layout: str = "halves") -> ShapeBatch:
     """Zero-filled ShapeBatch for ``items`` of one shape (decompress side)."""
     x, y, z = dims
     n = len(items)
@@ -84,7 +119,7 @@ def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1) -> ShapeBatch
     else:
         data = np.zeros((n_pad // pack, x, y, pack * z), dtype=np.float32)
     return ShapeBatch(shape=tuple(dims), data=data, items=list(items),
-                      n_valid=n, pack=pack)
+                      n_valid=n, pack=pack, layout=layout)
 
 
 def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,

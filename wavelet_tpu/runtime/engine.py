@@ -114,6 +114,22 @@ def _unpack_packed_coeffs(packed: jax.Array, pack: int, z: int) -> jax.Array:
     return jnp.transpose(v, (0, 3, 1, 2, 4)).reshape(m * pack, x * y * z)
 
 
+@functools.partial(jax.jit, static_argnames=("pack", "dims"))
+def _unpack_interleaved_coeffs(packed: jax.Array, pack: int,
+                               dims) -> jax.Array:
+    """Interleaved-packed [M, X, Y, P*Z] -> LOGICAL item-major flat
+    [M*P, X*Y*Z] (device): undo the in-place layout with per-axis gathers
+    (sparse-transfer path; the dense path defers this to the host walk)."""
+    x, y, z = dims
+    m = packed.shape[0]
+    v = packed.reshape(m, x, y, pack, z)
+    v = jnp.transpose(v, (0, 3, 1, 2, 4)).reshape(m * pack, x, y, z)
+    v = jnp.take(v, jnp.asarray(haar_pallas.interleave_perm(x)), axis=1)
+    v = jnp.take(v, jnp.asarray(haar_pallas.interleave_perm(y)), axis=2)
+    v = jnp.take(v, jnp.asarray(haar_pallas.interleave_perm(z)), axis=3)
+    return v.reshape(m * pack, x * y * z)
+
+
 @dataclasses.dataclass
 class SparseCoeffs:
     """Device-sparsified coefficients: per item, the kept (index, value)
@@ -185,13 +201,36 @@ class CodecEngine:
     """
 
     def __init__(self, mesh=None, use_pallas: bool | None = None,
-                 scales: int = 1):
+                 scales: int = 1, layout: str | None = None):
         self.mesh = mesh
         self.scales = int(scales)
         if use_pallas is None:
             use_pallas = haar_pallas.supported() and (
                 mesh is None or mesh.size == 1) and self.scales == 1
+            if os.environ.get("WAVELET_TPU_FORCE_PALLAS") == "1":
+                # debug/test switch: exercise the Pallas kernels in
+                # interpret mode on non-TPU backends (slow; tests only)
+                use_pallas = self.scales == 1
         self.use_pallas = use_pallas and self.scales == 1
+        # coefficient layout for the fused kernels: "halves" (round-1
+        # kernels, reference order on device) or "interleaved" (in-place
+        # stencil kernels, wide-lane DMA; the host packer recovers the
+        # reference order via index tables).  Selectable for A/B
+        # measurement via WAVELET_TPU_LAYOUT; archives are byte-identical
+        # either way (tests/test_interleaved.py).
+        if layout is None:
+            layout = os.environ.get("WAVELET_TPU_LAYOUT", "halves")
+        if layout not in ("halves", "interleaved"):
+            raise ValueError(f"unknown kernel layout {layout!r}")
+        self.layout = layout
+
+    def coeff_layout(self, dims) -> str:
+        """Layout the engine's coefficient batches use for this box shape."""
+        if (self.layout == "interleaved" and self.use_pallas
+                and haar_pallas.interleaved_ok(dims)
+                and self._pallas_ok(dims)):
+            return "interleaved"
+        return "halves"
 
     # one box must fit VMEM alongside the double-buffered pipeline
     _PALLAS_MAX_BLOCK_BYTES = 4 << 20
@@ -227,6 +266,8 @@ class CodecEngine:
     def pack_factor(self, dims) -> int:
         """Lane-pack factor the engine wants for boxes of this shape (feeds
         batching.plan_batches): >1 only on the fused-Pallas path."""
+        if self.coeff_layout(dims) == "interleaved":
+            return haar_pallas.interleaved_pack_factor(dims)
         if self._pallas_ok(dims):
             return haar_pallas.lane_pack_factor(dims)
         return 1
@@ -235,7 +276,18 @@ class CodecEngine:
         """-> (coeff ShapeBatch — same geometry, data = coefficients,
         and t32 f32 per item incl. padding slots)."""
         dev = self._put(jnp.asarray(batch.data))
-        if batch.pack > 1:
+        use_interleaved = (batch.pack >= 1
+                           and self.coeff_layout(batch.shape) == "interleaved")
+        if use_interleaved:
+            c, maxv, minv = haar_pallas.fused_forward_interleaved(
+                dev, batch.pack)
+            coeffs = np.asarray(c)
+            cb = dataclasses.replace(batch, data=coeffs,
+                                     layout="interleaved")
+            signed = resolve_signed_absmax(
+                np.asarray(maxv), np.asarray(minv),
+                row_getter=lambda i: cb.item_view(i).reshape(-1))
+        elif batch.pack > 1:
             c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
             coeffs = np.asarray(c)
             cb = dataclasses.replace(batch, data=coeffs)
@@ -258,6 +310,8 @@ class CodecEngine:
             coeffs = np.asarray(flat).reshape((-1,) + batch.shape)
             signed = np.asarray(signed_dev)
         t32 = threshold.exact_threshold32(signed, keep)
+        if use_interleaved:
+            return cb, t32
         return dataclasses.replace(batch, data=coeffs), t32
 
     def compress_shapebatch_sparse(self, batch: ShapeBatch, keep: float,
@@ -271,7 +325,13 @@ class CodecEngine:
         dims = batch.shape
         m = int(np.prod(dims))
         dev = self._put(jnp.asarray(batch.data))
-        if batch.pack > 1:
+        if batch.pack >= 1 and self.coeff_layout(dims) == "interleaved":
+            c, maxv, minv = haar_pallas.fused_forward_interleaved(
+                dev, batch.pack)
+            flat = _unpack_interleaved_coeffs(c, batch.pack, dims)
+            signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
+                                           flat_dev=flat)
+        elif batch.pack > 1:
             c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
             flat = _unpack_packed_coeffs(c, batch.pack, dims[-1])
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
@@ -296,6 +356,17 @@ class CodecEngine:
 
     def forward_hist_shapebatch(self, batch: ShapeBatch):
         """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
+        if self.coeff_layout(batch.shape) == "interleaved":
+            dev = self._put(jnp.asarray(batch.data))
+            c, _maxv, _minv = haar_pallas.fused_forward_interleaved(
+                dev, batch.pack)
+            hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
+            cb = dataclasses.replace(batch, data=np.asarray(c),
+                                     layout="interleaved")
+            n_pad = (batch.data.size // int(np.prod(batch.shape))
+                     ) - batch.n_valid
+            hist[0] -= n_pad * int(np.prod(batch.shape))
+            return cb, hist
         if batch.pack > 1:
             dev = self._put(jnp.asarray(batch.data))
             c, _maxv, _minv = haar_pallas.fused_forward_packed(dev, batch.pack)
@@ -322,8 +393,13 @@ class CodecEngine:
                                      self._put(jnp.asarray(b))))
 
     def decompress_shapebatch(self, coeff_batch: ShapeBatch) -> ShapeBatch:
-        """coefficients -> reconstructed boxes, same geometry."""
+        """coefficients -> reconstructed boxes, same geometry (natural
+        spatial layout regardless of the coefficient layout)."""
         dev = self._put(jnp.asarray(coeff_batch.data))
+        if coeff_batch.layout == "interleaved":
+            out = haar_pallas.fused_inverse_interleaved(dev)
+            return dataclasses.replace(coeff_batch, data=np.asarray(out),
+                                       layout="halves")
         if coeff_batch.pack > 1:
             out = haar_pallas.fused_inverse_packed(dev, coeff_batch.pack)
         elif self._pallas_ok(coeff_batch.shape):
@@ -407,6 +483,20 @@ class HostPacker:
             return 1, n, n
         return x * y, z, batch.pack * z
 
+    @staticmethod
+    def _index_tables(batch: ShapeBatch):
+        """Per-axis element-offset tables for the indexed native walk:
+        logical (a, b, c) of an item lives at offsets[i] + ix[a] + iy[b]
+        + iz[c] (covers the interleaved layout's per-axis permutation)."""
+        from wavelet_tpu.kernels.haar_pallas import interleave_perm
+
+        x, y, z = batch.shape
+        L = batch.pack * z
+        ix = interleave_perm(x) * (y * L)
+        iy = interleave_perm(y) * L
+        iz = interleave_perm(z)
+        return ix, iy, iz
+
     def pack(self, out_dir: str, coeff_batch: ShapeBatch,
              t32: np.ndarray, subset=None) -> int:
         """Threshold+RLE+xz+write items of a coefficient ShapeBatch
@@ -422,6 +512,13 @@ class HostPacker:
             if not sel:
                 return 0
             offsets = coeff_batch.item_offsets()
+            if coeff_batch.layout == "interleaved":
+                ix, iy, iz = self._index_tables(coeff_batch)
+                return native.pack_indexed(
+                    coeff_batch.data, np.asarray(t32)[sel],
+                    coeff_batch.shape, [paths[i] for i in sel], ix, iy, iz,
+                    offsets[sel], self.workers, payload=self.payload,
+                    codec=self.codec, preset=self.xz_preset)
             return native.pack_strided(
                 coeff_batch.data, np.asarray(t32)[sel], coeff_batch.shape,
                 [paths[i] for i in sel], rows, row_len, row_stride,
@@ -470,10 +567,16 @@ class HostPacker:
         dims = batch.shape
         rows, row_len, row_stride = self._geometry(batch)
         if self.use_native:
-            shapes = native.unpack_strided(
-                paths, batch.data, rows, row_len, row_stride,
-                batch.item_offsets(), self.workers, payload=self.payload,
-                codec=self.codec)
+            if batch.layout == "interleaved":
+                ix, iy, iz = self._index_tables(batch)
+                shapes = native.unpack_indexed(
+                    paths, batch.data, ix, iy, iz, batch.item_offsets(),
+                    self.workers, payload=self.payload, codec=self.codec)
+            else:
+                shapes = native.unpack_strided(
+                    paths, batch.data, rows, row_len, row_stride,
+                    batch.item_offsets(), self.workers,
+                    payload=self.payload, codec=self.codec)
             if not np.all(shapes == np.asarray(dims, np.int32)):
                 raise ValueError(
                     f"payload shapes disagree with dimensions.raw {dims}")
@@ -491,8 +594,8 @@ class HostPacker:
                 raise ValueError(
                     f"payload shape {shape} disagrees with dimensions.raw "
                     f"{dims}")
-            batch.item_view(i)[:] = rle.rle_decode(
-                runs, vals, total).reshape(dims)
+            batch.item_write(i, rle.rle_decode(
+                runs, vals, total).reshape(dims))
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
             list(ex.map(one, range(len(batch.items))))
