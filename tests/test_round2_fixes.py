@@ -220,3 +220,44 @@ def test_raw_codec_native_python_identical(tmp_path):
     assert not blob.startswith(b"\xfd7zXZ")
     shape, total, runs, vals = archive.deserialize_payload(blob)
     assert shape == (8, 8, 8) and total == 512
+
+
+# ---------------------------------------------------------------------------
+# fast in-memory estimate (fastestimate=1): identical numbers, no scratch dir
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("extra", [
+    {},
+    {"threshold_mode": "global", "keep_fraction": 0.1},
+    {"payload": "q16"},
+    {"codec": "raw"},
+], ids=["box", "global", "q16", "raw"])
+def test_fast_estimate_matches_disk_estimate(tmp_path, extra):
+    from wavelet_tpu.pipeline import Config, estimate_run
+
+    data_dir = _codec_synth(tmp_path)
+    base = dict(data_dir=data_dir, min_time="plt00030", max_time="plt00030",
+                min_level=0, max_level=0, components=["a", "b"], keep=0.99,
+                **extra)
+    slow = estimate_run(Config(**base))
+    fast = estimate_run(Config(fast_estimate=True, **base))
+    for name in ("a", "b"):
+        assert fast["components"][name]["rmse"] == \
+            slow["components"][name]["rmse"]
+        assert fast["components"][name]["adjusted_loss"] == \
+            slow["components"][name]["adjusted_loss"]
+    # sizes agree modulo xz container framing: the disk path's native
+    # liblzma writes slightly different (larger) block headers than
+    # python's lzma — a few bytes per item, same payload (cf.
+    # test_native.py::test_packer_backends_byte_identical)
+    assert fast["compressed_size_pct"] == pytest.approx(
+        slow["compressed_size_pct"], rel=2e-2)
+
+
+def test_cli_fastestimate_key():
+    from wavelet_tpu import cli
+
+    mode, cfg = cli.parse_argv([
+        'datadir=/d', 'minfile=a1', 'minlevel=0', 'components=x',
+        'keep=0.999', 'fastestimate=1', '-estimate'])
+    assert mode == "estimate" and cfg.fast_estimate

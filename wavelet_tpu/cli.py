@@ -69,6 +69,7 @@ def parse_argv(argv):
         cfg.xz_preset = int(kv.get("xzpreset", "6"))
         cfg.transfer = kv.get("transfer", "dense")
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
+        cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")
         if cfg.threshold_mode == "global":
             cfg.keep_fraction = float(need("keepfraction"))

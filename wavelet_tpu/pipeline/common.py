@@ -43,6 +43,7 @@ class Config:
     xz_preset: int = 6                # xz preset (6 = reference parity)
     transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
     device_metrics: bool = False      # estimate RMSE on device (f32 fast path)
+    fast_estimate: bool = False       # in-memory estimate (no scratch dir)
 
 
 def clean_string(filename: str) -> int:

@@ -25,12 +25,103 @@ log = logging.getLogger("wavelet_tpu")
 __all__ = ["estimate_run"]
 
 
+def _fast_estimate_sizes_and_regen(run, cfg, mesh):
+    """In-memory estimate core: device transform + threshold + inverse with
+    NO scratch directory.  The compressed-size metric is the sum of the
+    encoded blob lengths — numerically identical to ``dir_size(scratch)``
+    (st_size sums = blob lengths), and RMSE comes from the same masked
+    coefficients, so every reported number matches the disk path exactly.
+    Returns (regen boxes like run.levels_data[0][0].boxes, total bytes)."""
+    import jax.numpy as jnp
+
+    from wavelet_tpu.core import rle, threshold as thr
+
+    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+    serialize = (archive.serialize_payload_q16 if cfg.payload == "q16"
+                 else archive.serialize_payload)
+    lv = run.levels_data[0][0]
+    comp_pos = {c: k for k, c in enumerate(run.comp_idxs)}
+    regen = [np.zeros_like(box) for box in lv.boxes]
+    buckets = {}
+    for b in range(len(lv.boxes)):
+        dims = tuple(lv.dimensions[b])
+        for comp_idx in run.comp_idxs:
+            buckets.setdefault(dims, []).append((b, comp_idx))
+    stacked = {dims: np.stack([lv.boxes[b][comp_pos[ci]]
+                               for (b, ci) in pairs])
+               for dims, pairs in buckets.items()}
+    if cfg.threshold_mode == "global":
+        hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
+        flats = {}
+        for dims, data in stacked.items():
+            flat, h = eng.forward_hist_batch(data)
+            flats[dims] = flat
+            hist += h
+        tval = thr.threshold_from_histogram(hist, cfg.keep_fraction)
+        t32s = {dims: np.full(len(buckets[dims]), tval, np.float32)
+                for dims in buckets}
+    else:
+        flats, t32s = {}, {}
+        for dims, data in stacked.items():
+            flats[dims], t32s[dims] = eng.compress_batch_raw(data, cfg.keep)
+    total_bytes = 0
+    for dims, pairs in buckets.items():
+        flat, t32 = flats[dims], t32s[dims]
+        masked = np.where(np.abs(flat) > t32[:, None], flat, 0.0)
+        for i, (b, ci) in enumerate(pairs):
+            mask = np.abs(flat[i]) > t32[i]
+            runs, vals = rle.rle_encode_mask(mask, flat[i])
+            payload = serialize(dims, runs, vals)
+            total_bytes += len(archive.encode_blob(payload, cfg.codec,
+                                                   cfg.xz_preset))
+            if cfg.payload == "q16":
+                # the reconstruction must see the quantized values the
+                # disk path would have decoded
+                _shape, total, runs2, vals2 = \
+                    archive.deserialize_payload_q16(payload)
+                masked[i] = rle.rle_decode(runs2, vals2, total)
+        recon = eng.decompress_batch(masked, dims)
+        for i, (b, ci) in enumerate(pairs):
+            regen[b][comp_pos[ci]] = recon[i]
+    return regen, total_bytes
+
+
 def estimate_run(cfg: common.Config, mesh=None) -> dict:
     files = common.format_files(cfg.data_dir, cfg.min_time, cfg.min_time)
     levels = [cfg.min_level]
     ncomp = len(cfg.components)
 
     run = common.collect_run(files, cfg.components, levels)
+
+    if cfg.fast_estimate:
+        # fastestimate=1: no scratch archive at all (metrics identical)
+        regen, comp_size = _fast_estimate_sizes_and_regen(run, cfg, mesh)
+        log.info("Compression complete.")
+        log.info("Decompression complete.")
+        lv = run.levels_data[0][0]
+        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+        if cfg.device_metrics:
+            per_box = [eng.rmse_batch(a, p) for a, p in zip(lv.boxes, regen)]
+        else:
+            per_box = [metrics.rmse_per_box(a, p)
+                       for a, p in zip(lv.boxes, regen)]
+        mean_rmse = metrics.mean_rmse(per_box)
+        result = {"components": {}, "keep": cfg.keep}
+        for c, name in enumerate(run.components):
+            loss = metrics.adjusted_loss(
+                mean_rmse[c],
+                float(run.max_values[c]) - float(run.min_values[c]))
+            log.info("Predicted RMSE, %s = %s", name, mean_rmse[c])
+            log.info("Predicted Adjusted loss, %s = %s", name, loss)
+            result["components"][name] = {
+                "rmse": float(mean_rmse[c]), "adjusted_loss": float(loss)}
+        h = plotfile.read_header(files[0])
+        raw_path = os.path.join(files[0], f"Level_{levels[0]}")
+        raw_size = metrics.dir_size(raw_path) / h.n_comp * ncomp
+        pct = comp_size / raw_size * 100.0
+        log.info("Predicted compressed size: %s%%", pct)
+        result["compressed_size_pct"] = pct
+        return result
 
     with tempfile.TemporaryDirectory() as scratch:
         packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
