@@ -236,7 +236,7 @@ def bench_overlapped_pipeline():
             batches = batching.plan_batches(items, pack_fn=eng.pack_factor,
                                             max_batch_bytes=16 << 20)
             t0 = time.perf_counter()
-            _nf, ib, ob = cmod._pack_dense_or_sparse(
+            _nf, ib, ob, _d2h = cmod._pack_dense_or_sparse(
                 batches, eng, packer, tdir, keep, "dense", 1)
             dt = time.perf_counter() - t0
         out[f"codec={codec}"] = {

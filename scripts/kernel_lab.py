@@ -171,6 +171,60 @@ def main():
         bench(f"interleaved fwd L={L} xb={x_b}",
               make_interleaved_kernel(1, x_b, d, L), (x_total, d, L))
 
+    # the PRODUCTION interleaved path incl. fused max/min reductions
+    for tl in (512, 1024, 2048):
+        P = tl // d
+        if n % P:
+            continue
+        shape = (n // P, d, d, P * d)
+        bench(f"production fused_forward_interleaved L={tl}",
+              lambda v, P=P: hp.fused_forward_interleaved(v, P)[0], shape)
+        bench(f"production fused_inverse_interleaved L={tl}",
+              hp.fused_inverse_interleaved, shape)
+
+    # compiler hints on the interleaved kernel
+    def make_interleaved_hinted(x_b, y, L, semantics):
+        def kern(x_ref, o_ref):
+            o_ref[:] = fwd_interleaved(x_ref[:])
+
+        def f(v):
+            m = v.shape[0]
+            return pl.pallas_call(
+                kern, grid=(m // x_b,),
+                in_specs=[pl.BlockSpec((x_b, y, L), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((x_b, y, L), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(semantics,)))(v)
+        return f
+
+    for sem in ("parallel", "arbitrary"):
+        try:
+            bench(f"interleaved fwd L=1024 hint={sem}",
+                  make_interleaved_hinted(8, d, 1024, sem),
+                  ((n // 16) * d, d, 1024))
+        except Exception as e:  # noqa: BLE001
+            print(f"hint={sem} failed: {e}")
+
+    # halves packed kernel with a bigger block target (4 MiB)
+    try:
+        import wavelet_tpu.kernels.haar_pallas as hp2
+        orig = hp2.block_rows
+
+        def big_rows(x, y, L, m=None, target_bytes=4 << 20):
+            return orig(x, y, L, m, target_bytes)
+
+        hp2.block_rows = big_rows
+        hp2._fused_forward_packed_call.clear_cache()
+        bench("fused_forward_packed 4MiB blocks",
+              lambda v: hp2.fused_forward_packed(v, pack)[0], packed_shape)
+        hp2.block_rows = orig
+        hp2._fused_forward_packed_call.clear_cache()
+    except Exception as e:  # noqa: BLE001
+        print(f"4MiB variant failed: {e}")
+
     # interleaved via plain XLA (no pallas) — does XLA fuse rolls well?
     bench("interleaved fwd XLA L=1024",
           jax.jit(fwd_interleaved), ((n // 16) * d, d, 1024))

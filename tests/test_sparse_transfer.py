@@ -114,3 +114,34 @@ def test_transfer_sparse_end_to_end(tmp_path):
             b = archive.xz_decompress(
                 open(tmp_path / "sparse" / f, "rb").read())
             assert a == b, f
+
+
+def test_sparse_mode_reduces_d2h_bytes(tmp_path):
+    """The sparse-transfer value proposition is measurable: at small kept
+    fractions, device->host traffic must be well below the dense fetch
+    (the stat VERDICT asked to track)."""
+    import numpy as np
+
+    from wavelet_tpu.io import plotfile as pf
+    from wavelet_tpu.pipeline import Config, compress_run
+
+    boxes = []
+    for b in range(4):
+        smooth = np.fromfunction(
+            lambda i, j, k: np.sin(0.05 * i) + 0.02 * j + 0.01 * k,
+            (16, 16, 16)).astype(np.float32)
+        boxes.append(smooth[None] * (b + 1))
+    pf.write_plotfile(str(tmp_path / "data" / "plt00060"),
+                      [boxes], [[(16 * b, 0, 0) for b in range(4)]],
+                      [[(16, 16, 16)] * 4], ["a"], 0.5, [0., 0., 0.],
+                      [1., 1., 1.], (2, 2, 2), (64, 16, 16), [60])
+    stats = {}
+    for mode in ("dense", "sparse"):
+        d = str(tmp_path / mode) + "/"
+        stats[mode] = compress_run(Config(
+            data_dir=str(tmp_path / "data"), min_time="plt00060",
+            max_time="plt00060", min_level=0, max_level=0,
+            components=["a"], keep=0.9, compressed_dir=d, transfer=mode))
+    assert stats["sparse"]["device_to_host_bytes"] < \
+        0.6 * stats["dense"]["device_to_host_bytes"]
+    assert stats["sparse"]["output_bytes"] > 0

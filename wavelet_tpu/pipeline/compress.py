@@ -83,6 +83,7 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
     n_files = 0
     in_bytes = 0
     out_bytes = 0
+    d2h_bytes = 0                 # device->host traffic (sparse-mode value)
     with cf.ThreadPoolExecutor(1) as pack_pool:
         pending = None
         for batch in batches:
@@ -90,9 +91,12 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
                 # sparsification on device: only kept (index, value) pairs
                 # cross the device->host link
                 sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
+                d2h_bytes += (sparse.counts.nbytes + sparse.idxs.nbytes
+                              + sparse.vals.nbytes)
                 job = (packer.pack_sparse, out_dir, sparse, t32)
             else:
                 coeffs, t32 = eng.compress_shapebatch(batch, keep)
+                d2h_bytes += coeffs.data.nbytes
                 job = (packer.pack, out_dir, coeffs, t32)
             if pending is not None:
                 out_bytes += pending.result()
@@ -101,7 +105,7 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
             in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
         if pending is not None:
             out_bytes += pending.result()
-    return n_files, in_bytes, out_bytes
+    return n_files, in_bytes, out_bytes, d2h_bytes
 
 
 def _allreduce_histogram(hist: np.ndarray) -> np.ndarray:
@@ -206,10 +210,11 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                 "output_bytes": out_bytes, "global_threshold": float(t),
                 "skipped": skipped}
 
-    n_files, in_bytes, out_bytes = _pack_dense_or_sparse(
+    n_files, in_bytes, out_bytes, d2h = _pack_dense_or_sparse(
         batches, eng, packer, out_dir, keep, transfer, scales)
     return {"files": n_files, "input_bytes": in_bytes,
-            "output_bytes": out_bytes, "skipped": skipped}
+            "output_bytes": out_bytes, "skipped": skipped,
+            "device_to_host_bytes": d2h}
 
 
 def _iter_timestep_items(meta: common.RunMeta, t: int, lv_boxes,
@@ -308,15 +313,18 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                             else len(cb.items))
                 in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
     else:
+        d2h_bytes = 0
         for t in range(len(meta.files)):
             batches, n_skip = timestep_batches(t, resume_filter=cfg.resume)
             skipped += n_skip
-            nf, ib, ob = _pack_dense_or_sparse(
+            nf, ib, ob, d2h = _pack_dense_or_sparse(
                 batches, eng, packer, cfg.compressed_dir, cfg.keep,
                 cfg.transfer, cfg.scales)
             n_files += nf
             in_bytes += ib
             out_bytes += ob
+            d2h_bytes += d2h
+        stats["device_to_host_bytes"] = d2h_bytes
         if skipped:
             log.info("Resume: skipped %d already-compressed items", skipped)
     stats.update({"files": n_files, "input_bytes": in_bytes,
