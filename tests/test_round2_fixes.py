@@ -261,3 +261,59 @@ def test_cli_fastestimate_key():
         'datadir=/d', 'minfile=a1', 'minlevel=0', 'components=x',
         'keep=0.999', 'fastestimate=1', '-estimate'])
     assert mode == "estimate" and cfg.fast_estimate
+
+
+# ---------------------------------------------------------------------------
+# code-review round-2 regressions
+# ---------------------------------------------------------------------------
+
+def test_x_block_never_one_for_even_x():
+    """A single-row interleaved block would silently skip the X pass
+    (rolls on a length-1 axis are identities): for even X the block must
+    be even, even when the byte target would prefer 1 row."""
+    from wavelet_tpu.kernels.haar_pallas import _x_block
+
+    for x, y, L in ((64, 256, 1024), (32, 192, 1024), (32, 512, 1024),
+                    (64, 64, 1024), (4, 8, 128), (2, 1024, 1024)):
+        xb = _x_block(x, y, L)
+        assert xb % 2 == 0 and x % xb == 0, (x, y, L, xb)
+    assert _x_block(7, 8, 64) == 1  # odd X: single-row (halves-path quirks)
+
+
+def test_interleaved_bitwise_at_forced_two_row_blocks():
+    """Shape whose row bytes exceed the block target (xb forced to 2):
+    the X pass must still transform (regression: xb=1 made it identity)."""
+    from wavelet_tpu.core import haar
+    from wavelet_tpu.kernels import haar_pallas as hp
+
+    rng = np.random.default_rng(3)
+    x, y, z, pack = 4, 64, 64, 32          # row bytes = 64*2048*4 = 512 KiB
+    n = pack
+    boxes = rng.standard_normal((n, x, y, z)).astype(np.float32)
+    packed = np.ascontiguousarray(
+        boxes.reshape(1, pack, x, y, z).transpose(0, 2, 3, 1, 4)
+        .reshape(1, x, y, pack * z))
+    c, _, _ = hp.fused_forward_interleaved(jnp.asarray(packed), pack)
+    c = np.asarray(c)
+    ref = np.asarray(haar.haar3d_forward(jnp.asarray(boxes)))
+    px, py, pz = (hp.interleave_perm(v) for v in (x, y, z))
+    for i in (0, 7, 31):
+        phys = c[0, :, :, i * z : (i + 1) * z]
+        np.testing.assert_array_equal(
+            phys[np.ix_(px, py, pz)].view(np.int32), ref[i].view(np.int32))
+
+
+def test_device_threshold_integer_boundary_matches_host():
+    """keep_fraction*total just below an integer count (e.g. 0.29*100 =
+    28.9999...): the device compare must floor like the host's int-vs-f64
+    compare, not round the target up to 29.0 (regression)."""
+    for kf, total, top in ((0.29, 100, 29), (0.57, 100, 57),
+                           (0.57, 300, 171), (0.5, 58, 29)):
+        hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
+        hist[100] = total - top
+        hist[200] = top              # above[101..200] == top, the boundary
+        t_host = thr.threshold_from_histogram(hist, kf)
+        t_dev = thr.threshold_from_histogram_device(
+            jnp.asarray(hist.astype(np.uint32)), kf, total)
+        assert np.float32(t_host).tobytes() == \
+            np.asarray(t_dev, np.float32).tobytes(), (kf, total)

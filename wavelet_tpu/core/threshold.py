@@ -156,9 +156,15 @@ def threshold_from_histogram_device(hist: jax.Array,
         histf = hist.astype(jnp.float32)
     above = jnp.cumsum(histf[::-1])[::-1]  # above[k] = count in bins >= k
     if isinstance(total, (int, float)):
-        # static total: form the target in double like the host version
-        # (keep_fraction * total), then round once to f32 for the compare
-        target = jnp.float32(float(keep_fraction) * float(total))
+        # static total: the host compares integer counts against the f64
+        # target, and ``int_count <= real_target`` is exactly
+        # ``int_count <= floor(real_target)`` — so take the floor in
+        # Python f64 and compare against that integer (rounding the f64
+        # target itself to f32 could round UP across an integer boundary
+        # and flip the comparison, e.g. keep_fraction=0.29, total=100)
+        import math
+
+        target = jnp.float32(math.floor(float(keep_fraction) * float(total)))
     else:
         target = total.astype(jnp.float32) * jnp.float32(keep_fraction)
     le = above <= target

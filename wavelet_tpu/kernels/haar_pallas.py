@@ -362,12 +362,23 @@ def interleaved_ok(dims) -> bool:
 
 def _x_block(x: int, y: int, L: int, target_bytes: int = 1 << 20) -> int:
     """Rows per grid step: largest even divisor of X within the VMEM
-    target (the stencil's intermediates are ~4-6x the block bytes)."""
+    target (the stencil's intermediates are ~4-6x the block bytes).
+
+    For even X the result must itself be EVEN — a single-row block would
+    silently skip the X pass (rolls on a length-1 axis are identities), so
+    when no even divisor fits the byte target we still take 2 and let VMEM
+    pressure surface as a compile error rather than wrong coefficients.
+    (interleaved_pack_factor caps the lane width so 2 rows always fit.)
+    """
+    if x % 2:
+        return 1
     row = y * L * 4
-    xb = max(1, min(x, target_bytes // max(row, 1)))
-    while xb > 1 and (x % xb or xb % 2):
+    xb = max(2, min(x, target_bytes // max(row, 1)))
+    while xb > 2 and (x % xb or xb % 2):
         xb -= 1
-    return xb if x % 2 == 0 else 1
+    if x % xb or xb % 2:
+        xb = 2
+    return xb
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
@@ -457,14 +468,20 @@ def fused_inverse_interleaved(packed: jax.Array) -> jax.Array:
 def interleaved_pack_factor(dims, target_lanes: int = 1024) -> int:
     """Boxes per packed row for the interleaved layout: fill up to
     ``target_lanes`` lanes (wide rows -> >= 4 KiB contiguous HBM runs,
-    the DMA-efficient regime) with P = target/Z whole Z-extents."""
-    z = int(dims[-1])
+    the DMA-efficient regime) with P = target/Z whole Z-extents.
+
+    P is additionally capped so a two-X-row block (the minimum legal
+    interleaved block, see :func:`_x_block`) stays within the 1 MiB block
+    target — otherwise wide rows on large (Y, Z) boxes would force
+    VMEM-oversized blocks."""
+    x, y, z = (int(d) for d in dims)
     if z <= 0 or z % 2 or not interleaved_ok(dims):
         return 1
     if z >= target_lanes:
         return 1
     p = target_lanes // z
-    return max(1, p)
+    max_p = max(1, (1 << 20) // (2 * y * z * 4))
+    return max(1, min(p, max_p))
 
 
 def lane_pack_factor(dims) -> int:

@@ -56,6 +56,17 @@ def _try_load():
         handle = ctypes.CDLL(_SO_PATH)
     except OSError:
         return
+    try:
+        _bind(handle)
+    except AttributeError:
+        # an .so built from older source (copied artifact / mtime tie
+        # defeating the staleness check) lacks newer symbols: degrade to
+        # the python packer instead of failing the whole package import
+        return
+    lib = handle
+
+
+def _bind(handle):
     handle.wtc_pack_strided.restype = _i64
     handle.wtc_pack_strided.argtypes = [
         _pf, _pf, _i64, _i64, _i64, _i64, _pi64, _pi32, _pstr, ctypes.c_int,
@@ -73,7 +84,6 @@ def _try_load():
     handle.wtc_unpack_indexed.argtypes = [
         _pstr, _i64, _i64, _i64, _i64, _pi64, _pi64, _pi64, _pi64, _pf,
         _pi32, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-    lib = handle
 
 
 _try_load()

@@ -258,7 +258,11 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
 
     def timestep_batches(t, resume_filter: bool):
         """Read timestep t and plan its batches (data freed when the
-        returned batches are)."""
+        returned batches are).  Timesteps entirely outside this process's
+        item slice are skipped WITHOUT reading any FAB data — each host
+        only pays I/O for its own share of the run."""
+        if bases[t + 1] <= lo or bases[t] >= hi:
+            return [], 0
         lv_boxes = [plotfile.read_level(meta.files[t], lev, meta.comp_idxs)
                     for lev in meta.levels]
         items = list(_iter_timestep_items(meta, t, lv_boxes, lo, hi,

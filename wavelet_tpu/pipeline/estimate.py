@@ -32,8 +32,6 @@ def _fast_estimate_sizes_and_regen(run, cfg, mesh):
     (st_size sums = blob lengths), and RMSE comes from the same masked
     coefficients, so every reported number matches the disk path exactly.
     Returns (regen boxes like run.levels_data[0][0].boxes, total bytes)."""
-    import jax.numpy as jnp
-
     from wavelet_tpu.core import rle, threshold as thr
 
     eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
@@ -67,7 +65,8 @@ def _fast_estimate_sizes_and_regen(run, cfg, mesh):
     total_bytes = 0
     for dims, pairs in buckets.items():
         flat, t32 = flats[dims], t32s[dims]
-        masked = np.where(np.abs(flat) > t32[:, None], flat, 0.0)
+        masked = np.where(np.abs(flat) > t32[:, None], flat,
+                          np.float32(0.0))
         for i, (b, ci) in enumerate(pairs):
             mask = np.abs(flat[i]) > t32[i]
             runs, vals = rle.rle_encode_mask(mask, flat[i])

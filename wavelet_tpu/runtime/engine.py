@@ -276,8 +276,7 @@ class CodecEngine:
         """-> (coeff ShapeBatch — same geometry, data = coefficients,
         and t32 f32 per item incl. padding slots)."""
         dev = self._put(jnp.asarray(batch.data))
-        use_interleaved = (batch.pack >= 1
-                           and self.coeff_layout(batch.shape) == "interleaved")
+        use_interleaved = self.coeff_layout(batch.shape) == "interleaved"
         if use_interleaved:
             c, maxv, minv = haar_pallas.fused_forward_interleaved(
                 dev, batch.pack)
@@ -325,7 +324,7 @@ class CodecEngine:
         dims = batch.shape
         m = int(np.prod(dims))
         dev = self._put(jnp.asarray(batch.data))
-        if batch.pack >= 1 and self.coeff_layout(dims) == "interleaved":
+        if self.coeff_layout(dims) == "interleaved":
             c, maxv, minv = haar_pallas.fused_forward_interleaved(
                 dev, batch.pack)
             flat = _unpack_interleaved_coeffs(c, batch.pack, dims)
