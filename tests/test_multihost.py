@@ -140,3 +140,56 @@ def test_process_local_slice_partitions_completely():
                 hi = min(n, (i + 1) * per)
                 covered.extend(range(lo, max(lo, hi)))
             assert covered == list(range(n))
+
+
+def test_two_process_decompress_matches_single(tmp_path):
+    """Multi-process decompress: each process regenerates its timestep
+    slice; the union of outputs is byte-identical to a single-process
+    run."""
+    import filecmp
+
+    data_dir = _write_data(tmp_path, n_times=3)
+    comp_dir = str(tmp_path / "comp") + os.sep
+    env = dict(os.environ, JAX_PLATFORMS="cpu", WAVELET_TPU_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = [PY, "-m", "wavelet_tpu.cli", f"datadir={data_dir}",
+            "minfile=plt00020", "maxfile=plt00022", "minlevel=0",
+            "maxlevel=0", "components=a b", "keep=0.999",
+            f"compresseddir={comp_dir}", "-c"]
+    r = subprocess.run(args, env=env, cwd=cwd, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-2000:]
+
+    def decompress(out_dir, extra=()):
+        base = [PY, "-m", "wavelet_tpu.cli", f"compresseddir={comp_dir}",
+                f"out={out_dir}", "-d"]
+        if extra:
+            port = _free_port()
+            procs = [subprocess.Popen(
+                base + [f"coordinator=localhost:{port}", "processes=2",
+                        f"processid={pid}"],
+                env=env, cwd=cwd, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT) for pid in range(2)]
+            for p in procs:
+                out, _ = p.communicate(timeout=240)
+                assert p.returncode == 0, out.decode(errors="replace")[-2000:]
+        else:
+            rr = subprocess.run(base, env=env, cwd=cwd,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, timeout=240)
+            assert rr.returncode == 0
+
+    single = str(tmp_path / "single") + os.sep
+    multi = str(tmp_path / "multi") + os.sep
+    decompress(single)
+    decompress(multi, extra=True)
+    for t in range(3):
+        name = f"plt{20 + t:05d}"
+        assert os.path.isdir(os.path.join(multi, name)), f"{name} missing"
+        for root, _d, names in os.walk(os.path.join(single, name)):
+            rel = os.path.relpath(root, single)
+            for n in names:
+                a = os.path.join(root, n)
+                b = os.path.join(multi, rel, n)
+                assert filecmp.cmp(a, b, shallow=False), f"{rel}/{n} differs"

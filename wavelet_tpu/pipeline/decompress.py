@@ -81,7 +81,17 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None):
                                codec=meta.get("codec", "xz"))
     eng = engine.CodecEngine(mesh=mesh, scales=meta.get("scales", 1))
     pad = mesh.size if mesh is not None else 1
-    for t in range(num_times):
+    # multi-host fan-out: timesteps are independent units (each regenerates
+    # its own plotfile directory), so each process takes a contiguous slice
+    import jax
+
+    t_range = range(num_times)
+    if jax.process_count() > 1:
+        from wavelet_tpu.runtime import mesh as mesh_lib
+
+        sl = mesh_lib.process_local_slice(num_times)
+        t_range = range(sl.start, sl.stop)
+    for t in t_range:
         regen = _decompress_timestep(cfg, eng, packer, pad, info, t,
                                      num_levels, counts, dimensions)
         name = os.path.join(cfg.out_dir, os.path.basename(info.files[t]))
