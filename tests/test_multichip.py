@@ -124,3 +124,33 @@ def test_sharded_giant_box_roundtrip(mesh8):
     # single-device inverse for comparison (bitwise)
     want = np.asarray(haar.haar3d_inverse(haar.haar3d_forward(jnp.asarray(box))))
     np.testing.assert_array_equal(back, want)
+
+
+def test_mesh_sharded_pallas_kernels_match_single_device(mesh8, monkeypatch):
+    """The fused Pallas kernels now run under shard_map on a mesh (XLA
+    cannot auto-partition custom calls): results must be bitwise equal to
+    the single-device engine, for both coefficient layouts."""
+    monkeypatch.setenv("WAVELET_TPU_FORCE_PALLAS", "1")
+    rng = np.random.default_rng(12)
+    data = rng.standard_normal((16, 8, 8, 8)).astype(np.float32)
+    for layout in ("halves", "interleaved"):
+        e1 = engine.CodecEngine(mesh=None, layout=layout)
+        e8 = engine.CodecEngine(mesh=mesh8, layout=layout)
+        assert e1.use_pallas and e8.use_pallas
+        items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+                 for b in range(16)]
+        batches1 = batching.plan_batches(
+            [(it, data[i]) for i, it in enumerate(items)],
+            pack_fn=e1.pack_factor)
+        batches8 = batching.plan_batches(
+            [(it, data[i]) for i, it in enumerate(items)],
+            pad_multiple=8, pack_fn=e8.pack_factor)
+        (c1, t1), (c8, t8) = (e1.compress_shapebatch(batches1[0], 0.999),
+                              e8.compress_shapebatch(batches8[0], 0.999))
+        for i in range(16):
+            np.testing.assert_array_equal(c1.item_view(i), c8.item_view(i))
+        np.testing.assert_array_equal(t1[:16], t8[:16])
+        d1 = e1.decompress_shapebatch(c1)
+        d8 = e8.decompress_shapebatch(c8)
+        for i in range(16):
+            np.testing.assert_array_equal(d1.item_view(i), d8.item_view(i))

@@ -205,13 +205,16 @@ class CodecEngine:
         self.mesh = mesh
         self.scales = int(scales)
         if use_pallas is None:
-            use_pallas = haar_pallas.supported() and (
-                mesh is None or mesh.size == 1) and self.scales == 1
+            use_pallas = haar_pallas.supported() and self.scales == 1
             if os.environ.get("WAVELET_TPU_FORCE_PALLAS") == "1":
                 # debug/test switch: exercise the Pallas kernels in
                 # interpret mode on non-TPU backends (slow; tests only)
                 use_pallas = self.scales == 1
         self.use_pallas = use_pallas and self.scales == 1
+        # mesh > 1: Pallas calls are per-device programs XLA cannot
+        # auto-partition, so they run under shard_map (batch axis sharded
+        # over the data mesh); cache the wrapped jits per (kind, pack)
+        self._sharded_kernels: dict = {}
         # coefficient layout for the fused kernels: "halves" (round-1
         # kernels, reference order on device) or "interleaved" (in-place
         # stencil kernels, wide-lane DMA; the host packer recovers the
@@ -238,6 +241,46 @@ class CodecEngine:
     def _put(self, x):
         return mesh_lib.shard_batch(x, self.mesh)
 
+    def _kernel(self, kind: str, pack: int):
+        """Pallas kernel entry, wrapped in shard_map when a mesh is set
+        (the leading batch axis shards over the ``data`` axis; per-box
+        extrema come back sharded in item order)."""
+        key = (kind, pack)
+        fn = self._sharded_kernels.get(key)
+        if fn is not None:
+            return fn
+        base = {
+            "fwd_interleaved":
+                lambda v: haar_pallas.fused_forward_interleaved(v, pack),
+            "inv_interleaved": haar_pallas.fused_inverse_interleaved,
+            "fwd_packed":
+                lambda v: haar_pallas.fused_forward_packed(v, pack),
+            "inv_packed":
+                lambda v: haar_pallas.fused_inverse_packed(v, pack),
+            "fwd_plain": haar_pallas.fused_forward,
+            "inv_plain": haar_pallas.fused_inverse,
+        }[kind]
+        if self.mesh is None or self.mesh.size == 1:
+            fn = base
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            spec = P(mesh_lib.DATA_AXIS)
+            n_out = 3 if kind.startswith("fwd") else 1
+            # check_vma=False: pallas_call's out_shape carries no varying-
+            # mesh-axes annotation; the per-device program is trivially
+            # batch-parallel (no collectives inside)
+            fn = jax.jit(shard_map(
+                base, mesh=self.mesh, in_specs=(spec,),
+                out_specs=(spec, spec, spec) if n_out == 3 else spec,
+                check_vma=False))
+        self._sharded_kernels[key] = fn
+        return fn
+
     def _pallas_ok(self, dims) -> bool:
         return (self.use_pallas
                 and int(np.prod(dims)) * 4 <= self._PALLAS_MAX_BLOCK_BYTES)
@@ -248,7 +291,7 @@ class CodecEngine:
         ``|c| > t32`` during RLE, so no mask array crosses the wire)."""
         dev = self._put(jnp.asarray(data))
         if self._pallas_ok(data.shape[1:]):
-            coeffs, maxv, minv = haar_pallas.fused_forward(dev)
+            coeffs, maxv, minv = self._kernel("fwd_plain", 1)(dev)
             flat = coeffs.reshape(coeffs.shape[0], -1)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
@@ -278,8 +321,7 @@ class CodecEngine:
         dev = self._put(jnp.asarray(batch.data))
         use_interleaved = self.coeff_layout(batch.shape) == "interleaved"
         if use_interleaved:
-            c, maxv, minv = haar_pallas.fused_forward_interleaved(
-                dev, batch.pack)
+            c, maxv, minv = self._kernel("fwd_interleaved", batch.pack)(dev)
             coeffs = np.asarray(c)
             cb = dataclasses.replace(batch, data=coeffs,
                                      layout="interleaved")
@@ -287,14 +329,14 @@ class CodecEngine:
                 np.asarray(maxv), np.asarray(minv),
                 row_getter=lambda i: cb.item_view(i).reshape(-1))
         elif batch.pack > 1:
-            c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
+            c, maxv, minv = self._kernel("fwd_packed", batch.pack)(dev)
             coeffs = np.asarray(c)
             cb = dataclasses.replace(batch, data=coeffs)
             signed = resolve_signed_absmax(
                 np.asarray(maxv), np.asarray(minv),
                 row_getter=lambda i: cb.item_view(i).reshape(-1))
         elif self._pallas_ok(batch.shape):
-            c, maxv, minv = haar_pallas.fused_forward(dev)
+            c, maxv, minv = self._kernel("fwd_plain", 1)(dev)
             coeffs = np.asarray(c)
             signed = resolve_signed_absmax(
                 np.asarray(maxv), np.asarray(minv),
@@ -325,18 +367,17 @@ class CodecEngine:
         m = int(np.prod(dims))
         dev = self._put(jnp.asarray(batch.data))
         if self.coeff_layout(dims) == "interleaved":
-            c, maxv, minv = haar_pallas.fused_forward_interleaved(
-                dev, batch.pack)
+            c, maxv, minv = self._kernel("fwd_interleaved", batch.pack)(dev)
             flat = _unpack_interleaved_coeffs(c, batch.pack, dims)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
         elif batch.pack > 1:
-            c, maxv, minv = haar_pallas.fused_forward_packed(dev, batch.pack)
+            c, maxv, minv = self._kernel("fwd_packed", batch.pack)(dev)
             flat = _unpack_packed_coeffs(c, batch.pack, dims[-1])
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
         elif self._pallas_ok(dims):
-            c, maxv, minv = haar_pallas.fused_forward(dev)
+            c, maxv, minv = self._kernel("fwd_plain", 1)(dev)
             flat = c.reshape(c.shape[0], -1)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
@@ -357,8 +398,8 @@ class CodecEngine:
         """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
         if self.coeff_layout(batch.shape) == "interleaved":
             dev = self._put(jnp.asarray(batch.data))
-            c, _maxv, _minv = haar_pallas.fused_forward_interleaved(
-                dev, batch.pack)
+            c, _maxv, _minv = self._kernel("fwd_interleaved",
+                                           batch.pack)(dev)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
             cb = dataclasses.replace(batch, data=np.asarray(c),
                                      layout="interleaved")
@@ -368,7 +409,7 @@ class CodecEngine:
             return cb, hist
         if batch.pack > 1:
             dev = self._put(jnp.asarray(batch.data))
-            c, _maxv, _minv = haar_pallas.fused_forward_packed(dev, batch.pack)
+            c, _maxv, _minv = self._kernel("fwd_packed", batch.pack)(dev)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
             coeffs = np.asarray(c)
         elif self.scales > 1:
@@ -396,13 +437,13 @@ class CodecEngine:
         spatial layout regardless of the coefficient layout)."""
         dev = self._put(jnp.asarray(coeff_batch.data))
         if coeff_batch.layout == "interleaved":
-            out = haar_pallas.fused_inverse_interleaved(dev)
+            out = self._kernel("inv_interleaved", coeff_batch.pack)(dev)
             return dataclasses.replace(coeff_batch, data=np.asarray(out),
                                        layout="halves")
         if coeff_batch.pack > 1:
-            out = haar_pallas.fused_inverse_packed(dev, coeff_batch.pack)
+            out = self._kernel("inv_packed", coeff_batch.pack)(dev)
         elif self._pallas_ok(coeff_batch.shape):
-            out = haar_pallas.fused_inverse(dev)
+            out = self._kernel("inv_plain", 1)(dev)
         elif self.scales > 1:
             out = _inv_multi_jit(dev, self.scales)
         else:
@@ -429,7 +470,7 @@ class CodecEngine:
         dev = self._put(jnp.asarray(flat))
         if self._pallas_ok(dims):
             blocks = dev.reshape((dev.shape[0],) + dims)
-            return np.asarray(haar_pallas.fused_inverse(blocks))
+            return np.asarray(self._kernel("inv_plain", 1)(blocks))
         return np.asarray(_inverse_jit(dev, dims))
 
 
