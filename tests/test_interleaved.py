@@ -228,3 +228,25 @@ def test_interleaved_sparse_transfer_matches_dense(tmp_path, interleaved_env):
             # payload contract (containers differ between backends)
             a, b = archive.xz_decompress(a), archive.xz_decompress(b)
         assert a == b, f"{name} differs dense vs sparse"
+
+
+def test_interleaved_env_falls_back_for_odd_dims(tmp_path, interleaved_env):
+    """Odd box extents can't use the interleaved stencil (the reference's
+    stay-in-place/zeroing quirks need the halves path): the engine must
+    fall back transparently and still round-trip."""
+    from wavelet_tpu.runtime import engine as eng_mod
+
+    e = eng_mod.CodecEngine()
+    assert e.coeff_layout((7, 8, 8)) == "halves"
+    assert e.coeff_layout((8, 7, 8)) == "halves"
+    assert e.coeff_layout((8, 8, 8)) == "interleaved"
+    rng = np.random.default_rng(2)
+    data = rng.standard_normal((3, 7, 8, 9)).astype(np.float32)
+    flat, mask = e.compress_batch(data, 0.999)
+    recon = e.decompress_batch(np.where(mask, flat, 0.0), (7, 8, 9))
+    # odd dims don't round-trip exactly (reference zeroing quirk), but the
+    # result must match the jnp reference path bitwise
+    from wavelet_tpu.core import haar
+
+    ref_c = np.asarray(haar.forward_flat(jnp.asarray(data)))
+    np.testing.assert_array_equal(flat, ref_c)

@@ -145,3 +145,34 @@ def test_sparse_mode_reduces_d2h_bytes(tmp_path):
     assert stats["sparse"]["device_to_host_bytes"] < \
         0.6 * stats["dense"]["device_to_host_bytes"]
     assert stats["sparse"]["output_bytes"] > 0
+
+
+def test_adaptive_sparse_cap_shrinks_transfer():
+    """After the first batch reveals the kept fraction, later batches size
+    the device->host buffers to ~1.5x it instead of the 25% default."""
+    import numpy as np
+
+    from wavelet_tpu.runtime import batching, engine as eng_mod
+
+    eng = eng_mod.CodecEngine()
+    rng = np.random.default_rng(4)
+    smooth = np.fromfunction(
+        lambda n, i, j, k: np.sin(0.02 * i) + 0.01 * j + 0.005 * k + 0 * n,
+        (8, 16, 16, 16)).astype(np.float32)
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+             for b in range(8)]
+
+    def one_batch():
+        return batching.plan_batches(
+            [(it, smooth[i]) for i, it in enumerate(items)],
+            pack_fn=eng.pack_factor)[0]
+
+    s1, _ = eng.compress_shapebatch_sparse(one_batch(), 0.9)
+    s2, _ = eng.compress_shapebatch_sparse(one_batch(), 0.9)
+    assert s2.cap < s1.cap
+    # undersized caps must not change results: pairs identical
+    for i in range(8):
+        i1, v1 = s1.item_pairs(i, 0.0)
+        i2, v2 = s2.item_pairs(i, 0.0)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(v1, v2)

@@ -215,6 +215,7 @@ class CodecEngine:
         # auto-partition, so they run under shard_map (batch axis sharded
         # over the data mesh); cache the wrapped jits per (kind, pack)
         self._sharded_kernels: dict = {}
+        self._sparse_cap_hint: dict = {}   # shape -> adaptive cap fraction
         # coefficient layout for the fused kernels: "halves" (round-1
         # kernels, reference order on device) or "interleaved" (in-place
         # stencil kernels, wide-lane DMA; the host packer recovers the
@@ -356,13 +357,23 @@ class CodecEngine:
         return dataclasses.replace(batch, data=coeffs), t32
 
     def compress_shapebatch_sparse(self, batch: ShapeBatch, keep: float,
-                                   cap_fraction: float = 0.25):
+                                   cap_fraction: float | None = None):
         """Sparse-transfer compression: the transform AND sparsification run
         on device; only (counts, kept indices, kept values) come back.
 
         -> (SparseCoeffs, t32).  Capacity = ``cap_fraction`` of the
         coefficient count; rare overflowing items fall back to a dense
-        single-row fetch (handled by :class:`SparseCoeffs.item_pairs`)."""
+        single-row fetch (handled by :class:`SparseCoeffs.item_pairs`).
+
+        When ``cap_fraction`` is None it ADAPTS: the first batch of a
+        shape uses 25%, later batches size the buffer to 1.5x the largest
+        kept fraction observed so far (real AMR data keeps a few percent,
+        so the transfer shrinks toward ~8x below the dense fetch; an
+        undersized cap only costs overflow fallbacks, never correctness).
+        """
+        adaptive = cap_fraction is None
+        if adaptive:
+            cap_fraction = self._sparse_cap_hint.get(batch.shape, 0.25)
         dims = batch.shape
         m = int(np.prod(dims))
         dev = self._put(jnp.asarray(batch.data))
@@ -389,8 +400,13 @@ class CodecEngine:
         cap = int(min(m, max(128, -(-int(m * cap_fraction) // 128) * 128)))
         counts, idxs, vals = _compact_step(
             flat, self._put(jnp.asarray(t32)), cap)
+        counts = np.asarray(counts)
+        if adaptive and batch.n_valid:
+            observed = float(counts[: batch.n_valid].max()) / m
+            self._sparse_cap_hint[batch.shape] = float(
+                min(0.25, max(observed * 1.5, 64 / m)))
         return SparseCoeffs(shape=dims, items=batch.items,
-                            counts=np.asarray(counts),
+                            counts=counts,
                             idxs=np.asarray(idxs), vals=np.asarray(vals),
                             cap=cap, _flat_dev=flat), t32
 
