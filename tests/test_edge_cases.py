@@ -148,3 +148,36 @@ def test_missing_archive_file_raises(tmp_path):
     with pytest.raises((IOError, OSError)):
         decompress_run(Config(compressed_dir=comp,
                               out_dir=str(tmp_path / "o") + "/"))
+
+
+def test_randomized_roundtrip_property():
+    """Randomized shapes (even/odd, tiny/lopsided), keeps and layouts:
+    compress->mask->decompress must equal the scalar-oracle pipeline
+    bitwise in every case (seeded, deterministic)."""
+    import numpy as np
+
+    from wavelet_tpu.core import oracle
+    from wavelet_tpu.runtime import engine as eng_mod
+
+    rng = np.random.default_rng(2024)
+    eng = eng_mod.CodecEngine()
+    for trial in range(12):
+        x, y, z = (int(rng.integers(1, 12)) for _ in range(3))
+        n = int(rng.integers(1, 5))
+        keep = float(rng.choice([0.9, 0.999, 0.9999]))
+        data = (rng.standard_normal((n, x, y, z)) *
+                10.0 ** int(rng.integers(-3, 4))).astype(np.float32)
+        flat, mask = eng.compress_batch(data, keep)
+        recon = eng.decompress_batch(np.where(mask, flat, 0.0), (x, y, z))
+        for i in range(n):
+            want_c = oracle.haar_forward_oracle(data[i])
+            np.testing.assert_array_equal(
+                flat[i].view(np.int32), want_c.view(np.int32),
+                err_msg=f"trial={trial} dims={(x,y,z)}")
+            want_mask, _vals, _mx, _th = oracle.threshold_oracle(
+                want_c, keep)
+            np.testing.assert_array_equal(mask[i], want_mask)
+            want_r = oracle.haar_inverse_oracle(
+                np.where(want_mask, want_c, 0.0), x, y, z)
+            np.testing.assert_array_equal(
+                recon[i].view(np.int32), want_r.view(np.int32))
