@@ -27,6 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wavelet_tpu.core import haar
 
+# Every kernel's grid is embarrassingly parallel (one block per grid step,
+# no cross-step state), and telling Mosaic so is worth ~1.4-4x: with the
+# default "arbitrary" semantics the compiler serializes grid steps and the
+# DMA pipeline stalls (measured 45 -> 193 GB/s on the interleaved forward,
+# scripts/kernel_lab.py hint variants).
+_PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
 __all__ = ["fused_forward", "fused_inverse", "supported",
            "fused_forward_packed", "fused_inverse_packed",
            "lane_pack_factor",
@@ -167,6 +174,7 @@ def _fused_forward_call(batch: jax.Array, *, interpret: bool = False):
             jax.ShapeDtypeStruct((n, y, z), batch.dtype),
         ),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(batch)
     return c, jnp.max(pmax, axis=(1, 2)), jnp.min(pmin, axis=(1, 2))
 
@@ -184,6 +192,7 @@ def _fused_inverse_call(coeffs: jax.Array, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, x, y, z), coeffs.dtype),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(coeffs)
 
 
@@ -243,6 +252,7 @@ def _fused_forward_packed_call(packed: jax.Array, n_seg: int,
             jax.ShapeDtypeStruct((m, y, L), packed.dtype),
         ),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(packed)
     # finish the per-box reduction: lanes hold (segment p, z)
     z = L // n_seg
@@ -272,6 +282,7 @@ def _fused_inverse_packed_call(packed: jax.Array, n_seg: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, x, y, L), packed.dtype),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(packed)
 
 
@@ -392,9 +403,13 @@ def _fwd_interleaved_call(packed: jax.Array, n_seg: int,
     def kern(x_ref, out_ref, maxv_ref, minv_ref):
         c = _fwd_interleaved_block(x_ref[:])
         out_ref[:] = c
-        # per-lane partials; the caller reduces blocks -> per-box extrema
-        maxv_ref[0] = jnp.max(c, axis=(0, 1))
-        minv_ref[0] = jnp.min(c, axis=(0, 1))
+        # per-lane partials broadcast into an (8, L) tile: Mosaic requires
+        # the block's trailing two dims to be (8k, 128k)-tiled, so a
+        # (1, L) per-block row cannot lower (interpret mode does not
+        # enforce this — caught on real hardware); the 8-sublane broadcast
+        # costs ~8/(xb*y) extra HBM write traffic (~3% at xb=4, y=64)
+        maxv_ref[0] = jnp.broadcast_to(jnp.max(c, axis=(0, 1)), (8, L))
+        minv_ref[0] = jnp.broadcast_to(jnp.min(c, axis=(0, 1)), (8, L))
 
     c, pmax, pmin = pl.pallas_call(
         kern,
@@ -404,25 +419,26 @@ def _fwd_interleaved_call(packed: jax.Array, n_seg: int,
         out_specs=(
             pl.BlockSpec((xb, y, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((m * x, y, L), packed.dtype),
-            jax.ShapeDtypeStruct((g, L), packed.dtype),
-            jax.ShapeDtypeStruct((g, L), packed.dtype),
+            jax.ShapeDtypeStruct((g, 8, L), packed.dtype),
+            jax.ShapeDtypeStruct((g, 8, L), packed.dtype),
         ),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(flat)
     # finish the reduction: blocks of box (mm, p) are rows mm*x/xb..(mm+1)*x/xb
     z = L // n_seg
     blocks_per_box = x // xb
-    maxv = jnp.max(pmax.reshape(m, blocks_per_box, n_seg, z),
-                   axis=(1, 3)).reshape(-1)
-    minv = jnp.min(pmin.reshape(m, blocks_per_box, n_seg, z),
-                   axis=(1, 3)).reshape(-1)
+    maxv = jnp.max(pmax.reshape(m, blocks_per_box, 8, n_seg, z),
+                   axis=(1, 2, 4)).reshape(-1)
+    minv = jnp.min(pmin.reshape(m, blocks_per_box, 8, n_seg, z),
+                   axis=(1, 2, 4)).reshape(-1)
     return c.reshape(m, x, y, L), maxv, minv
 
 
@@ -444,6 +460,7 @@ def _inv_interleaved_call(packed: jax.Array, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m * x, y, L), packed.dtype),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(flat)
     return out.reshape(m, x, y, L)
 

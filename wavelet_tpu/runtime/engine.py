@@ -219,11 +219,16 @@ class CodecEngine:
         # coefficient layout for the fused kernels: "halves" (round-1
         # kernels, reference order on device) or "interleaved" (in-place
         # stencil kernels, wide-lane DMA; the host packer recovers the
-        # reference order via index tables).  Selectable for A/B
-        # measurement via WAVELET_TPU_LAYOUT; archives are byte-identical
-        # either way (tests/test_interleaved.py).
+        # reference order via index tables).  "auto" (default) picks
+        # interleaved on real TPU hardware — measured faster on the v5e
+        # (fwd 164 vs 139 GB/s, inv 159 vs 142; BENCH artifacts) — and
+        # halves elsewhere.  Override for A/B via WAVELET_TPU_LAYOUT;
+        # archives are byte-identical either way (tests/test_interleaved).
         if layout is None:
-            layout = os.environ.get("WAVELET_TPU_LAYOUT", "halves")
+            layout = os.environ.get("WAVELET_TPU_LAYOUT", "auto")
+        if layout == "auto":
+            layout = ("interleaved" if haar_pallas.supported()
+                      else "halves")
         if layout not in ("halves", "interleaved"):
             raise ValueError(f"unknown kernel layout {layout!r}")
         self.layout = layout
