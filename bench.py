@@ -273,6 +273,11 @@ def main():
                 _stage("inv_i", dt_iinv, sp_iinv) if dt_iinv else None),
             "decompress_gbps": round(decompress_gbps, 3),
             "roundtrip_gbps": round(roundtrip_gbps, 3),
+            # in the real pipeline the host packer applies the threshold
+            # during RLE, so the device compress stage is the forward pass
+            # alone; the headline includes the mask stage as a conservative
+            # "device does transform + masking" definition kept from r1
+            "pipeline_device_stage_gbps": round(gb / best_fwd, 3),
             "keep": keep,
             "kept_coeff_fraction": round(kept_frac, 6),
             "roundtrip_rmse": rmse,
