@@ -38,6 +38,7 @@ __all__ = ["fused_forward", "fused_inverse", "supported",
            "fused_forward_packed", "fused_inverse_packed",
            "lane_pack_factor",
            "fused_forward_interleaved", "fused_inverse_interleaved",
+           "fused_forward_interleaved_nored",
            "interleaved_pack_factor", "interleave_perm", "interleaved_ok"]
 
 
@@ -440,6 +441,42 @@ def _fwd_interleaved_call(packed: jax.Array, n_seg: int,
     minv = jnp.min(pmin.reshape(m, blocks_per_box, 8, n_seg, z),
                    axis=(1, 2, 4)).reshape(-1)
     return c.reshape(m, x, y, L), maxv, minv
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_interleaved_nored_call(packed: jax.Array,
+                                *, interpret: bool = False):
+    """Forward without the fused extrema reductions: the global-threshold
+    histogram pass doesn't need per-box extrema, and the reduction outputs
+    cost ~16% (measured 164 vs 193 GB/s) — this variant runs at the bare
+    stencil rate."""
+    m, x, y, L = packed.shape
+    flat = packed.reshape(m * x, y, L)
+    xb = _x_block(x, y, L)
+
+    def kern(x_ref, out_ref):
+        out_ref[:] = _fwd_interleaved_block(x_ref[:])
+
+    out = pl.pallas_call(
+        kern,
+        grid=((m * x) // xb,),
+        in_specs=[pl.BlockSpec((xb, y, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((xb, y, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m * x, y, L), packed.dtype),
+        interpret=interpret,
+        compiler_params=_PARALLEL,
+    )(flat)
+    return out.reshape(m, x, y, L)
+
+
+def fused_forward_interleaved_nored(packed: jax.Array) -> jax.Array:
+    """Interleaved forward, coefficients only (no extrema) — for callers
+    that don't threshold per box (global-histogram mode)."""
+    if supported():
+        return _fwd_interleaved_nored_call(packed)
+    return _fwd_interleaved_nored_call(packed, interpret=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -258,6 +258,8 @@ class CodecEngine:
         base = {
             "fwd_interleaved":
                 lambda v: haar_pallas.fused_forward_interleaved(v, pack),
+            "fwd_interleaved_nored":
+                haar_pallas.fused_forward_interleaved_nored,
             "inv_interleaved": haar_pallas.fused_inverse_interleaved,
             "fwd_packed":
                 lambda v: haar_pallas.fused_forward_packed(v, pack),
@@ -276,7 +278,8 @@ class CodecEngine:
             except ImportError:  # pragma: no cover
                 from jax.experimental.shard_map import shard_map
             spec = P(mesh_lib.DATA_AXIS)
-            n_out = 3 if kind.startswith("fwd") else 1
+            n_out = 3 if (kind.startswith("fwd")
+                          and not kind.endswith("nored")) else 1
             # check_vma=False: pallas_call's out_shape carries no varying-
             # mesh-axes annotation; the per-device program is trivially
             # batch-parallel (no collectives inside)
@@ -419,8 +422,9 @@ class CodecEngine:
         """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
         if self.coeff_layout(batch.shape) == "interleaved":
             dev = self._put(jnp.asarray(batch.data))
-            c, _maxv, _minv = self._kernel("fwd_interleaved",
-                                           batch.pack)(dev)
+            # no per-box extrema needed for the histogram pass: the
+            # reduction-free variant runs at the bare stencil rate
+            c = self._kernel("fwd_interleaved_nored", batch.pack)(dev)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
             cb = dataclasses.replace(batch, data=np.asarray(c),
                                      layout="interleaved")
