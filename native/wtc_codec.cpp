@@ -421,4 +421,110 @@ int64_t wtc_unpack_indexed(const char* const* paths, int64_t n_items,
     return 0;
 }
 
+// Mapped variants: item i's coefficient at LOGICAL flat position t lives
+// at coeffs[offsets[i] + map[t]].  The fully general layout walk — needed
+// for the multi-scale interleaved layout, whose logical->physical map is
+// NOT separable per axis (a high-band coordinate means the other axes
+// were never re-transformed at deeper scales).  map has nx*ny*nz entries,
+// shared by every item of the batch.
+
+int64_t wtc_pack_mapped(const float* coeffs, const float* t32,
+                        int64_t n_items, int64_t n_coeffs,
+                        const int64_t* map, const int64_t* offsets,
+                        const int32_t* shape, const char* const* paths,
+                        int n_threads, int payload_fmt, int codec,
+                        int preset) {
+    std::atomic<int64_t> total_bytes(0);
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        const float* base = coeffs + offsets[i];
+        const float thresh = t32[i];
+        std::vector<Pair> pairs;
+        int32_t run = 0;
+        for (int64_t t = 0; t < n_coeffs; ++t) {
+            const float v = base[map[t]];
+            if (std::fabs(v) > thresh) {
+                pairs.push_back({run, v});
+                run = 0;
+            } else {
+                ++run;
+            }
+        }
+        std::string payload = payload_fmt == 1
+            ? serialize_payload_q16(shape, n_coeffs, pairs)
+            : serialize_payload(shape, n_coeffs, pairs);
+        if (!encode_to_file(payload, paths[i], codec, preset)) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        FILE* f = std::fopen(paths[i], "rb");
+        if (f) {
+            std::fseek(f, 0, SEEK_END);
+            total_bytes.fetch_add(std::ftell(f));
+            std::fclose(f);
+        }
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return total_bytes.load();
+}
+
+int64_t wtc_unpack_mapped(const char* const* paths, int64_t n_items,
+                          int64_t n_coeffs, const int64_t* map,
+                          const int64_t* offsets, float* out,
+                          int32_t* shapes_out, int n_threads,
+                          int payload_fmt, int codec) {
+    const size_t head_bytes = payload_fmt == 1 ? 24 : 20;
+    const size_t pair_bytes = payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        std::vector<uint8_t> payload;
+        if (!xz_decode_file(paths[i], payload, codec)
+            || payload.size() < head_bytes) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        int32_t head[5];
+        std::memcpy(head, payload.data(), sizeof(head));
+        const int64_t total = head[3];
+        const int64_t n_pairs = head[4];
+        if (total > n_coeffs ||
+            payload.size() < head_bytes + n_pairs * pair_bytes) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        if (shapes_out) std::memcpy(shapes_out + 3 * i, head, 3 * sizeof(int32_t));
+        float* base = out + offsets[i];
+        for (int64_t t = 0; t < n_coeffs; ++t) base[map[t]] = 0.0f;
+        float scale = 0.0f;
+        if (payload_fmt == 1) std::memcpy(&scale, payload.data() + 20, 4);
+        const uint8_t* pd = payload.data() + head_bytes;
+        int64_t idx = 0;
+        for (int64_t p = 0; p < n_pairs; ++p) {
+            int32_t run;
+            float val;
+            if (payload_fmt == 1) {
+                PairQ16 q;
+                std::memcpy(&q, pd + p * sizeof(PairQ16), sizeof(q));
+                run = q.run;
+                val = static_cast<float>(q.val) * scale;
+            } else {
+                Pair pr;
+                std::memcpy(&pr, pd + p * sizeof(Pair), sizeof(pr));
+                run = pr.run;
+                val = pr.val;
+            }
+            idx += run;
+            if (idx >= 0 && idx < total) {
+                base[map[idx]] = val;
+                ++idx;
+            }
+        }
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return 0;
+}
+
 }  // extern "C"

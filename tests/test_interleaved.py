@@ -250,3 +250,131 @@ def test_interleaved_env_falls_back_for_odd_dims(tmp_path, interleaved_env):
 
     ref_c = np.asarray(haar.forward_flat(jnp.asarray(data)))
     np.testing.assert_array_equal(flat, ref_c)
+
+
+# ---------------------------------------------------------------------------
+# multi-scale interleaved (scales > 1: strided stencils + non-separable map)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dims,pack,scales", [
+    ((8, 8, 8), 2, 2),
+    ((16, 8, 8), 1, 3),
+    ((8, 4, 4), 4, 2),
+])
+def test_interleaved_multiscale_bitwise(dims, pack, scales):
+    """Strided in-place pyramid == haar3d_forward_multi after the flat
+    map, both directions, incl. fused extrema."""
+    rng = np.random.default_rng(4)
+    x, y, z = dims
+    n = 2 * pack
+    boxes = rng.standard_normal((n, x, y, z)).astype(np.float32)
+    packed = np.ascontiguousarray(
+        boxes.reshape(n // pack, pack, x, y, z).transpose(0, 2, 3, 1, 4)
+        .reshape(n // pack, x, y, pack * z))
+    c, maxv, minv = hp.fused_forward_interleaved(
+        jnp.asarray(packed), pack, scales)
+    c = np.asarray(c)
+    ref = np.asarray(haar.haar3d_forward_multi(jnp.asarray(boxes), scales))
+    L = pack * z
+    fmap = hp.interleave_map_multi(dims, scales, y * L, L, 1)
+    for i in range(n):
+        m, p = divmod(i, pack)
+        base = m * (x * y * L) + p * z
+        got = c.reshape(-1)[base + fmap].reshape(dims)
+        np.testing.assert_array_equal(got.view(np.int32),
+                                      ref[i].view(np.int32))
+        flat = ref[i].reshape(-1)
+        assert float(maxv[i]) == flat.max()
+        assert float(minv[i]) == flat.min()
+    out = np.asarray(hp.fused_inverse_interleaved(
+        jnp.asarray(c), pack, scales))
+    ref_out = np.asarray(haar.haar3d_inverse_multi(jnp.asarray(ref), scales))
+    for i in range(n):
+        m, p = divmod(i, pack)
+        np.testing.assert_array_equal(
+            out[m, :, :, p * z : (p + 1) * z].view(np.int32),
+            ref_out[i].view(np.int32))
+
+
+def test_multiscale_interleaved_pipeline_bytes_match_jnp(tmp_path,
+                                                         interleaved_env):
+    """scales=2 archives through the interleaved kernels must be
+    byte-identical to the jnp multi-scale path (payload contract), and
+    decompress back identically."""
+    from wavelet_tpu.pipeline import Config, compress_run, decompress_run
+    from wavelet_tpu.io import plotfile as pf
+
+    data_dir = _synth(tmp_path)
+    int_dir = str(tmp_path / "ms_int") + os.sep
+    compress_run(Config(data_dir=data_dir, min_time="plt00050",
+                        max_time="plt00050", min_level=0, max_level=0,
+                        components=["a", "b"], keep=0.999, scales=2,
+                        compressed_dir=int_dir))
+
+    os.environ.pop("WAVELET_TPU_LAYOUT")
+    os.environ.pop("WAVELET_TPU_FORCE_PALLAS")
+    jnp_dir = str(tmp_path / "ms_jnp") + os.sep
+    compress_run(Config(data_dir=data_dir, min_time="plt00050",
+                        max_time="plt00050", min_level=0, max_level=0,
+                        components=["a", "b"], keep=0.999, scales=2,
+                        compressed_dir=jnp_dir))
+    for name in sorted(os.listdir(jnp_dir)):
+        a = open(os.path.join(jnp_dir, name), "rb").read()
+        b = open(os.path.join(int_dir, name), "rb").read()
+        if name.endswith(".xz"):
+            a, b = archive.xz_decompress(a), archive.xz_decompress(b)
+        assert a == b, f"{name} differs (interleaved vs jnp, scales=2)"
+
+    # decompress through the interleaved path
+    os.environ["WAVELET_TPU_LAYOUT"] = "interleaved"
+    os.environ["WAVELET_TPU_FORCE_PALLAS"] = "1"
+    out_dir = str(tmp_path / "ms_out") + os.sep
+    decompress_run(Config(compressed_dir=int_dir, out_dir=out_dir))
+    orig = pf.read_level(data_dir + "/plt00050", 0, [0, 1])
+    regen = pf.read_level(out_dir + "plt00050", 0, [0, 1])
+    assert np.abs(regen.boxes[0] - orig.boxes[0]).mean() < 0.05
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+def test_mapped_native_pack_matches_python_multiscale(tmp_path):
+    """native pack_mapped/unpack_mapped == the python flat-map walk."""
+    from wavelet_tpu.core import threshold
+
+    rng = np.random.default_rng(8)
+    x, y, z, pack, scales = 8, 8, 8, 2, 2
+    n = 4
+    boxes = rng.standard_normal((n, x, y, z)).astype(np.float32)
+    packed = np.ascontiguousarray(
+        boxes.reshape(n // pack, pack, x, y, z).transpose(0, 2, 3, 1, 4)
+        .reshape(n // pack, x, y, pack * z))
+    c, maxv, minv = hp.fused_forward_interleaved(
+        jnp.asarray(packed), pack, scales)
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+             for b in range(n)]
+    cb = batching.ShapeBatch(shape=(x, y, z), data=np.asarray(c),
+                             items=items, n_valid=n, pack=pack,
+                             layout="interleaved", scales=scales)
+    signed = engine.resolve_signed_absmax(
+        np.asarray(maxv), np.asarray(minv),
+        row_getter=lambda i: cb.item_view(i).reshape(-1))
+    t32 = threshold.exact_threshold32(signed, 0.999)
+    outs = {}
+    for use_native in (True, False):
+        d = tmp_path / ("n" if use_native else "p")
+        os.makedirs(d)
+        packer = engine.HostPacker(use_native=use_native)
+        packer.pack(str(d), cb, t32)
+        outs[use_native] = {
+            f: archive.xz_decompress(open(os.path.join(d, f), "rb").read())
+            for f in sorted(os.listdir(d))}
+    assert outs[True] == outs[False]
+    # unpack via mapped scatter, both backends, equals masked jnp reference
+    ref_c = np.asarray(haar.haar3d_forward_multi(jnp.asarray(boxes), 2))
+    for use_native in (True, False):
+        ub = batching.empty_batch(items, (x, y, z), pack=pack,
+                                  layout="interleaved", scales=scales)
+        engine.HostPacker(use_native=use_native).unpack_into(
+            str(tmp_path / "p"), ub)
+        for i in range(n):
+            masked = np.where(np.abs(ref_c[i]) > t32[i], ref_c[i], 0.0)
+            np.testing.assert_array_equal(ub.item_view(i), masked)

@@ -39,7 +39,9 @@ __all__ = ["fused_forward", "fused_inverse", "supported",
            "lane_pack_factor",
            "fused_forward_interleaved", "fused_inverse_interleaved",
            "fused_forward_interleaved_nored",
-           "interleaved_pack_factor", "interleave_perm", "interleaved_ok"]
+           "interleaved_pack_factor", "interleave_perm",
+           "interleave_coords_multi", "interleave_map_multi",
+           "interleaved_ok"]
 
 
 def supported() -> bool:
@@ -311,6 +313,44 @@ def _fused_inverse_packed_call(packed: jax.Array, n_seg: int,
 # ---------------------------------------------------------------------------
 
 
+def interleave_coords_multi(dims, scales: int):
+    """Physical coordinates of every LOGICAL pyramid position for the
+    multi-scale interleaved layout: returns (PX, PY, PZ), each int64
+    [X, Y, Z], with ``logical (i, j, k) -> physical (PX[ijk], PY[ijk],
+    PZ[ijk])``.
+
+    The map is NOT a per-axis product for scales > 1: a coordinate in a
+    high band means the other axes were never re-transformed at deeper
+    scales (haar3d_forward_multi only recurses into the corner block), so
+    membership of the block decides which scale's per-axis map applies.
+    Recursion mirrors the pyramid: outside the corner block, the
+    single-scale maps apply; inside, recurse on the half-dims and double
+    (scale-1 lows sit at even physical positions in every axis).
+    """
+    import numpy as np
+
+    x, y, z = (int(d) for d in dims)
+    px1, py1, pz1 = (interleave_perm(n) for n in (x, y, z))
+    PX = np.broadcast_to(px1[:, None, None], (x, y, z)).copy()
+    PY = np.broadcast_to(py1[None, :, None], (x, y, z)).copy()
+    PZ = np.broadcast_to(pz1[None, None, :], (x, y, z)).copy()
+    if scales > 1 and x % 2 == 0 and y % 2 == 0 and z % 2 == 0:
+        hx, hy, hz = x // 2, y // 2, z // 2
+        QX, QY, QZ = interleave_coords_multi((hx, hy, hz), scales - 1)
+        PX[:hx, :hy, :hz] = 2 * QX
+        PY[:hx, :hy, :hz] = 2 * QY
+        PZ[:hx, :hy, :hz] = 2 * QZ
+    return PX, PY, PZ
+
+
+def interleave_map_multi(dims, scales: int, sx: int, sy: int, sz: int = 1):
+    """Flat physical element offsets per logical position: int64[X*Y*Z]
+    with strides (sx, sy, sz) — the host packer's walk table for the
+    multi-scale interleaved layout."""
+    PX, PY, PZ = interleave_coords_multi(dims, scales)
+    return (PX * sx + PY * sy + PZ * sz).reshape(-1)
+
+
 def interleave_perm(n: int) -> "jnp.ndarray":
     """Logical (reference halves-order) index -> physical interleaved index.
 
@@ -328,19 +368,22 @@ def interleave_perm(n: int) -> "jnp.ndarray":
     return p
 
 
-def _interleave_pass(v: jax.Array, axis: int, seg: int | None = None,
-                     inverse: bool = False) -> jax.Array:
+def _interleave_pass(v: jax.Array, axis: int, stride: int = 1,
+                     inverse: bool = False, member=None) -> jax.Array:
     """One in-place Haar pass along ``axis`` (stencil form).
 
-    ``seg``: segment length when the axis packs several boxes (the lane
-    axis holds P boxes' Z-extents); pairs (2l, 2l+1) never straddle a
-    segment boundary for even ``seg``, so no masking is needed — the roll
-    partners at boundaries are only read at positions whose parity selects
-    the in-segment neighbour.
+    ``stride = 2**(s-1)`` selects scale ``s`` of the pyramid: the pass
+    pairs positions ``(2m*stride, (2m+1)*stride)``.  ``member`` restricts
+    it to the scale's corner block (positions that are scale-(s-1) lows in
+    EVERY axis — the block ``haar3d_forward_multi`` re-transforms); a
+    member's roll partner is itself a member, so partners are always
+    valid.  Pairs never straddle a packed-segment boundary as long as the
+    segment length divides by ``2*stride``.
     """
-    left = jnp.roll(v, -1, axis)    # v[i+1], partner of even i
-    right = jnp.roll(v, 1, axis)    # v[i-1], partner of odd i
-    parity = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis) % 2
+    left = jnp.roll(v, -stride, axis)    # partner of even-position lows
+    right = jnp.roll(v, stride, axis)    # partner of odd-position entries
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    parity = (idx // stride) % 2
     half = jnp.asarray(0.5, v.dtype)
     if inverse:
         even_out = v + left          # avg + diff
@@ -348,61 +391,105 @@ def _interleave_pass(v: jax.Array, axis: int, seg: int | None = None,
     else:
         even_out = (v + left) * half
         odd_out = (right - v) * half
-    return jnp.where(parity == 0, even_out, odd_out)
+    out = jnp.where(parity == 0, even_out, odd_out)
+    if member is None:
+        return out
+    return jnp.where(member, out, v)
 
 
-def _fwd_interleaved_block(v: jax.Array) -> jax.Array:
-    """(rows, Y, L) forward: Z, Y, X passes, all in place (rows = X chunk)."""
-    t = _interleave_pass(v, 2)
-    t = _interleave_pass(t, 1)
-    return _interleave_pass(t, 0)
+def _scale_member(shape, stride: int, seg: int | None = None):
+    """Membership mask of the scale's corner block in interleaved space:
+    positions that are multiples of ``stride`` along every axis (within
+    each packed lane segment of length ``seg`` for the lane axis)."""
+    if stride == 1:
+        return None
+    m = None
+    for axis in range(3):
+        idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        if axis == 2 and seg is not None:
+            idx = idx % seg
+        cond = idx % stride == 0
+        m = cond if m is None else (m & cond)
+    return m
 
 
-def _inv_interleaved_block(v: jax.Array) -> jax.Array:
-    """X, Y, Z inverse passes; input interleaved, output natural spatial."""
-    t = _interleave_pass(v, 0, inverse=True)
-    t = _interleave_pass(t, 1, inverse=True)
-    return _interleave_pass(t, 2, inverse=True)
+def _fwd_interleaved_block(v: jax.Array, scales: int = 1,
+                           seg: int | None = None) -> jax.Array:
+    """(rows, Y, L) forward: per scale, Z, Y, X passes, all in place
+    (rows = X chunk; scale s pairs at stride 2**(s-1) within the corner
+    block).  NOTE: multi-scale (scales > 1) is only valid when the block
+    spans the full X extent (the X-axis corner membership is computed from
+    block-local row indices)."""
+    for s in range(scales):
+        st = 1 << s
+        member = _scale_member(v.shape, st, seg)
+        v = _interleave_pass(v, 2, st, member=member)
+        v = _interleave_pass(v, 1, st, member=member)
+        v = _interleave_pass(v, 0, st, member=member)
+    return v
 
 
-def interleaved_ok(dims) -> bool:
-    """Interleaved kernels need even extents (odd tails take the halves
-    path, which handles the reference's stay-in-place/zeroing quirks)."""
-    x, y, z = (int(d) for d in dims)
-    return x % 2 == 0 and y % 2 == 0 and z % 2 == 0
+def _inv_interleaved_block(v: jax.Array, scales: int = 1,
+                           seg: int | None = None) -> jax.Array:
+    """Coarsest scale first, X, Y, Z inverse passes per scale; input
+    interleaved, output natural spatial."""
+    for s in reversed(range(scales)):
+        st = 1 << s
+        member = _scale_member(v.shape, st, seg)
+        v = _interleave_pass(v, 0, st, inverse=True, member=member)
+        v = _interleave_pass(v, 1, st, inverse=True, member=member)
+        v = _interleave_pass(v, 2, st, inverse=True, member=member)
+    return v
 
 
-def _x_block(x: int, y: int, L: int, target_bytes: int = 1 << 20) -> int:
-    """Rows per grid step: largest even divisor of X within the VMEM
-    target (the stencil's intermediates are ~4-6x the block bytes).
+def interleaved_ok(dims, scales: int = 1) -> bool:
+    """Interleaved kernels need extents divisible by ``2**scales`` (odd
+    tails take the halves path, which handles the reference's
+    stay-in-place/zeroing quirks; deeper pyramids need deeper
+    divisibility, same rule as haar3d_forward_multi)."""
+    q = 1 << max(1, int(scales))
+    return all(int(d) % q == 0 for d in dims)
 
-    For even X the result must itself be EVEN — a single-row block would
-    silently skip the X pass (rolls on a length-1 axis are identities), so
-    when no even divisor fits the byte target we still take 2 and let VMEM
-    pressure surface as a compile error rather than wrong coefficients.
-    (interleaved_pack_factor caps the lane width so 2 rows always fit.)
+
+def _x_block(x: int, y: int, L: int, target_bytes: int = 1 << 20,
+             scales: int = 1) -> int:
+    """Rows per grid step: largest divisor of X that is a multiple of
+    ``2**scales`` within the VMEM target (the stencil's intermediates are
+    ~4-6x the block bytes).
+
+    A block must hold whole pairs at every scale: scale s pairs span
+    ``2**s`` rows, so blocks must be ``2**scales``-multiples (a too-small
+    block would silently skip passes — rolls on a short axis wrap — so
+    when nothing fits the byte target we still take ``2**scales`` and let
+    VMEM pressure surface as a compile error rather than wrong
+    coefficients; interleaved_pack_factor caps the lane width so the
+    minimum block fits at scales=1).
     """
     if x % 2:
         return 1
+    q = 1 << scales
     row = y * L * 4
-    xb = max(2, min(x, target_bytes // max(row, 1)))
-    while xb > 2 and (x % xb or xb % 2):
+    xb = max(q, min(x, target_bytes // max(row, 1)))
+    while xb > q and (x % xb or xb % q):
         xb -= 1
-    if x % xb or xb % 2:
-        xb = 2
+    if x % xb or xb % q:
+        xb = q
     return xb
 
 
-@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
-def _fwd_interleaved_call(packed: jax.Array, n_seg: int,
+@functools.partial(jax.jit, static_argnames=("n_seg", "scales",
+                                             "interpret"))
+def _fwd_interleaved_call(packed: jax.Array, n_seg: int, scales: int = 1,
                           *, interpret: bool = False):
     m, x, y, L = packed.shape
+    z = L // n_seg
     flat = packed.reshape(m * x, y, L)
-    xb = _x_block(x, y, L)
+    xb = _x_block(x, y, L, scales=scales)
     g = (m * x) // xb
 
     def kern(x_ref, out_ref, maxv_ref, minv_ref):
-        c = _fwd_interleaved_block(x_ref[:])
+        c = _fwd_interleaved_block(x_ref[:], scales,
+                                   seg=z if n_seg > 1 else None)
         out_ref[:] = c
         # per-lane partials broadcast into an (8, L) tile: Mosaic requires
         # the block's trailing two dims to be (8k, 128k)-tiled, so a
@@ -479,14 +566,18 @@ def fused_forward_interleaved_nored(packed: jax.Array) -> jax.Array:
     return _fwd_interleaved_nored_call(packed, interpret=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _inv_interleaved_call(packed: jax.Array, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("n_seg", "scales",
+                                             "interpret"))
+def _inv_interleaved_call(packed: jax.Array, n_seg: int = 1,
+                          scales: int = 1, *, interpret: bool = False):
     m, x, y, L = packed.shape
+    z = L // n_seg
     flat = packed.reshape(m * x, y, L)
-    xb = _x_block(x, y, L)
+    xb = _x_block(x, y, L, scales=scales)
 
     def kern(c_ref, out_ref):
-        out_ref[:] = _inv_interleaved_block(c_ref[:])
+        out_ref[:] = _inv_interleaved_block(
+            c_ref[:], scales, seg=z if n_seg > 1 else None)
 
     out = pl.pallas_call(
         kern,
@@ -502,21 +593,24 @@ def _inv_interleaved_call(packed: jax.Array, *, interpret: bool = False):
     return out.reshape(m, x, y, L)
 
 
-def fused_forward_interleaved(packed: jax.Array, n_seg: int):
+def fused_forward_interleaved(packed: jax.Array, n_seg: int,
+                              scales: int = 1):
     """Packed [M, X, Y, n_seg*Z] -> (interleaved coeffs, max [M*n_seg],
-    min [M*n_seg]).  Coefficients stay in interleaved (in-place) order;
-    the host packer applies :func:`interleave_perm` per axis while
-    walking them, so archive bytes match the reference exactly."""
+    min [M*n_seg]).  Coefficients stay in interleaved (in-place) order —
+    a ``scales``-deep pyramid when requested; the host packer walks
+    :func:`interleave_map_multi` to recover the reference byte order
+    exactly."""
     if supported():
-        return _fwd_interleaved_call(packed, n_seg)
-    return _fwd_interleaved_call(packed, n_seg, interpret=True)
+        return _fwd_interleaved_call(packed, n_seg, scales)
+    return _fwd_interleaved_call(packed, n_seg, scales, interpret=True)
 
 
-def fused_inverse_interleaved(packed: jax.Array) -> jax.Array:
+def fused_inverse_interleaved(packed: jax.Array, n_seg: int = 1,
+                              scales: int = 1) -> jax.Array:
     """Interleaved coeffs [M, X, Y, L] -> natural spatial boxes (packed)."""
     if supported():
-        return _inv_interleaved_call(packed)
-    return _inv_interleaved_call(packed, interpret=True)
+        return _inv_interleaved_call(packed, n_seg, scales)
+    return _inv_interleaved_call(packed, n_seg, scales, interpret=True)
 
 
 def interleaved_pack_factor(dims, target_lanes: int = 1024) -> int:

@@ -19,7 +19,8 @@ import numpy as np
 
 __all__ = ["available", "pack_batch", "unpack_batch",
            "pack_strided", "unpack_strided",
-           "pack_indexed", "unpack_indexed"]
+           "pack_indexed", "unpack_indexed",
+           "pack_mapped", "unpack_mapped"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -84,6 +85,14 @@ def _bind(handle):
     handle.wtc_unpack_indexed.argtypes = [
         _pstr, _i64, _i64, _i64, _i64, _pi64, _pi64, _pi64, _pi64, _pf,
         _pi32, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    handle.wtc_pack_mapped.restype = _i64
+    handle.wtc_pack_mapped.argtypes = [
+        _pf, _pf, _i64, _i64, _pi64, _pi64, _pi32, _pstr, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    handle.wtc_unpack_mapped.restype = _i64
+    handle.wtc_unpack_mapped.argtypes = [
+        _pstr, _i64, _i64, _pi64, _pi64, _pf, _pi32, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
 
 
 _try_load()
@@ -210,6 +219,49 @@ def unpack_indexed(paths, dest: np.ndarray, ix: np.ndarray, iy: np.ndarray,
         _paths_array(list(paths)), n, len(ix), len(iy), len(iz),
         ix.ctypes.data_as(_pi64), iy.ctypes.data_as(_pi64),
         iz.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        dest.ctypes.data_as(_pf), shapes.ctypes.data_as(_pi32), n_threads,
+        _FMT[payload], _CODEC[codec])
+    if ret < 0:
+        raise IOError(f"native unpack failed at item {-(ret + 1)}")
+    return shapes
+
+
+def pack_mapped(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
+                coeff_map: np.ndarray, offsets: np.ndarray,
+                n_threads: int = 0, payload: str = "f32",
+                codec: str = "xz", preset: int = 6) -> int:
+    """Fully general layout walk: logical flat coefficient t of item i
+    lives at ``coeffs.ravel()[offsets[i] + coeff_map[t]]`` (multi-scale
+    interleaved layouts, whose map is not separable per axis)."""
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
+    t32 = np.ascontiguousarray(t32, dtype=np.float32)
+    coeff_map = np.ascontiguousarray(coeff_map, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    shp = np.asarray(shape, dtype=np.int32)
+    ret = lib.wtc_pack_mapped(
+        coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
+        len(paths), len(coeff_map),
+        coeff_map.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        shp.ctypes.data_as(_pi32), _paths_array(list(paths)), n_threads,
+        _FMT[payload], _CODEC[codec], int(preset))
+    if ret < 0:
+        raise IOError(f"native pack failed at item {-(ret + 1)}")
+    return int(ret)
+
+
+def unpack_mapped(paths, dest: np.ndarray, coeff_map: np.ndarray,
+                  offsets: np.ndarray, n_threads: int = 0,
+                  payload: str = "f32", codec: str = "xz") -> np.ndarray:
+    """Scatter payloads through a flat logical->physical map (regions
+    zero-filled first).  Returns per-item shapes int32 [N, 3]."""
+    assert dest.dtype == np.float32 and dest.flags.c_contiguous
+    coeff_map = np.ascontiguousarray(coeff_map, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(paths)
+    shapes = np.empty((n, 3), dtype=np.int32)
+    ret = lib.wtc_unpack_mapped(
+        _paths_array(list(paths)), n, len(coeff_map),
+        coeff_map.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
         dest.ctypes.data_as(_pf), shapes.ctypes.data_as(_pi32), n_threads,
         _FMT[payload], _CODEC[codec])
     if ret < 0:

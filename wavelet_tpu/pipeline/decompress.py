@@ -48,7 +48,8 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
         batch = batching.empty_batch(bucket_items, dims,
                                      pack=eng.pack_factor(dims),
                                      pad_multiple=pad,
-                                     layout=eng.coeff_layout(dims))
+                                     layout=eng.coeff_layout(dims),
+                                     scales=eng.scales)
         packer.unpack_into(cfg.compressed_dir, batch)
         out = eng.decompress_shapebatch(batch)
         for i, it in enumerate(bucket_items):

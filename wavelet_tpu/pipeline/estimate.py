@@ -146,7 +146,8 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
             batch = batching.empty_batch(items, dims,
                                          pack=eng.pack_factor(dims),
                                          pad_multiple=pad,
-                                         layout=eng.coeff_layout(dims))
+                                         layout=eng.coeff_layout(dims),
+                                         scales=eng.scales)
             packer.unpack_into(scratch, batch)
             out = eng.decompress_shapebatch(batch)
             for i, it in enumerate(items):

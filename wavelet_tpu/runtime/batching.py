@@ -52,23 +52,33 @@ class ShapeBatch:
     # (low half, high half) — the reference's order; "interleaved" = lows
     # at even, highs at odd indices (the in-place kernel layout; the host
     # packer walks kernels/haar_pallas.interleave_perm to recover the
-    # reference byte order).  Spatial (non-coefficient) batches are always
-    # natural order and keep the default.
+    # reference byte order).  ``scales`` is the pyramid depth the layout
+    # encodes (the multi-scale interleaved map is non-separable; see
+    # haar_pallas.interleave_coords_multi).  Spatial (non-coefficient)
+    # batches are always natural order and keep the defaults.
     layout: str = "halves"
+    scales: int = 1
+
+    def _logical_map(self):
+        """Flat logical->physical element offsets within an item region."""
+        from wavelet_tpu.kernels.haar_pallas import interleave_map_multi
+
+        x, y, z = self.shape
+        L = self.pack * z
+        return interleave_map_multi(self.shape, self.scales, y * L, L, 1)
 
     def item_view(self, i: int) -> np.ndarray:
         """Item i's (X, Y, Z) array in LOGICAL (reference) order.
 
-        A view into ``data`` for natural layouts; a permuted copy for
+        A view into ``data`` for natural layouts; a gathered copy for
         ``layout == "interleaved"`` coefficient batches."""
         phys = self._item_phys(i)
         if self.layout != "interleaved":
             return phys
-        from wavelet_tpu.kernels.haar_pallas import interleave_perm
-
         x, y, z = self.shape
-        return phys[np.ix_(interleave_perm(x), interleave_perm(y),
-                           interleave_perm(z))]
+        off = int(self.item_offsets()[i])
+        flat = self.data.reshape(-1)
+        return flat[off + self._logical_map()].reshape(x, y, z)
 
     def _item_phys(self, i: int) -> np.ndarray:
         """Item i's physical (X, Y, Z) region (always a view)."""
@@ -80,16 +90,13 @@ class ShapeBatch:
 
     def item_write(self, i: int, logical: np.ndarray) -> None:
         """Store item i from a LOGICAL-order (X, Y, Z) array (scatters
-        through the interleave permutation when needed)."""
-        phys = self._item_phys(i)
+        through the interleave map when needed)."""
         if self.layout != "interleaved":
-            phys[:] = logical
+            self._item_phys(i)[:] = logical
             return
-        from wavelet_tpu.kernels.haar_pallas import interleave_perm
-
-        x, y, z = self.shape
-        phys[np.ix_(interleave_perm(x), interleave_perm(y),
-                    interleave_perm(z))] = logical
+        off = int(self.item_offsets()[i])
+        flat = self.data.reshape(-1)
+        flat[off + self._logical_map()] = logical.reshape(-1)
 
     def item_offsets(self) -> np.ndarray:
         """Flat-element offset of each item's first coefficient (for the
@@ -108,7 +115,7 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 
 def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,
-                layout: str = "halves") -> ShapeBatch:
+                layout: str = "halves", scales: int = 1) -> ShapeBatch:
     """Zero-filled ShapeBatch for ``items`` of one shape (decompress side)."""
     x, y, z = dims
     n = len(items)
@@ -119,7 +126,7 @@ def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,
     else:
         data = np.zeros((n_pad // pack, x, y, pack * z), dtype=np.float32)
     return ShapeBatch(shape=tuple(dims), data=data, items=list(items),
-                      n_valid=n, pack=pack, layout=layout)
+                      n_valid=n, pack=pack, layout=layout, scales=scales)
 
 
 def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,

@@ -205,12 +205,14 @@ class CodecEngine:
         self.mesh = mesh
         self.scales = int(scales)
         if use_pallas is None:
-            use_pallas = haar_pallas.supported() and self.scales == 1
+            use_pallas = haar_pallas.supported()
             if os.environ.get("WAVELET_TPU_FORCE_PALLAS") == "1":
                 # debug/test switch: exercise the Pallas kernels in
                 # interpret mode on non-TPU backends (slow; tests only)
-                use_pallas = self.scales == 1
-        self.use_pallas = use_pallas and self.scales == 1
+                use_pallas = True
+        # scales > 1 is pallas-supported ONLY via the interleaved layout
+        # (strided in-place stencils); the halves kernels are single-scale
+        self.use_pallas = use_pallas
         # mesh > 1: Pallas calls are per-device programs XLA cannot
         # auto-partition, so they run under shard_map (batch axis sharded
         # over the data mesh); cache the wrapped jits per (kind, pack)
@@ -236,7 +238,7 @@ class CodecEngine:
     def coeff_layout(self, dims) -> str:
         """Layout the engine's coefficient batches use for this box shape."""
         if (self.layout == "interleaved" and self.use_pallas
-                and haar_pallas.interleaved_ok(dims)
+                and haar_pallas.interleaved_ok(dims, self.scales)
                 and self._pallas_ok(dims)):
             return "interleaved"
         return "halves"
@@ -251,16 +253,18 @@ class CodecEngine:
         """Pallas kernel entry, wrapped in shard_map when a mesh is set
         (the leading batch axis shards over the ``data`` axis; per-box
         extrema come back sharded in item order)."""
-        key = (kind, pack)
+        sc = self.scales
+        key = (kind, pack, sc)
         fn = self._sharded_kernels.get(key)
         if fn is not None:
             return fn
         base = {
             "fwd_interleaved":
-                lambda v: haar_pallas.fused_forward_interleaved(v, pack),
+                lambda v: haar_pallas.fused_forward_interleaved(v, pack, sc),
             "fwd_interleaved_nored":
-                haar_pallas.fused_forward_interleaved_nored,
-            "inv_interleaved": haar_pallas.fused_inverse_interleaved,
+                lambda v: haar_pallas.fused_forward_interleaved_nored(v, sc),
+            "inv_interleaved":
+                lambda v: haar_pallas.fused_inverse_interleaved(v, pack, sc),
             "fwd_packed":
                 lambda v: haar_pallas.fused_forward_packed(v, pack),
             "inv_packed":
@@ -291,15 +295,20 @@ class CodecEngine:
         return fn
 
     def _pallas_ok(self, dims) -> bool:
+        """Whether the single-scale halves kernels may run for this shape
+        (also the box-size bound shared by the interleaved path)."""
         return (self.use_pallas
                 and int(np.prod(dims)) * 4 <= self._PALLAS_MAX_BLOCK_BYTES)
+
+    def _halves_ok(self, dims) -> bool:
+        return self.scales == 1 and self._pallas_ok(dims)
 
     def compress_batch_raw(self, data: np.ndarray, keep: float):
         """-> (coeffs f32 [N, XYZ], t32 f32 [N]): transform + exact per-item
         thresholds; masking is left to the consumer (the host packer applies
         ``|c| > t32`` during RLE, so no mask array crosses the wire)."""
         dev = self._put(jnp.asarray(data))
-        if self._pallas_ok(data.shape[1:]):
+        if self._halves_ok(data.shape[1:]):
             coeffs, maxv, minv = self._kernel("fwd_plain", 1)(dev)
             flat = coeffs.reshape(coeffs.shape[0], -1)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
@@ -317,10 +326,10 @@ class CodecEngine:
 
     def pack_factor(self, dims) -> int:
         """Lane-pack factor the engine wants for boxes of this shape (feeds
-        batching.plan_batches): >1 only on the fused-Pallas path."""
+        batching.plan_batches): >1 only on the fused-Pallas paths."""
         if self.coeff_layout(dims) == "interleaved":
             return haar_pallas.interleaved_pack_factor(dims)
-        if self._pallas_ok(dims):
+        if self._halves_ok(dims):
             return haar_pallas.lane_pack_factor(dims)
         return 1
 
@@ -333,7 +342,8 @@ class CodecEngine:
             c, maxv, minv = self._kernel("fwd_interleaved", batch.pack)(dev)
             coeffs = np.asarray(c)
             cb = dataclasses.replace(batch, data=coeffs,
-                                     layout="interleaved")
+                                     layout="interleaved",
+                                     scales=self.scales)
             signed = resolve_signed_absmax(
                 np.asarray(maxv), np.asarray(minv),
                 row_getter=lambda i: cb.item_view(i).reshape(-1))
@@ -344,7 +354,7 @@ class CodecEngine:
             signed = resolve_signed_absmax(
                 np.asarray(maxv), np.asarray(minv),
                 row_getter=lambda i: cb.item_view(i).reshape(-1))
-        elif self._pallas_ok(batch.shape):
+        elif self._halves_ok(batch.shape):
             c, maxv, minv = self._kernel("fwd_plain", 1)(dev)
             coeffs = np.asarray(c)
             signed = resolve_signed_absmax(
@@ -379,6 +389,9 @@ class CodecEngine:
         so the transfer shrinks toward ~8x below the dense fetch; an
         undersized cap only costs overflow fallbacks, never correctness).
         """
+        if self.scales > 1:
+            raise ValueError("sparse transfer supports scales=1 only "
+                             "(the pipeline routes scales>1 to dense)")
         adaptive = cap_fraction is None
         if adaptive:
             cap_fraction = self._sparse_cap_hint.get(batch.shape, 0.25)
@@ -395,7 +408,7 @@ class CodecEngine:
             flat = _unpack_packed_coeffs(c, batch.pack, dims[-1])
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
-        elif self._pallas_ok(dims):
+        elif self._halves_ok(dims):
             c, maxv, minv = self._kernel("fwd_plain", 1)(dev)
             flat = c.reshape(c.shape[0], -1)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
@@ -427,7 +440,8 @@ class CodecEngine:
             c = self._kernel("fwd_interleaved_nored", batch.pack)(dev)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
             cb = dataclasses.replace(batch, data=np.asarray(c),
-                                     layout="interleaved")
+                                     layout="interleaved",
+                                     scales=self.scales)
             n_pad = (batch.data.size // int(np.prod(batch.shape))
                      ) - batch.n_valid
             hist[0] -= n_pad * int(np.prod(batch.shape))
@@ -467,7 +481,7 @@ class CodecEngine:
                                        layout="halves")
         if coeff_batch.pack > 1:
             out = self._kernel("inv_packed", coeff_batch.pack)(dev)
-        elif self._pallas_ok(coeff_batch.shape):
+        elif self._halves_ok(coeff_batch.shape):
             out = self._kernel("inv_plain", 1)(dev)
         elif self.scales > 1:
             out = _inv_multi_jit(dev, self.scales)
@@ -493,9 +507,12 @@ class CodecEngine:
         """flat f32 [N, X*Y*Z] -> boxes f32 [N, X, Y, Z]."""
         dims = tuple(int(d) for d in dims)
         dev = self._put(jnp.asarray(flat))
-        if self._pallas_ok(dims):
+        if self._halves_ok(dims):
             blocks = dev.reshape((dev.shape[0],) + dims)
             return np.asarray(self._kernel("inv_plain", 1)(blocks))
+        if self.scales > 1:
+            c = dev.reshape((dev.shape[0],) + dims)
+            return np.asarray(_inv_multi_jit(c, self.scales))
         return np.asarray(_inverse_jit(dev, dims))
 
 
@@ -578,6 +595,14 @@ class HostPacker:
                 return 0
             offsets = coeff_batch.item_offsets()
             if coeff_batch.layout == "interleaved":
+                if coeff_batch.scales > 1:
+                    # multi-scale map is non-separable: full flat-map walk
+                    return native.pack_mapped(
+                        coeff_batch.data, np.asarray(t32)[sel],
+                        coeff_batch.shape, [paths[i] for i in sel],
+                        coeff_batch._logical_map(), offsets[sel],
+                        self.workers, payload=self.payload,
+                        codec=self.codec, preset=self.xz_preset)
                 ix, iy, iz = self._index_tables(coeff_batch)
                 return native.pack_indexed(
                     coeff_batch.data, np.asarray(t32)[sel],
@@ -632,7 +657,12 @@ class HostPacker:
         dims = batch.shape
         rows, row_len, row_stride = self._geometry(batch)
         if self.use_native:
-            if batch.layout == "interleaved":
+            if batch.layout == "interleaved" and batch.scales > 1:
+                shapes = native.unpack_mapped(
+                    paths, batch.data, batch._logical_map(),
+                    batch.item_offsets(), self.workers,
+                    payload=self.payload, codec=self.codec)
+            elif batch.layout == "interleaved":
                 ix, iy, iz = self._index_tables(batch)
                 shapes = native.unpack_indexed(
                     paths, batch.data, ix, iy, iz, batch.item_offsets(),
