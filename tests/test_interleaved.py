@@ -378,3 +378,38 @@ def test_mapped_native_pack_matches_python_multiscale(tmp_path):
         for i in range(n):
             masked = np.where(np.abs(ref_c[i]) > t32[i], ref_c[i], 0.0)
             np.testing.assert_array_equal(ub.item_view(i), masked)
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+def test_mapped_native_q16_matches_python_multiscale(tmp_path):
+    """q16 payloads through the mapped walk: native == python bytes."""
+    from wavelet_tpu.core import threshold
+
+    rng = np.random.default_rng(9)
+    x, y, z, pack, scales = 8, 8, 8, 2, 2
+    n = 2
+    boxes = (rng.standard_normal((n, x, y, z)) * 50).astype(np.float32)
+    packed = np.ascontiguousarray(
+        boxes.reshape(n // pack, pack, x, y, z).transpose(0, 2, 3, 1, 4)
+        .reshape(n // pack, x, y, pack * z))
+    c, maxv, minv = hp.fused_forward_interleaved(
+        jnp.asarray(packed), pack, scales)
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+             for b in range(n)]
+    cb = batching.ShapeBatch(shape=(x, y, z), data=np.asarray(c),
+                             items=items, n_valid=n, pack=pack,
+                             layout="interleaved", scales=scales)
+    signed = engine.resolve_signed_absmax(
+        np.asarray(maxv), np.asarray(minv),
+        row_getter=lambda i: cb.item_view(i).reshape(-1))
+    t32 = threshold.exact_threshold32(signed, 0.99)
+    outs = {}
+    for use_native in (True, False):
+        d = tmp_path / ("n" if use_native else "p")
+        os.makedirs(d)
+        packer = engine.HostPacker(use_native=use_native, payload="q16")
+        packer.pack(str(d), cb, t32)
+        outs[use_native] = {
+            f: archive.xz_decompress(open(os.path.join(d, f), "rb").read())
+            for f in sorted(os.listdir(d))}
+    assert outs[True] == outs[False]
