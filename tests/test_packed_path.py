@@ -83,7 +83,8 @@ def test_engine_packed_roundtrip_interpret(tmp_path):
     eng_plain = engine.CodecEngine(use_pallas=False)
 
     [pb] = batching.plan_batches(entries, pack_fn=eng_packed.pack_factor)
-    assert pb.pack == 8
+    # lane_pack_factor gives 8 for z=16, capped to the 4-item bucket
+    assert pb.pack == 4
     [nb] = batching.plan_batches(entries, pack_fn=eng_plain.pack_factor)
     assert nb.pack == 1
 
@@ -112,3 +113,20 @@ def test_engine_packed_roundtrip_interpret(tmp_path):
                 oracle.haar_forward_oracle(entries[i][1]), 0.0)
             want = oracle.haar_inverse_oracle(flat, *dims)
             np.testing.assert_array_equal(out.item_view(i), want)
+
+
+def test_pack_capped_for_small_buckets():
+    """Tiny buckets must not pad to enormous lane-pack quanta (2 boxes of
+    8x4x2 would otherwise pad to a 512-slot interleaved row)."""
+    from wavelet_tpu.runtime import batching
+
+    assert batching.cap_pack(512, 2) == 2
+    assert batching.cap_pack(512, 600) == 512
+    assert batching.cap_pack(16, 16) == 16
+    assert batching.cap_pack(1, 0) == 1
+    items = [(batching.WorkItem(0, 0, 0, i),
+              __import__("numpy").zeros((8, 4, 2), "float32"))
+             for i in range(2)]
+    batches = batching.plan_batches(items, pack_fn=lambda s: 512)
+    assert batches[0].pack <= 2
+    assert batches[0].data.size <= 2 * 8 * 4 * 2 * 2  # <= 2x padding

@@ -15,7 +15,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["WorkItem", "ShapeBatch", "plan_batches", "pad_to_multiple"]
+__all__ = ["WorkItem", "ShapeBatch", "plan_batches", "pad_to_multiple",
+           "cap_pack"]
 
 
 @dataclass(frozen=True)
@@ -114,11 +115,23 @@ def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m if m > 1 else n
 
 
+def cap_pack(pack: int, n_items: int) -> int:
+    """Halve an over-wide lane-pack factor until it stops forcing more
+    than ~2x padding slots for a small bucket (tiny boxes can request
+    P=512 lanes' worth of packing; 2 real items would pad to 512).
+    Archive bytes are layout-independent, so the cap is purely a
+    compute/VMEM economy."""
+    while pack > 1 and pack >= 2 * max(1, n_items):
+        pack //= 2
+    return max(1, pack)
+
+
 def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,
                 layout: str = "halves", scales: int = 1) -> ShapeBatch:
     """Zero-filled ShapeBatch for ``items`` of one shape (decompress side)."""
     x, y, z = dims
     n = len(items)
+    pack = cap_pack(pack, n)
     quantum = pack * pad_multiple
     n_pad = pad_to_multiple(n, quantum) if quantum > 1 else n
     if pack == 1:
@@ -150,6 +163,7 @@ def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,
     for shape in sorted(buckets, key=lambda s: (-int(np.prod(s)), s)):
         pairs = buckets[shape]
         pack = int(pack_fn(shape)) if pack_fn is not None else 1
+        pack = cap_pack(pack, len(pairs))
         quantum = pack * pad_multiple
         per_item = int(np.prod(shape)) * 4
         chunk = max(quantum, (max_batch_bytes // max(per_item, 1)) or 1)
