@@ -59,14 +59,19 @@ class ShapeBatch:
     # batches are always natural order and keep the defaults.
     layout: str = "halves"
     scales: int = 1
+    _map_cache: object = None   # lazily built logical->physical flat map
 
     def _logical_map(self):
-        """Flat logical->physical element offsets within an item region."""
-        from wavelet_tpu.kernels.haar_pallas import interleave_map_multi
+        """Flat logical->physical element offsets within an item region
+        (cached: it is O(X*Y*Z) to build and shared by every item)."""
+        if self._map_cache is None:
+            from wavelet_tpu.kernels.haar_pallas import interleave_map_multi
 
-        x, y, z = self.shape
-        L = self.pack * z
-        return interleave_map_multi(self.shape, self.scales, y * L, L, 1)
+            x, y, z = self.shape
+            L = self.pack * z
+            self._map_cache = interleave_map_multi(
+                self.shape, self.scales, y * L, L, 1)
+        return self._map_cache
 
     def item_view(self, i: int) -> np.ndarray:
         """Item i's (X, Y, Z) array in LOGICAL (reference) order.
