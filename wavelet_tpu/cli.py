@@ -45,9 +45,12 @@ def parse_argv(argv):
         mode = "estimate"
     elif "-d" in flags:
         mode = "d"
+    elif "-check" in flags:
+        mode = "check"
     else:
         raise SystemExit("Specify a mode: -c for compression, -d for "
-                         "decompression, or -estimate for estimate mode!")
+                         "decompression, -estimate for estimate mode, or "
+                         "-check for archive validation!")
 
     def need(key):
         if key not in kv:
@@ -80,6 +83,8 @@ def parse_argv(argv):
             cfg.compressed_dir = need("compresseddir")
         else:
             cfg.compressed_dir = kv.get("compresseddir", "")
+    elif mode == "check":
+        cfg.compressed_dir = need("compresseddir")
     else:
         cfg.compressed_dir = need("compresseddir")
         cfg.out_dir = need("out")
@@ -128,6 +133,11 @@ def main(argv=None):
                 compress_run(cfg, mesh=mesh)
             elif mode == "estimate":
                 estimate_run(cfg, mesh=mesh)
+            elif mode == "check":
+                from wavelet_tpu.pipeline.check import check_run
+
+                if check_run(cfg)["errors"]:
+                    return 1
             else:
                 decompress_run(cfg, mesh=mesh)
     except (KeyError, ValueError, OSError) as e:

@@ -4,3 +4,4 @@ from wavelet_tpu.pipeline.common import Config, format_files, format_levels, cle
 from wavelet_tpu.pipeline.compress import compress_run  # noqa: F401
 from wavelet_tpu.pipeline.decompress import decompress_run  # noqa: F401
 from wavelet_tpu.pipeline.estimate import estimate_run  # noqa: F401
+from wavelet_tpu.pipeline.check import check_run  # noqa: F401

@@ -1,0 +1,119 @@
+"""Archive integrity check (``-check`` mode; no reference analogue).
+
+Walks a compressed archive WITHOUT decompressing boxes to full data:
+validates the five sidecars' mutual consistency, then every payload's
+container, header, and RLE stream (decodable, shape agrees with
+``dimensions.raw``, total count matches, runs non-negative and
+in-bounds).  The operational tool for pod-scale archives: a damaged or
+partially-written archive is diagnosed file-by-file in one pass instead
+of failing mid-decompression.
+"""
+
+from __future__ import annotations
+
+import logging
+import lzma
+import os
+
+import numpy as np
+
+from wavelet_tpu.io import archive
+from wavelet_tpu.pipeline import common
+
+log = logging.getLogger("wavelet_tpu")
+
+__all__ = ["check_run"]
+
+
+def _check_payload(path: str, dims, meta) -> str | None:
+    """Returns an error string, or None if the payload is sound."""
+    if not os.path.exists(path):
+        return "missing payload file"
+    try:
+        with open(path, "rb") as f:
+            payload = archive.decode_blob(f.read(), meta.get("codec", "xz"))
+    except (lzma.LZMAError, OSError) as e:
+        return f"container decode failed: {e}"
+    q16 = meta.get("payload") == "q16"
+    head = 24 if q16 else 20
+    if len(payload) < head:
+        return f"payload shorter than header ({len(payload)} B)"
+    try:
+        if q16:
+            shape, total, runs, _vals = archive.deserialize_payload_q16(
+                payload)
+        else:
+            shape, total, runs, _vals = archive.deserialize_payload(payload)
+    except Exception as e:  # noqa: BLE001 — any malformed header
+        return f"payload deserialize failed: {e}"
+    if tuple(shape) != tuple(dims):
+        return f"payload shape {tuple(shape)} != dimensions.raw {tuple(dims)}"
+    if total != int(np.prod(dims)):
+        return f"total {total} != prod(shape) {int(np.prod(dims))}"
+    pair_bytes = 6 if q16 else 8
+    if len(payload) < head + len(runs) * pair_bytes:
+        return "pair stream truncated"
+    if len(runs):
+        runs64 = np.asarray(runs, np.int64)
+        if runs64.min() < 0:
+            return "negative RLE run"
+        pos = np.cumsum(runs64 + 1) - 1
+        if pos[-1] >= total:
+            return f"RLE positions overflow total ({int(pos[-1])} >= {total})"
+    return None
+
+
+def check_run(cfg: common.Config) -> dict:
+    """Validate ``cfg.compressed_dir``; returns {'files': n, 'errors': [...]}.
+
+    Sidecar problems are fatal (reported and returned immediately — the
+    payload walk needs their geometry); payload problems are collected
+    per file.
+    """
+    errors: list[str] = []
+    d = cfg.compressed_dir
+    try:
+        info = archive.read_runinfo(d)
+        levels = common.format_levels(info.min_level, info.max_level)
+        counts = archive.read_boxcounts(d, len(info.files), len(levels))
+        locations = archive.read_locdim(d, "locations.raw", counts)
+        dimensions = archive.read_locdim(d, "dimensions.raw", counts)
+        amrex = archive.read_amrexinfo(d)
+        meta = archive.read_meta(d)
+    except (ValueError, OSError) as e:
+        log.error("sidecar error: %s", e)
+        return {"files": 0, "errors": [f"sidecar: {e}"]}
+
+    # sidecar cross-consistency
+    if len(amrex.true_times) != len(info.files):
+        errors.append(
+            f"amrexinfo has {len(amrex.true_times)} times for "
+            f"{len(info.files)} files")
+    if len(info.components) != len(info.comp_idxs):
+        errors.append("runinfo components/comp_idxs length mismatch")
+    for t in range(len(info.files)):
+        for li in range(len(levels)):
+            if len(locations[t][li]) != counts[t][li] or \
+                    len(dimensions[t][li]) != counts[t][li]:
+                errors.append(
+                    f"loc/dim count mismatch at t={t} level={li}")
+
+    n_files = 0
+    for t in range(len(info.files)):
+        for li in range(len(levels)):
+            for b in range(counts[t][li]):
+                dims = dimensions[t][li][b]
+                for comp_idx in info.comp_idxs:
+                    name = archive.payload_filename(t, li, comp_idx, b)
+                    err = _check_payload(os.path.join(d, name), dims, meta)
+                    n_files += 1
+                    if err:
+                        errors.append(f"{name}: {err}")
+    for e in errors:
+        log.error("%s", e)
+    if errors:
+        log.error("Archive check FAILED: %d problem(s) in %d payloads",
+                  len(errors), n_files)
+    else:
+        log.info("Archive check passed: %d payloads sound", n_files)
+    return {"files": n_files, "errors": errors}
