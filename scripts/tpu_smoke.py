@@ -125,6 +125,50 @@ def main():
                 ok = False
             failures += not check(f"interleaved P={IP} {name}", ok)
 
+    # multi-scale + reduction-free interleaved variants
+    dims, n, S = (16, 16, 16), 8, 2
+    x, y, z = dims
+    boxes = rng.standard_normal((n,) + dims).astype(np.float32)
+    IP = hp.interleaved_pack_factor(dims)
+    IP = min(IP, n)
+    packed = np.ascontiguousarray(
+        boxes.reshape(n // IP, IP, x, y, z).transpose(0, 2, 3, 1, 4)
+        .reshape(n // IP, x, y, IP * z))
+    try:
+        ref = np.asarray(haar.haar3d_forward_multi(jnp.asarray(boxes), S))
+        c, mx, mn = hp.fused_forward_interleaved(jnp.asarray(packed), IP, S)
+        c = np.asarray(c)
+        L = IP * z
+        fmap = np.asarray(hp.interleave_map_multi(dims, S, y * L, L, 1))
+        ok = True
+        for i in range(min(n, 2)):
+            m, p = divmod(i, IP)
+            base = m * (x * y * L) + p * z
+            got = c.reshape(-1)[base + fmap].reshape(dims)
+            ok = ok and np.array_equal(got.view(np.int32),
+                                       ref[i].view(np.int32))
+        out = np.asarray(hp.fused_inverse_interleaved(jnp.asarray(c), IP, S))
+        ref_out = np.asarray(haar.haar3d_inverse_multi(jnp.asarray(ref), S))
+        for i in range(min(n, 2)):
+            m, p = divmod(i, IP)
+            ok = ok and np.array_equal(
+                out[m, :, :, p * z:(p + 1) * z].view(np.int32),
+                ref_out[i].view(np.int32))
+    except Exception as e:  # noqa: BLE001
+        print(f"  multiscale: {e}")
+        ok = False
+    failures += not check(f"interleaved multiscale S={S} P={IP}", ok)
+
+    try:
+        c2 = np.asarray(hp.fused_forward_interleaved_nored(
+            jnp.asarray(packed), 1))
+        c1, _, _ = hp.fused_forward_interleaved(jnp.asarray(packed), IP, 1)
+        ok = np.array_equal(c2.view(np.int32), np.asarray(c1).view(np.int32))
+    except Exception as e:  # noqa: BLE001
+        print(f"  nored: {e}")
+        ok = False
+    failures += not check("interleaved nored", ok)
+
     print(f"{'ALL PASS' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
