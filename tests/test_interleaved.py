@@ -413,3 +413,36 @@ def test_mapped_native_q16_matches_python_multiscale(tmp_path):
             f: archive.xz_decompress(open(os.path.join(d, f), "rb").read())
             for f in sorted(os.listdir(d))}
     assert outs[True] == outs[False]
+
+
+@pytest.mark.parametrize("scales", [1, 2])
+def test_global_mode_forced_pallas_interleaved(tmp_path, interleaved_env,
+                                               scales):
+    """The global-threshold pipeline through the interleaved (nored)
+    kernels: bytes identical to the jnp path.  Regression: the engine
+    passed scales to a single-arg kernel wrapper, a TypeError the CPU
+    suite never hit because global mode wasn't exercised under
+    FORCE_PALLAS."""
+    from wavelet_tpu.pipeline import Config, compress_run
+
+    data_dir = _synth(tmp_path)
+    int_dir = str(tmp_path / f"g{scales}_int") + os.sep
+    compress_run(Config(data_dir=data_dir, min_time="plt00050",
+                        max_time="plt00050", min_level=0, max_level=0,
+                        components=["a", "b"], threshold_mode="global",
+                        keep_fraction=0.1, scales=scales,
+                        compressed_dir=int_dir))
+    os.environ.pop("WAVELET_TPU_LAYOUT")
+    os.environ.pop("WAVELET_TPU_FORCE_PALLAS")
+    jnp_dir = str(tmp_path / f"g{scales}_jnp") + os.sep
+    compress_run(Config(data_dir=data_dir, min_time="plt00050",
+                        max_time="plt00050", min_level=0, max_level=0,
+                        components=["a", "b"], threshold_mode="global",
+                        keep_fraction=0.1, scales=scales,
+                        compressed_dir=jnp_dir))
+    for name in sorted(os.listdir(jnp_dir)):
+        a = open(os.path.join(jnp_dir, name), "rb").read()
+        b = open(os.path.join(int_dir, name), "rb").read()
+        if name.endswith(".xz"):
+            a, b = archive.xz_decompress(a), archive.xz_decompress(b)
+        assert a == b, f"{name} differs (global mode, scales={scales})"

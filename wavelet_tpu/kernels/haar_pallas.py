@@ -530,19 +530,23 @@ def _fwd_interleaved_call(packed: jax.Array, n_seg: int, scales: int = 1,
     return c.reshape(m, x, y, L), maxv, minv
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fwd_interleaved_nored_call(packed: jax.Array,
+@functools.partial(jax.jit, static_argnames=("n_seg", "scales",
+                                             "interpret"))
+def _fwd_interleaved_nored_call(packed: jax.Array, n_seg: int = 1,
+                                scales: int = 1,
                                 *, interpret: bool = False):
     """Forward without the fused extrema reductions: the global-threshold
     histogram pass doesn't need per-box extrema, and the reduction outputs
     cost ~16% (measured 164 vs 193 GB/s) — this variant runs at the bare
     stencil rate."""
     m, x, y, L = packed.shape
+    z = L // n_seg
     flat = packed.reshape(m * x, y, L)
-    xb = _x_block(x, y, L)
+    xb = _x_block(x, y, L, scales=scales)
 
     def kern(x_ref, out_ref):
-        out_ref[:] = _fwd_interleaved_block(x_ref[:])
+        out_ref[:] = _fwd_interleaved_block(
+            x_ref[:], scales, seg=z if n_seg > 1 else None)
 
     out = pl.pallas_call(
         kern,
@@ -558,12 +562,14 @@ def _fwd_interleaved_nored_call(packed: jax.Array,
     return out.reshape(m, x, y, L)
 
 
-def fused_forward_interleaved_nored(packed: jax.Array) -> jax.Array:
+def fused_forward_interleaved_nored(packed: jax.Array, n_seg: int = 1,
+                                    scales: int = 1) -> jax.Array:
     """Interleaved forward, coefficients only (no extrema) — for callers
     that don't threshold per box (global-histogram mode)."""
     if supported():
-        return _fwd_interleaved_nored_call(packed)
-    return _fwd_interleaved_nored_call(packed, interpret=True)
+        return _fwd_interleaved_nored_call(packed, n_seg, scales)
+    return _fwd_interleaved_nored_call(packed, n_seg, scales,
+                                       interpret=True)
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "scales",

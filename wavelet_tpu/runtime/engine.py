@@ -262,7 +262,8 @@ class CodecEngine:
             "fwd_interleaved":
                 lambda v: haar_pallas.fused_forward_interleaved(v, pack, sc),
             "fwd_interleaved_nored":
-                lambda v: haar_pallas.fused_forward_interleaved_nored(v, sc),
+                lambda v: haar_pallas.fused_forward_interleaved_nored(
+                    v, pack, sc),
             "inv_interleaved":
                 lambda v: haar_pallas.fused_inverse_interleaved(v, pack, sc),
             "fwd_packed":
