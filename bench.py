@@ -136,15 +136,18 @@ def main():
     def iinv_many(v, k):
         return jax.lax.fori_loop(0, k, lambda i, u: iinv_one(u), v)
 
-    def make_x_shape(shape):
-        seed = [500]
+    _seed_pool = [100]
 
-        def make(r=None):
-            seed[0] += 1
-            rr = np.random.default_rng(seed[0])
+    def make_x_shape(shape):
+        """Fresh-input factory (cache-proof: the axon layer can serve
+        repeated (executable, input) executions from a cache)."""
+
+        def make():
+            _seed_pool[0] += 1
+            rr = np.random.default_rng(_seed_pool[0])
             arr = jax.device_put(
                 rr.standard_normal(shape).astype(np.float32), dev)
-            _ = np.asarray(arr.ravel()[0])
+            _ = np.asarray(arr.ravel()[0])  # ensure transfer complete
             return arr
         return make
 
@@ -165,15 +168,7 @@ def main():
     def inv_many(v, k):
         return jax.lax.fori_loop(0, k, lambda i, u: inv_one(u), v)
 
-    _fresh_seed = [100]
-
-    def make_x():
-        _fresh_seed[0] += 1
-        r = np.random.default_rng(_fresh_seed[0])
-        arr = jax.device_put(
-            r.standard_normal(batch_np.shape).astype(np.float32), dev)
-        _ = np.asarray(arr.ravel()[0])  # ensure transfer complete
-        return arr
+    make_x = make_x_shape(batch_np.shape)
 
     x = jax.device_put(batch_np, dev)
     _ = np.asarray(x[0, 0, 0, 0])  # ensure transfer complete
@@ -221,11 +216,13 @@ def main():
     best_fwd = dt_fwd
     best_inv = dt_inv
     layout = "halves"
+    inv_layout = "halves"
     if dt_ifwd is not None and dt_ifwd < dt_fwd:
         best_fwd = dt_ifwd
         layout = "interleaved"
     if dt_iinv is not None and dt_iinv < dt_inv:
         best_inv = dt_iinv
+        inv_layout = "interleaved"
     compress_gbps = gb / (best_fwd + dt_mask)
     decompress_gbps = gb / best_inv
     roundtrip_gbps = gb / (best_fwd + dt_mask + best_inv)
@@ -264,6 +261,7 @@ def main():
                             "speed of light) are dropped as cache-"
                             "contaminated"),
             "headline_layout": layout,
+            "decompress_layout": inv_layout,
             "forward": _stage("forward", dt_fwd, sp_fwd),
             "mask": _stage("mask", dt_mask, sp_mask),
             "inverse": _stage("inverse", dt_inv, sp_inv),

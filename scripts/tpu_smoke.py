@@ -70,8 +70,12 @@ def main():
             ok = False
         failures += not check(f"halves {name}", ok)
 
-        P = hp.lane_pack_factor(dims)
-        if P > 1 and n % P == 0:
+        from wavelet_tpu.runtime.batching import cap_pack
+
+        P = cap_pack(hp.lane_pack_factor(dims), n, z)
+        while P > 1 and n % P:
+            P //= 2
+        if P > 1:
             packed = np.ascontiguousarray(
                 boxes.reshape(n // P, P, x, y, z).transpose(0, 2, 3, 1, 4)
                 .reshape(n // P, x, y, P * z))
@@ -96,8 +100,10 @@ def main():
                 ok = False
             failures += not check(f"packed P={P} {name}", ok)
 
-        IP = hp.interleaved_pack_factor(dims)
-        if hp.interleaved_ok(dims) and n % max(IP, 1) == 0:
+        IP = cap_pack(hp.interleaved_pack_factor(dims), n, z)
+        while IP > 1 and n % IP:
+            IP //= 2
+        if hp.interleaved_ok(dims):
             packed = np.ascontiguousarray(
                 boxes.reshape(n // IP, IP, x, y, z).transpose(0, 2, 3, 1, 4)
                 .reshape(n // IP, x, y, IP * z))

@@ -83,8 +83,10 @@ def test_engine_packed_roundtrip_interpret(tmp_path):
     eng_plain = engine.CodecEngine(use_pallas=False)
 
     [pb] = batching.plan_batches(entries, pack_fn=eng_packed.pack_factor)
-    # lane_pack_factor gives 8 for z=16, capped to the 4-item bucket
-    assert pb.pack == 4
+    # lane_pack_factor gives 8 for z=16; the 128-lane floor keeps it at 8
+    # even for this 4-item bucket (8*16 = 128 lanes is the minimum proven
+    # kernel row)
+    assert pb.pack == 8
     [nb] = batching.plan_batches(entries, pack_fn=eng_plain.pack_factor)
     assert nb.pack == 1
 
@@ -117,16 +119,20 @@ def test_engine_packed_roundtrip_interpret(tmp_path):
 
 def test_pack_capped_for_small_buckets():
     """Tiny buckets must not pad to enormous lane-pack quanta (2 boxes of
-    8x4x2 would otherwise pad to a 512-slot interleaved row)."""
+    8x4x2 would otherwise pad to a 512-slot interleaved row) — but the
+    cap floors at a full 128-lane row (P*z >= 128): narrower lane shapes
+    are kernel classes no hardware run has validated."""
     from wavelet_tpu.runtime import batching
 
-    assert batching.cap_pack(512, 2) == 2
-    assert batching.cap_pack(512, 600) == 512
-    assert batching.cap_pack(16, 16) == 16
+    assert batching.cap_pack(512, 2) == 2          # no z: pure size cap
+    assert batching.cap_pack(512, 2, z=2) == 64    # floor = 128 lanes
+    assert batching.cap_pack(512, 2, z=64) == 2    # floor = 2 at z=64
+    assert batching.cap_pack(512, 600, z=2) == 512
+    assert batching.cap_pack(16, 16, z=16) == 16
     assert batching.cap_pack(1, 0) == 1
     items = [(batching.WorkItem(0, 0, 0, i),
               __import__("numpy").zeros((8, 4, 2), "float32"))
              for i in range(2)]
     batches = batching.plan_batches(items, pack_fn=lambda s: 512)
-    assert batches[0].pack <= 2
-    assert batches[0].data.size <= 2 * 8 * 4 * 2 * 2  # <= 2x padding
+    assert batches[0].pack == 64                   # 128-lane floor
+    assert batches[0].pack * 2 <= 512              # still far below 512

@@ -77,8 +77,14 @@ def serialize_payload(shape, runs: np.ndarray, vals: np.ndarray) -> bytes:
 
 
 def deserialize_payload(data: bytes):
-    """Unpack -> (shape (x,y,z), total_coeffs, runs int32[], vals f32[])."""
+    """Unpack -> (shape (x,y,z), total_coeffs, runs int32[], vals f32[]).
+
+    Malformed headers raise ValueError (a negative pair count would make
+    ``np.frombuffer`` silently consume the rest of the buffer)."""
     x, y, z, total, n_pairs = struct.unpack_from("<5i", data, 0)
+    if n_pairs < 0 or len(data) < 20 + n_pairs * 8:
+        raise ValueError(
+            f"corrupt payload header: {n_pairs} pairs, {len(data)} bytes")
     pairs = np.frombuffer(data, dtype=np.dtype([("run", "<i4"), ("val", "<f4")]),
                           count=n_pairs, offset=20)
     return (x, y, z), total, pairs["run"], pairs["val"]
@@ -145,6 +151,9 @@ def serialize_payload_q16(shape, runs: np.ndarray, vals: np.ndarray) -> bytes:
 
 def deserialize_payload_q16(data: bytes):
     x, y, z, total, n_pairs, scale = struct.unpack_from("<5if", data, 0)
+    if n_pairs < 0 or len(data) < 24 + n_pairs * 6:
+        raise ValueError(
+            f"corrupt payload header: {n_pairs} pairs, {len(data)} bytes")
     pairs = np.frombuffer(data, dtype=_Q16, count=n_pairs, offset=24)
     vals = pairs["val"].astype(np.float32) * np.float32(scale)
     return (x, y, z), total, pairs["run"], vals

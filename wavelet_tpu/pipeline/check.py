@@ -36,8 +36,17 @@ def _check_payload(path: str, dims, meta) -> str | None:
         return f"container decode failed: {e}"
     q16 = meta.get("payload") == "q16"
     head = 24 if q16 else 20
+    pair_bytes0 = 6 if q16 else 8
     if len(payload) < head:
         return f"payload shorter than header ({len(payload)} B)"
+    import struct
+
+    n_pairs = struct.unpack_from("<i", payload, 16)[0]
+    if n_pairs < 0:
+        return f"negative pair count ({n_pairs})"
+    if len(payload) < head + n_pairs * pair_bytes0:
+        return (f"pair stream truncated (header claims {n_pairs} pairs, "
+                f"{len(payload)} bytes)")
     try:
         if q16:
             shape, total, runs, _vals = archive.deserialize_payload_q16(
@@ -46,13 +55,12 @@ def _check_payload(path: str, dims, meta) -> str | None:
             shape, total, runs, _vals = archive.deserialize_payload(payload)
     except Exception as e:  # noqa: BLE001 — any malformed header
         return f"payload deserialize failed: {e}"
+    if len(runs) != n_pairs:
+        return f"pair count mismatch ({len(runs)} vs header {n_pairs})"
     if tuple(shape) != tuple(dims):
         return f"payload shape {tuple(shape)} != dimensions.raw {tuple(dims)}"
     if total != int(np.prod(dims)):
         return f"total {total} != prod(shape) {int(np.prod(dims))}"
-    pair_bytes = 6 if q16 else 8
-    if len(payload) < head + len(runs) * pair_bytes:
-        return "pair stream truncated"
     if len(runs):
         runs64 = np.asarray(runs, np.int64)
         if runs64.min() < 0:
@@ -91,12 +99,14 @@ def check_run(cfg: common.Config) -> dict:
             f"{len(info.files)} files")
     if len(info.components) != len(info.comp_idxs):
         errors.append("runinfo components/comp_idxs length mismatch")
-    for t in range(len(info.files)):
-        for li in range(len(levels)):
-            if len(locations[t][li]) != counts[t][li] or \
-                    len(dimensions[t][li]) != counts[t][li]:
-                errors.append(
-                    f"loc/dim count mismatch at t={t} level={li}")
+    # read_locdim already rejects SHORT files; flag trailing excess too
+    # (a sign of a boxcounts/locations disagreement the reads can't see)
+    need = 3 * 4 * sum(int(c) for per in counts for c in per)
+    for name in ("locations.raw", "dimensions.raw"):
+        size = os.path.getsize(os.path.join(d, name))
+        if size != need:
+            errors.append(
+                f"{name}: {size} bytes but boxcounts.raw implies {need}")
 
     n_files = 0
     for t in range(len(info.files)):

@@ -60,6 +60,7 @@ class ShapeBatch:
     layout: str = "halves"
     scales: int = 1
     _map_cache: object = None   # lazily built logical->physical flat map
+    _offsets_cache: object = None
 
     def _logical_map(self):
         """Flat logical->physical element offsets within an item region
@@ -106,27 +107,40 @@ class ShapeBatch:
 
     def item_offsets(self) -> np.ndarray:
         """Flat-element offset of each item's first coefficient (for the
-        strided native codec); row geometry = (X*Y rows of Z, stride P*Z)."""
-        x, y, z = self.shape
-        n = len(self.items)
-        idx = np.arange(n, dtype=np.int64)
-        if self.pack == 1:
-            return idx * (x * y * z)
-        m, p = np.divmod(idx, self.pack)
-        return m * (x * y * self.pack * z) + p * z
+        strided native codec); row geometry = (X*Y rows of Z, stride P*Z).
+        Cached — per-item accessors call this once per item."""
+        if self._offsets_cache is None:
+            x, y, z = self.shape
+            n = len(self.items)
+            idx = np.arange(n, dtype=np.int64)
+            if self.pack == 1:
+                self._offsets_cache = idx * (x * y * z)
+            else:
+                m, p = np.divmod(idx, self.pack)
+                self._offsets_cache = m * (x * y * self.pack * z) + p * z
+        return self._offsets_cache
 
 
 def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m if m > 1 else n
 
 
-def cap_pack(pack: int, n_items: int) -> int:
+def cap_pack(pack: int, n_items: int, z: int | None = None) -> int:
     """Halve an over-wide lane-pack factor until it stops forcing more
     than ~2x padding slots for a small bucket (tiny boxes can request
     P=512 lanes' worth of packing; 2 real items would pad to 512).
     Archive bytes are layout-independent, so the cap is purely a
-    compute/VMEM economy."""
-    while pack > 1 and pack >= 2 * max(1, n_items):
+    compute/VMEM economy.
+
+    With ``z`` given, never cap below a full 128-lane row (P*z >= 128):
+    narrower lane shapes are kernel classes no hardware run has
+    validated (Mosaic enforces tiling rules interpret mode does not),
+    so the floor keeps production on proven shapes at the cost of a
+    little extra padding for very small buckets."""
+    floor = 1
+    if z and z > 0:
+        floor = max(1, -(-128 // z))
+    while pack > floor and pack // 2 >= floor and pack >= 2 * max(1, n_items):
         pack //= 2
     return max(1, pack)
 
@@ -136,7 +150,7 @@ def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,
     """Zero-filled ShapeBatch for ``items`` of one shape (decompress side)."""
     x, y, z = dims
     n = len(items)
-    pack = cap_pack(pack, n)
+    pack = cap_pack(pack, n, z)
     quantum = pack * pad_multiple
     n_pad = pad_to_multiple(n, quantum) if quantum > 1 else n
     if pack == 1:
@@ -168,7 +182,7 @@ def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,
     for shape in sorted(buckets, key=lambda s: (-int(np.prod(s)), s)):
         pairs = buckets[shape]
         pack = int(pack_fn(shape)) if pack_fn is not None else 1
-        pack = cap_pack(pack, len(pairs))
+        pack = cap_pack(pack, len(pairs), shape[-1])
         quantum = pack * pad_multiple
         per_item = int(np.prod(shape)) * 4
         chunk = max(quantum, (max_batch_bytes // max(per_item, 1)) or 1)

@@ -288,10 +288,18 @@ class CodecEngine:
             # check_vma=False: pallas_call's out_shape carries no varying-
             # mesh-axes annotation; the per-device program is trivially
             # batch-parallel (no collectives inside)
-            fn = jax.jit(shard_map(
+            sharded = jax.jit(shard_map(
                 base, mesh=self.mesh, in_specs=(spec,),
                 out_specs=(spec, spec, spec) if n_out == 3 else spec,
                 check_vma=False))
+            D = self.mesh.size
+
+            def fn(v, _sharded=sharded, _base=base, _D=D):
+                # public batch APIs accept any leading size; shard_map
+                # needs divisibility — indivisible batches run unsharded
+                if v.shape[0] % _D:
+                    return _base(v)
+                return _sharded(v)
         self._sharded_kernels[key] = fn
         return fn
 

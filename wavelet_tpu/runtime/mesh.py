@@ -46,8 +46,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(x, mesh: Mesh | None):
-    """Device-put ``x`` sharded on its leading axis (or single-device if no mesh)."""
+    """Device-put ``x`` sharded on its leading axis (or single-device if no
+    mesh).  A leading axis not divisible by the mesh size falls back to the
+    default single-device placement — the pipelines always pad to a mesh
+    multiple, but direct API callers need not."""
     if mesh is None or mesh.size == 1:
+        return jax.device_put(x)
+    if x.shape[0] % mesh.size:
         return jax.device_put(x)
     return jax.device_put(x, batch_sharding(mesh))
 
