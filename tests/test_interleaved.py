@@ -446,3 +446,47 @@ def test_global_mode_forced_pallas_interleaved(tmp_path, interleaved_env,
         if name.endswith(".xz"):
             a, b = archive.xz_decompress(a), archive.xz_decompress(b)
         assert a == b, f"{name} differs (global mode, scales={scales})"
+
+
+def test_mixed_shapes_effective_scales_roundtrip(tmp_path, interleaved_env):
+    """scales=2 on a run mixing a pyramid-capable box with a (8,4,2)-style
+    box that can only take one scale: each shape uses its deepest
+    applicable pyramid and the archive round-trips (regression: the run
+    used to abort with 'dims not divisible')."""
+    from wavelet_tpu.io import plotfile as pf
+    from wavelet_tpu.pipeline import Config, compress_run, decompress_run
+
+    rng = np.random.default_rng(13)
+    big = np.fromfunction(
+        lambda i, j, k: np.sin(0.2 * i) + 0.1 * j + 0.05 * k,
+        (16, 8, 8)).astype(np.float32)
+    tiny = rng.standard_normal((8, 4, 2)).astype(np.float32)
+    pf.write_plotfile(str(tmp_path / "data" / "plt00080"),
+                      [[big[None], tiny[None]]],
+                      [[(0, 0, 0), (16, 0, 0)]],
+                      [[(16, 8, 8), (8, 4, 2)]],
+                      ["a"], 0.5, [0., 0., 0.], [1., 1., 1.],
+                      (2, 2, 2), (24, 8, 8), [80])
+    comp = str(tmp_path / "comp") + os.sep
+    out = str(tmp_path / "out") + os.sep
+    compress_run(Config(data_dir=str(tmp_path / "data"),
+                        min_time="plt00080", max_time="plt00080",
+                        min_level=0, max_level=0, components=["a"],
+                        keep=0.999, scales=2, compressed_dir=comp))
+    decompress_run(Config(compressed_dir=comp, out_dir=out))
+    regen = pf.read_level(out + "plt00080", 0, [0])
+    assert np.abs(regen.boxes[0][0] - big).mean() < 0.05
+    # the tiny box took a single-scale transform: even dims round-trip
+    # within keep=0.999 tolerance
+    assert np.abs(regen.boxes[1][0] - tiny).mean() < 0.2
+
+
+def test_eff_scales():
+    from wavelet_tpu.runtime import engine as eng_mod
+
+    e = eng_mod.CodecEngine(scales=3)
+    assert e.eff_scales((16, 16, 16)) == 3
+    assert e.eff_scales((16, 8, 8)) == 3   # 8 % 2**3 == 0: full depth ok
+    assert e.eff_scales((16, 8, 4)) == 2
+    assert e.eff_scales((8, 4, 2)) == 1
+    assert e.eff_scales((7, 8, 8)) == 1

@@ -231,7 +231,9 @@ def test_raw_codec_native_python_identical(tmp_path):
     {"threshold_mode": "global", "keep_fraction": 0.1},
     {"payload": "q16"},
     {"codec": "raw"},
-], ids=["box", "global", "q16", "raw"])
+    {"scales": 2},
+    {"scales": 2, "threshold_mode": "global", "keep_fraction": 0.1},
+], ids=["box", "global", "q16", "raw", "scales2", "scales2_global"])
 def test_fast_estimate_matches_disk_estimate(tmp_path, extra):
     from wavelet_tpu.pipeline import Config, estimate_run
 

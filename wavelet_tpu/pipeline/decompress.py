@@ -49,7 +49,7 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
                                      pack=eng.pack_factor(dims),
                                      pad_multiple=pad,
                                      layout=eng.coeff_layout(dims),
-                                     scales=eng.scales)
+                                     scales=eng.eff_scales(dims))
         packer.unpack_into(cfg.compressed_dir, batch)
         out = eng.decompress_shapebatch(batch)
         for i, it in enumerate(bucket_items):

@@ -147,7 +147,7 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
                                          pack=eng.pack_factor(dims),
                                          pad_multiple=pad,
                                          layout=eng.coeff_layout(dims),
-                                         scales=eng.scales)
+                                         scales=eng.eff_scales(dims))
             packer.unpack_into(scratch, batch)
             out = eng.decompress_shapebatch(batch)
             for i, it in enumerate(items):

@@ -235,10 +235,22 @@ class CodecEngine:
             raise ValueError(f"unknown kernel layout {layout!r}")
         self.layout = layout
 
+    def eff_scales(self, dims) -> int:
+        """Deepest pyramid this box shape supports, capped at the requested
+        ``scales``.  AMR runs mix box sizes; a (8, 4, 2) box cannot take a
+        2-scale transform (its z would recurse to an odd length), so each
+        shape uses the deepest applicable pyramid.  Decompression derives
+        the SAME value from dims + the meta ``scales``, so archives stay
+        self-consistent."""
+        s = self.scales
+        while s > 1 and any(int(d) % (1 << s) for d in dims):
+            s -= 1
+        return s
+
     def coeff_layout(self, dims) -> str:
         """Layout the engine's coefficient batches use for this box shape."""
         if (self.layout == "interleaved" and self.use_pallas
-                and haar_pallas.interleaved_ok(dims, self.scales)
+                and haar_pallas.interleaved_ok(dims, self.eff_scales(dims))
                 and self._pallas_ok(dims)):
             return "interleaved"
         return "halves"
@@ -249,11 +261,12 @@ class CodecEngine:
     def _put(self, x):
         return mesh_lib.shard_batch(x, self.mesh)
 
-    def _kernel(self, kind: str, pack: int):
+    def _kernel(self, kind: str, pack: int, sc: int | None = None):
         """Pallas kernel entry, wrapped in shard_map when a mesh is set
         (the leading batch axis shards over the ``data`` axis; per-box
         extrema come back sharded in item order)."""
-        sc = self.scales
+        if sc is None:
+            sc = self.scales
         key = (kind, pack, sc)
         fn = self._sharded_kernels.get(key)
         if fn is not None:
@@ -317,11 +330,16 @@ class CodecEngine:
         thresholds; masking is left to the consumer (the host packer applies
         ``|c| > t32`` during RLE, so no mask array crosses the wire)."""
         dev = self._put(jnp.asarray(data))
+        eff = self.eff_scales(data.shape[1:])
         if self._halves_ok(data.shape[1:]):
             coeffs, maxv, minv = self._kernel("fwd_plain", 1)(dev)
             flat = coeffs.reshape(coeffs.shape[0], -1)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
+        elif eff > 1:
+            c = _fwd_multi_jit(dev, eff)
+            flat = c.reshape(c.shape[0], -1)
+            signed = np.asarray(threshold.signed_absmax(flat, axis=-1))
         else:
             flat, signed_dev = _compress_step(dev)
             signed = np.asarray(signed_dev)
@@ -346,13 +364,14 @@ class CodecEngine:
         """-> (coeff ShapeBatch — same geometry, data = coefficients,
         and t32 f32 per item incl. padding slots)."""
         dev = self._put(jnp.asarray(batch.data))
+        eff = self.eff_scales(batch.shape)
         use_interleaved = self.coeff_layout(batch.shape) == "interleaved"
         if use_interleaved:
-            c, maxv, minv = self._kernel("fwd_interleaved", batch.pack)(dev)
+            c, maxv, minv = self._kernel("fwd_interleaved", batch.pack,
+                                         eff)(dev)
             coeffs = np.asarray(c)
             cb = dataclasses.replace(batch, data=coeffs,
-                                     layout="interleaved",
-                                     scales=self.scales)
+                                     layout="interleaved", scales=eff)
             signed = resolve_signed_absmax(
                 np.asarray(maxv), np.asarray(minv),
                 row_getter=lambda i: cb.item_view(i).reshape(-1))
@@ -369,8 +388,8 @@ class CodecEngine:
             signed = resolve_signed_absmax(
                 np.asarray(maxv), np.asarray(minv),
                 flat_dev=c.reshape(c.shape[0], -1))
-        elif self.scales > 1:
-            c = _fwd_multi_jit(dev, self.scales)
+        elif eff > 1:
+            c = _fwd_multi_jit(dev, eff)
             flat = c.reshape(c.shape[0], -1)
             signed = np.asarray(threshold.signed_absmax(flat, axis=-1))
             coeffs = np.asarray(c)
@@ -446,11 +465,12 @@ class CodecEngine:
             dev = self._put(jnp.asarray(batch.data))
             # no per-box extrema needed for the histogram pass: the
             # reduction-free variant runs at the bare stencil rate
-            c = self._kernel("fwd_interleaved_nored", batch.pack)(dev)
+            c = self._kernel("fwd_interleaved_nored", batch.pack,
+                             self.eff_scales(batch.shape))(dev)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
             cb = dataclasses.replace(batch, data=np.asarray(c),
                                      layout="interleaved",
-                                     scales=self.scales)
+                                     scales=self.eff_scales(batch.shape))
             n_pad = (batch.data.size // int(np.prod(batch.shape))
                      ) - batch.n_valid
             hist[0] -= n_pad * int(np.prod(batch.shape))
@@ -462,7 +482,7 @@ class CodecEngine:
             coeffs = np.asarray(c)
         elif self.scales > 1:
             dev = self._put(jnp.asarray(batch.data))
-            c = _fwd_multi_jit(dev, self.scales)
+            c = _fwd_multi_jit(dev, self.eff_scales(batch.shape))
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
             coeffs = np.asarray(c)
         else:
@@ -485,7 +505,8 @@ class CodecEngine:
         spatial layout regardless of the coefficient layout)."""
         dev = self._put(jnp.asarray(coeff_batch.data))
         if coeff_batch.layout == "interleaved":
-            out = self._kernel("inv_interleaved", coeff_batch.pack)(dev)
+            out = self._kernel("inv_interleaved", coeff_batch.pack,
+                               coeff_batch.scales)(dev)
             return dataclasses.replace(coeff_batch, data=np.asarray(out),
                                        layout="halves")
         if coeff_batch.pack > 1:
@@ -493,7 +514,7 @@ class CodecEngine:
         elif self._halves_ok(coeff_batch.shape):
             out = self._kernel("inv_plain", 1)(dev)
         elif self.scales > 1:
-            out = _inv_multi_jit(dev, self.scales)
+            out = _inv_multi_jit(dev, self.eff_scales(coeff_batch.shape))
         else:
             n = dev.shape[0]
             out = _inverse_jit(dev.reshape(n, -1),
@@ -507,7 +528,13 @@ class CodecEngine:
         the global quantile only counts real coefficients.
         """
         dev = self._put(jnp.asarray(data))
-        flat, hist = _fwd_hist_step(dev)
+        eff = self.eff_scales(data.shape[1:])
+        if eff > 1:
+            c = _fwd_multi_jit(dev, eff)
+            flat = c.reshape(c.shape[0], -1)
+            hist = _fwd_hist_only(flat)
+        else:
+            flat, hist = _fwd_hist_step(dev)
         hist = np.asarray(hist, dtype=np.int64)
         hist[0] -= n_pad_rows * flat.shape[1]
         return np.asarray(flat), hist
@@ -521,7 +548,7 @@ class CodecEngine:
             return np.asarray(self._kernel("inv_plain", 1)(blocks))
         if self.scales > 1:
             c = dev.reshape((dev.shape[0],) + dims)
-            return np.asarray(_inv_multi_jit(c, self.scales))
+            return np.asarray(_inv_multi_jit(c, self.eff_scales(dims)))
         return np.asarray(_inverse_jit(dev, dims))
 
 
