@@ -30,6 +30,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     env = os.environ.get("WAVELET_TPU_CACHE", "")
     if env == "0":
         return
+    if env in ("1", "true", "yes"):
+        env = ""          # plain enable, not a relocation path
     if cache_dir is None:
         cache_dir = env or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
