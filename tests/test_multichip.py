@@ -126,6 +126,31 @@ def test_sharded_giant_box_roundtrip(mesh8):
     np.testing.assert_array_equal(back, want)
 
 
+def test_sharded_giant_box_interleaved_multiscale(mesh8):
+    """The interleaved-layout giant-box path: multi-scale pyramid over a
+    sharded box with ZERO collectives (pairs at every scale are shard-local
+    in the in-place layout).  Logical-order recovery via the same
+    interleave_coords_multi map the host packer uses must match the jnp
+    pyramid bitwise, and the inverse must round-trip bitwise."""
+    from wavelet_tpu.kernels import haar_pallas
+    from wavelet_tpu.runtime import distributed
+
+    rng = np.random.default_rng(9)
+    box = (rng.standard_normal((32, 8, 16)) * 3).astype(np.float32)
+    for scales in (1, 2):
+        fwd = distributed.make_sharded_box_forward_interleaved(mesh8, scales)
+        bwd = distributed.make_sharded_box_inverse_interleaved(mesh8, scales)
+        coeffs = fwd(mesh_lib.shard_batch(box, mesh8))
+        got = np.asarray(coeffs)
+        PX, PY, PZ = haar_pallas.interleave_coords_multi(box.shape, scales)
+        want = np.asarray(haar.haar3d_forward_multi(jnp.asarray(box), scales))
+        np.testing.assert_array_equal(got[PX, PY, PZ], want)
+        back = np.asarray(bwd(coeffs))
+        want_rt = np.asarray(haar.haar3d_inverse_multi(jnp.asarray(want),
+                                                       scales))
+        np.testing.assert_array_equal(back, want_rt)
+
+
 def test_mesh_sharded_pallas_kernels_match_single_device(mesh8, monkeypatch):
     """The fused Pallas kernels now run under shard_map on a mesh (XLA
     cannot auto-partition custom calls): results must be bitwise equal to

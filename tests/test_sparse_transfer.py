@@ -92,6 +92,70 @@ def test_sparse_vs_dense_archives_byte_identical(tmp_path, use_pallas):
         assert a == b
 
 
+@pytest.mark.parametrize("layout", ["halves", "interleaved"])
+def test_sparse_vs_dense_byte_identical_multiscale(tmp_path, layout,
+                                                   monkeypatch):
+    """Sparse transfer at scales=2: the device regathers pyramid
+    coefficients to logical order before compaction, so sparse and dense
+    archives stay byte-identical (payload bytes) for every layout."""
+    monkeypatch.setenv("WAVELET_TPU_FORCE_PALLAS", "1")
+    from wavelet_tpu.io import archive
+
+    rng = np.random.default_rng(5)
+    entries = [(batching.WorkItem(0, 0, 0, i),
+                (rng.standard_normal((8, 8, 16)) * 4).astype(np.float32))
+               for i in range(3)]
+    eng = engine.CodecEngine(scales=2, layout=layout)
+    packer = engine.HostPacker()
+    keep = 0.99
+
+    [b1] = batching.plan_batches(entries, pack_fn=eng.pack_factor)
+    coeffs, t32 = eng.compress_shapebatch(b1, keep)
+    d_dense = tmp_path / "dense"; d_dense.mkdir()
+    packer.pack(str(d_dense), coeffs, t32)
+
+    [b2] = batching.plan_batches(entries, pack_fn=eng.pack_factor)
+    sparse, t32s = eng.compress_shapebatch_sparse(b2, keep)
+    d_sparse = tmp_path / "sparse"; d_sparse.mkdir()
+    packer.pack_sparse(str(d_sparse), sparse, t32s)
+
+    np.testing.assert_array_equal(t32[:3], t32s[:3])
+    for it, _ in entries:
+        name = archive.payload_filename(it.t, it.level, it.comp_idx, it.box)
+        a = archive.xz_decompress(open(d_dense / name, "rb").read())
+        b = archive.xz_decompress(open(d_sparse / name, "rb").read())
+        assert a == b, name
+
+
+def test_transfer_sparse_scales2_end_to_end(tmp_path):
+    """CLI-level: transfer=sparse no longer routes scales=2 runs to dense;
+    archives match the dense-transfer run and decompress identically."""
+    rng = np.random.default_rng(6)
+    box = (rng.standard_normal((2, 16, 8, 16)) * 5).astype(np.float32)
+    src = tmp_path / "data" / "plt00055"
+    pf.write_plotfile(str(src), [[box]], [[(0, 0, 0)]], [[(16, 8, 16)]],
+                      ["a", "b"], 0.5, [0., 0., 0.], [1., 1., 1.],
+                      (2, 2, 2), (16, 8, 16), [55])
+    stats = {}
+    for mode in ("dense", "sparse"):
+        comp = str(tmp_path / mode) + "/"
+        cfg = Config(data_dir=str(tmp_path / "data"), min_time="plt00055",
+                     max_time="plt00055", min_level=0, max_level=0,
+                     components=["a", "b"], keep=0.99,
+                     compressed_dir=comp, transfer=mode, scales=2)
+        stats[mode] = compress_run(cfg)
+    assert stats["sparse"]["device_to_host_bytes"] < \
+        stats["dense"]["device_to_host_bytes"]
+    from wavelet_tpu.io import archive
+    for f in os.listdir(str(tmp_path / "dense")):
+        if f.endswith(".xz"):
+            a = archive.xz_decompress(
+                open(tmp_path / "dense" / f, "rb").read())
+            b = archive.xz_decompress(
+                open(tmp_path / "sparse" / f, "rb").read())
+            assert a == b, f
+
+
 def test_transfer_sparse_end_to_end(tmp_path):
     rng = np.random.default_rng(3)
     box = (rng.standard_normal((2, 16, 8, 16)) * 5).astype(np.float32)

@@ -76,7 +76,7 @@ def _exists(out_dir: str, item) -> bool:
 
 
 def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
-                          transfer: str, scales: int):
+                          transfer: str):
     """The overlapped device-codec + host-pack loop for per-box (parity)
     thresholds: the device transforms batch i+1 while a pack thread runs
     the host RLE+xz+write of batch i.  Returns (n_files, in_bytes, out_bytes)."""
@@ -87,7 +87,7 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
     with cf.ThreadPoolExecutor(1) as pack_pool:
         pending = None
         for batch in batches:
-            if transfer == "sparse" and scales == 1:
+            if transfer == "sparse":
                 # sparsification on device: only kept (index, value) pairs
                 # cross the device->host link
                 sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
@@ -211,7 +211,7 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                 "skipped": skipped}
 
     n_files, in_bytes, out_bytes, d2h = _pack_dense_or_sparse(
-        batches, eng, packer, out_dir, keep, transfer, scales)
+        batches, eng, packer, out_dir, keep, transfer)
     return {"files": n_files, "input_bytes": in_bytes,
             "output_bytes": out_bytes, "skipped": skipped,
             "device_to_host_bytes": d2h}
@@ -323,7 +323,7 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             skipped += n_skip
             nf, ib, ob, d2h = _pack_dense_or_sparse(
                 batches, eng, packer, cfg.compressed_dir, cfg.keep,
-                cfg.transfer, cfg.scales)
+                cfg.transfer)
             n_files += nf
             in_bytes += ib
             out_bytes += ob

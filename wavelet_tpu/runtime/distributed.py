@@ -34,7 +34,9 @@ except ImportError:  # pragma: no cover
 
 __all__ = ["make_parity_compress_step", "make_global_compress_step",
            "make_train_step", "make_sharded_box_forward",
-           "make_sharded_box_inverse"]
+           "make_sharded_box_inverse",
+           "make_sharded_box_forward_interleaved",
+           "make_sharded_box_inverse_interleaved"]
 
 
 def make_parity_compress_step(mesh):
@@ -159,6 +161,60 @@ def make_sharded_box_inverse(mesh):
         t = jnp.stack([even, odd], axis=1).reshape((xs,) + cl.shape[1:])
         t = haar._along(haar._inv_last, t, -2)    # Y pass (local)
         return haar._along(haar._inv_last, t, -1)  # Z pass (local)
+
+    return jax.jit(bwd)
+
+
+def make_sharded_box_forward_interleaved(mesh, scales: int = 1):
+    """Multi-scale forward Haar for ONE giant box sharded over X — with
+    ZERO boundary exchange.
+
+    The halves-layout path (:func:`make_sharded_box_forward`) must regroup
+    low/high pieces across shards with four ppermutes, and generalizing
+    that regroup to a pyramid would need a different exchange pattern per
+    scale.  The interleaved (in-place) layout dissolves the problem: the
+    scale-``s`` pass pairs positions ``(2m*st, (2m+1)*st)`` with
+    ``st = 2**(s-1)`` — both endpoints always inside the same aligned
+    ``2*st``-element block — so as long as each shard's X extent is a
+    multiple of ``2**scales``, every pair at every scale is shard-local
+    and the whole pyramid runs without a single collective.  Corner-block
+    membership is also local: ``global_x %% st == local_x %% st`` because
+    ``st`` divides the shard extent.
+
+    Output: interleaved-layout coefficients, sharded over X.  The host
+    recovers the reference order with the same
+    ``haar_pallas.interleave_map_multi`` walk tables the single-chip
+    interleaved path uses (bitwise-identical archives; see
+    tests/test_multichip.py).
+    """
+    from wavelet_tpu.kernels import haar_pallas
+
+    q = 1 << max(1, int(scales))
+
+    @partial(shard_map, mesh=mesh, in_specs=P(DATA_AXIS),
+             out_specs=P(DATA_AXIS))
+    def fwd(xl):
+        assert xl.shape[0] % q == 0, (
+            f"shard X extent {xl.shape[0]} must divide by 2**scales={q}")
+        return haar_pallas._fwd_interleaved_block(xl, scales)
+
+    return jax.jit(fwd)
+
+
+def make_sharded_box_inverse_interleaved(mesh, scales: int = 1):
+    """Inverse of :func:`make_sharded_box_forward_interleaved`: consumes
+    interleaved coefficients sharded over X, emits the natural spatial
+    box — again with zero collectives."""
+    from wavelet_tpu.kernels import haar_pallas
+
+    q = 1 << max(1, int(scales))
+
+    @partial(shard_map, mesh=mesh, in_specs=P(DATA_AXIS),
+             out_specs=P(DATA_AXIS))
+    def bwd(cl):
+        assert cl.shape[0] % q == 0, (
+            f"shard X extent {cl.shape[0]} must divide by 2**scales={q}")
+        return haar_pallas._inv_interleaved_block(cl, scales)
 
     return jax.jit(bwd)
 

@@ -130,6 +130,22 @@ def _unpack_interleaved_coeffs(packed: jax.Array, pack: int,
     return v.reshape(m * pack, x * y * z)
 
 
+@functools.partial(jax.jit, static_argnames=("pack", "dims", "scales"))
+def _unpack_interleaved_coeffs_multi(packed: jax.Array, pack: int,
+                                     dims, scales: int) -> jax.Array:
+    """Multi-scale variant of :func:`_unpack_interleaved_coeffs`: the
+    pyramid's logical->physical map is non-separable (haar_pallas.
+    interleave_coords_multi), so the layout is undone with one flat gather
+    per item instead of per-axis takes."""
+    x, y, z = dims
+    m = packed.shape[0]
+    v = packed.reshape(m, x, y, pack, z)
+    v = jnp.transpose(v, (0, 3, 1, 2, 4)).reshape(m * pack, x * y * z)
+    amap = jnp.asarray(haar_pallas.interleave_map_multi(
+        dims, scales, y * z, z, 1).astype(np.int32))
+    return jnp.take(v, amap, axis=1)
+
+
 @dataclasses.dataclass
 class SparseCoeffs:
     """Device-sparsified coefficients: per item, the kept (index, value)
@@ -416,19 +432,27 @@ class CodecEngine:
         kept fraction observed so far (real AMR data keeps a few percent,
         so the transfer shrinks toward ~8x below the dense fetch; an
         undersized cap only costs overflow fallbacks, never correctness).
+
+        ``scales > 1`` is supported: the pyramid transform runs on device
+        (interleaved kernel or the jnp multi path) and the coefficients are
+        regathered to logical order on device before sparsification — the
+        kept (index, value) pairs are layout-independent either way.
         """
-        if self.scales > 1:
-            raise ValueError("sparse transfer supports scales=1 only "
-                             "(the pipeline routes scales>1 to dense)")
         adaptive = cap_fraction is None
         if adaptive:
             cap_fraction = self._sparse_cap_hint.get(batch.shape, 0.25)
         dims = batch.shape
+        eff = self.eff_scales(dims)
         m = int(np.prod(dims))
         dev = self._put(jnp.asarray(batch.data))
         if self.coeff_layout(dims) == "interleaved":
-            c, maxv, minv = self._kernel("fwd_interleaved", batch.pack)(dev)
-            flat = _unpack_interleaved_coeffs(c, batch.pack, dims)
+            c, maxv, minv = self._kernel("fwd_interleaved", batch.pack,
+                                         eff)(dev)
+            if eff > 1:
+                flat = _unpack_interleaved_coeffs_multi(c, batch.pack,
+                                                        dims, eff)
+            else:
+                flat = _unpack_interleaved_coeffs(c, batch.pack, dims)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
         elif batch.pack > 1:
@@ -441,6 +465,10 @@ class CodecEngine:
             flat = c.reshape(c.shape[0], -1)
             signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
                                            flat_dev=flat)
+        elif eff > 1:
+            c = _fwd_multi_jit(dev, eff)
+            flat = c.reshape(c.shape[0], -1)
+            signed = np.asarray(threshold.signed_absmax(flat, axis=-1))
         else:
             flat, signed_dev = _compress_step(dev)
             signed = np.asarray(signed_dev)
