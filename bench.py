@@ -176,7 +176,10 @@ def main():
     # warm/compile all three
     _ = np.asarray(fwd_many(x, 2).ravel()[0])
     if on_tpu:
-        _, maxv, minv = hp.fused_forward_packed(x, pack)
+        # fresh buffer: the fused kernels donate their input (in-place
+        # aliasing), so x must not be passed to a top-level kernel call
+        xf = jax.device_put(batch_np, dev)
+        _, maxv, minv = hp.fused_forward_packed(xf, pack)
         maxv, minv = np.asarray(maxv), np.asarray(minv)
         signed = np.where(np.abs(maxv) >= np.abs(minv), maxv, minv)
     else:

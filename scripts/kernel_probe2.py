@@ -48,48 +48,62 @@ def main():
     results = {}
     PAR = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
-    def two_point(many_k, make_x, nbytes, traffic_mult=2.0,
-                  k1=8, k2=24, reps=5):
-        slopes = []
-        for r in range(reps):
-            x = make_x(r)
-            t0 = time.perf_counter()
-            jax.block_until_ready(many_k(x, k1))
-            ta = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            jax.block_until_ready(many_k(x, k2))
-            tb = time.perf_counter() - t0
-            dt = (tb - ta) / (k2 - k1)
-            if dt < nbytes * traffic_mult / HBM:
-                continue           # faster than the hardware: cache-served
-            slopes.append(dt)
-        return (float(np.median(slopes)), len(slopes)) if slopes \
-            else (float("nan"), 0)
-
-    def bench(name, fn, shape, traffic_mult=2.0):
+    def bench(name, fn, shape, traffic_mult=2.0, k1=8, k2=56, reps=7):
+        """Fresh-input two-point slopes WITHOUT per-rep uploads: each rep's
+        input is the previous rep's k2-call OUTPUT (already on device, and
+        byte-distinct from every earlier input, so the axon execution cache
+        cannot serve it).  Uploading 256 MiB through the tunnel per rep
+        costs more wall clock than the measurement itself and amplifies
+        round-trip jitter; a 48-iteration delta keeps the real compute well
+        above that jitter."""
         nbytes = int(np.prod(shape)) * 4
 
         @functools.partial(jax.jit, static_argnums=1)
         def many(v, k):
             return jax.lax.fori_loop(0, k, lambda i, u: fn(u), v)
 
-        def make_x(seed):
-            r = np.random.default_rng(1234 + seed)
-            arr = jax.device_put(
-                r.standard_normal(shape).astype(np.float32), dev)
-            jax.block_until_ready(arr)
+        def sync(arr):
+            # block_until_ready does NOT block through the axon tunnel;
+            # fetching a scalar is the only reliable completion barrier
+            # (same trick as bench.py)
+            np.asarray(arr.ravel()[0])
             return arr
 
+        r = np.random.default_rng(1234)
         try:
-            jax.block_until_ready(many(make_x(99), 2))  # compile
+            x = sync(jax.device_put(
+                r.standard_normal(shape).astype(np.float32), dev))
+            sync(many(x, k1))   # compile both programs
+            x = sync(many(x, k2))  # timed calls never see a warmup input
         except Exception as e:  # noqa: BLE001
             print(f"{name:52s} FAILED: {str(e)[:120]}", flush=True)
             results[name] = {"input_gbps": None,
                              "error": str(e)[:300], "shape": list(shape)}
             return None
-        dt, nrep = two_point(many, make_x, nbytes, traffic_mult)
+        slopes = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(many(x, k1))
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = sync(many(x, k2))
+            tb = time.perf_counter() - t0
+            x = out                      # fresh bytes for the next rep
+            dt = (tb - ta) / (k2 - k1)
+            if dt < nbytes * traffic_mult / HBM:
+                continue           # faster than the hardware: cache-served
+            slopes.append(dt)
+        if not slopes:
+            results[name] = {"input_gbps": float("nan"), "reps_kept": 0,
+                             "shape": list(shape)}
+            print(f"{name:52s}      nan GB/s  (reps 0)  {shape}", flush=True)
+            return None
+        dt = float(np.median(slopes))
+        nrep = len(slopes)
         gbps = nbytes / 1e9 / dt
         results[name] = {"input_gbps": round(gbps, 2), "reps_kept": nrep,
+                         "spread_gbps": [round(nbytes / 1e9 / max(slopes), 2),
+                                         round(nbytes / 1e9 / min(slopes), 2)],
                          "shape": list(shape)}
         print(f"{name:52s} {gbps:8.2f} GB/s  (reps {nrep})  {shape}",
               flush=True)

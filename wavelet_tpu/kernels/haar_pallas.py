@@ -32,6 +32,19 @@ from wavelet_tpu.core import haar
 # default "arbitrary" semantics the compiler serializes grid steps and the
 # DMA pipeline stalls (measured 45 -> 193 GB/s on the interleaved forward,
 # scripts/kernel_lab.py hint variants).
+#
+# Every kernel also aliases its coefficient output onto its input buffer
+# (input_output_aliases + donated jit arg 0).  Measured on the v5e
+# (scripts/kernel_probe{3,4,5}.py): with separate in/out buffers any
+# pallas kernel — including a pure copy, under every DMA strategy — caps
+# at ~163 GB/s input rate once the working set exceeds ~96 MiB per
+# buffer, while the in-place version sustains ~325 GB/s at any size
+# (plain-XLA elementwise, which runs in place via loop-carry donation,
+# measures the same 325).  Safe because each output block depends only on
+# its own input block and the index maps are identical.  CALLERS MUST NOT
+# REUSE the array they pass in (on TPU the buffer is consumed; CPU
+# ignores donation) — every production call site hands in a fresh
+# device_put/jnp.asarray.
 _PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 __all__ = ["fused_forward", "fused_inverse", "supported",
@@ -154,7 +167,8 @@ def _inv_kernel(c_ref, out_ref):
     out_ref[0] = _inv_block(c_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0,))
 def _fused_forward_call(batch: jax.Array, *, interpret: bool = False):
     n, x, y, z = batch.shape
     blk = (1, x, y, z)
@@ -177,12 +191,14 @@ def _fused_forward_call(batch: jax.Array, *, interpret: bool = False):
             jax.ShapeDtypeStruct((n, y, z), batch.dtype),
         ),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=_PARALLEL,
     )(batch)
     return c, jnp.max(pmax, axis=(1, 2)), jnp.min(pmin, axis=(1, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0,))
 def _fused_inverse_call(coeffs: jax.Array, *, interpret: bool = False):
     n, x, y, z = coeffs.shape
     blk = (1, x, y, z)
@@ -195,6 +211,7 @@ def _fused_inverse_call(coeffs: jax.Array, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, x, y, z), coeffs.dtype),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=_PARALLEL,
     )(coeffs)
 
@@ -220,7 +237,8 @@ def block_rows(x: int, y: int, L: int, m: int | None = None,
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"),
+                   donate_argnums=(0,))
 def _fused_forward_packed_call(packed: jax.Array, n_seg: int,
                                *, interpret: bool = False):
     m, x, y, L = packed.shape
@@ -255,6 +273,7 @@ def _fused_forward_packed_call(packed: jax.Array, n_seg: int,
             jax.ShapeDtypeStruct((m, y, L), packed.dtype),
         ),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=_PARALLEL,
     )(packed)
     # finish the per-box reduction: lanes hold (segment p, z)
@@ -264,7 +283,8 @@ def _fused_forward_packed_call(packed: jax.Array, n_seg: int,
     return c, maxv, minv
 
 
-@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"),
+                   donate_argnums=(0,))
 def _fused_inverse_packed_call(packed: jax.Array, n_seg: int,
                                *, interpret: bool = False):
     m, x, y, L = packed.shape
@@ -285,6 +305,7 @@ def _fused_inverse_packed_call(packed: jax.Array, n_seg: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, x, y, L), packed.dtype),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=_PARALLEL,
     )(packed)
 
@@ -478,7 +499,8 @@ def _x_block(x: int, y: int, L: int, target_bytes: int = 1 << 20,
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "scales",
-                                             "interpret"))
+                                             "interpret"),
+                   donate_argnums=(0,))
 def _fwd_interleaved_call(packed: jax.Array, n_seg: int, scales: int = 1,
                           *, interpret: bool = False):
     m, x, y, L = packed.shape
@@ -518,6 +540,7 @@ def _fwd_interleaved_call(packed: jax.Array, n_seg: int, scales: int = 1,
             jax.ShapeDtypeStruct((g, 8, L), packed.dtype),
         ),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=_PARALLEL,
     )(flat)
     # finish the reduction: blocks of box (mm, p) are rows mm*x/xb..(mm+1)*x/xb
@@ -531,7 +554,8 @@ def _fwd_interleaved_call(packed: jax.Array, n_seg: int, scales: int = 1,
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "scales",
-                                             "interpret"))
+                                             "interpret"),
+                   donate_argnums=(0,))
 def _fwd_interleaved_nored_call(packed: jax.Array, n_seg: int = 1,
                                 scales: int = 1,
                                 *, interpret: bool = False):
@@ -557,6 +581,7 @@ def _fwd_interleaved_nored_call(packed: jax.Array, n_seg: int = 1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m * x, y, L), packed.dtype),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=_PARALLEL,
     )(flat)
     return out.reshape(m, x, y, L)
@@ -573,7 +598,8 @@ def fused_forward_interleaved_nored(packed: jax.Array, n_seg: int = 1,
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "scales",
-                                             "interpret"))
+                                             "interpret"),
+                   donate_argnums=(0,))
 def _inv_interleaved_call(packed: jax.Array, n_seg: int = 1,
                           scales: int = 1, *, interpret: bool = False):
     m, x, y, L = packed.shape
@@ -594,6 +620,7 @@ def _inv_interleaved_call(packed: jax.Array, n_seg: int = 1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m * x, y, L), packed.dtype),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=_PARALLEL,
     )(flat)
     return out.reshape(m, x, y, L)
