@@ -6,23 +6,38 @@
 // payload, .xz container with CRC64 at preset 6) — redesigned as a
 // batch-parallel library: the TPU device hands back a dense [N, XYZ]
 // coefficient batch plus per-item float32 thresholds, and a worker pool
-// packs/writes every item concurrently (LZMA is the dominant host cost and
-// scales across cores).  Exposed via a minimal C ABI consumed with ctypes
+// packs every item concurrently (LZMA is the dominant host cost and scales
+// across cores).  Exposed via a minimal C ABI consumed with ctypes
 // (wavelet_tpu/native/__init__.py); byte format identical to io/archive.py.
 //
-// Build: see native/build.sh (g++ -O3 -shared -fPIC ... -llzma).
+// Three coefficient walks (strided / indexed / mapped) × two sinks:
+//   wtc_pack_*     -> one file per item (reference-compatible layout)
+//   wtc_encode_*   -> one malloc'd blob per item (bundle container mode;
+//                     the caller appends them and frees via wtc_free_blob)
+// and two sources on the unpack side:
+//   wtc_unpack_*      -> read one file per item
+//   wtc_unpack_*_mem  -> decode members handed in as (pointer, size) pairs
+//                        (bundle mode)
+//
+// Build: see native/build.sh (g++ -O3 -march=native -shared ... -llzma).
 
 #include <lzma.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
-#include <functional>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <functional>
 #include <string>
 #include <thread>
 #include <vector>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -38,6 +53,93 @@ struct PairQ16 {
 };
 #pragma pack(pop)
 static_assert(sizeof(PairQ16) == 6, "q16 pairs must be unpadded");
+
+// --- vectorized threshold scan -------------------------------------------
+//
+// The pack-side hot loop is a keep-mask scan over every coefficient
+// (|c| > thresh, strict — NaNs never kept, matching compressor.cpp:226's
+// scalar fabs comparison).  At realistic kept fractions (1-5%) most 8-lane
+// groups contain no kept value, so an AVX2 compare+movemask with an
+// all-zero fast path runs the scan near memory bandwidth instead of the
+// ~1 elem/3 cycles of the branchy scalar loop.  `run` carries the pending
+// zero count across calls so multi-row/chunked items RLE identically to
+// one continuous walk.
+
+inline void scan_row(const float* row, int64_t n, float thresh,
+                     int32_t& run, std::vector<Pair>& pairs) {
+    int64_t k = 0;
+#if defined(__AVX2__)
+    const __m256 vt = _mm256_set1_ps(thresh);
+    const __m256 abs_mask =
+        _mm256_castsi256_ps(_mm256_set1_epi32(0x7fffffff));
+    for (; k + 8 <= n; k += 8) {
+        __m256 v = _mm256_loadu_ps(row + k);
+        __m256 av = _mm256_and_ps(v, abs_mask);
+        int m = _mm256_movemask_ps(_mm256_cmp_ps(av, vt, _CMP_GT_OQ));
+        if (m == 0) {
+            run += 8;
+            continue;
+        }
+        int last = -1;
+        while (m) {
+            int b = __builtin_ctz(static_cast<unsigned>(m));
+            m &= m - 1;
+            run += b - last - 1;
+            pairs.push_back({run, row[k + b]});
+            run = 0;
+            last = b;
+        }
+        run += 7 - last;
+    }
+#endif
+    for (; k < n; ++k) {
+        if (std::fabs(row[k]) > thresh) {
+            pairs.push_back({run, row[k]});
+            run = 0;
+        } else {
+            ++run;
+        }
+    }
+}
+
+// Does any element of a contiguous stretch pass the keep test?  Used as a
+// row-skip fast path by the permuted (indexed) walk: kept coefficients are
+// order-independent, so an all-below row contributes only run += n no
+// matter how its elements are permuted into logical order.
+inline bool row_any_kept(const float* row, int64_t n, float thresh) {
+    int64_t k = 0;
+#if defined(__AVX2__)
+    const __m256 vt = _mm256_set1_ps(thresh);
+    const __m256 abs_mask =
+        _mm256_castsi256_ps(_mm256_set1_epi32(0x7fffffff));
+    __m256 acc = _mm256_setzero_ps();
+    for (; k + 8 <= n; k += 8) {
+        __m256 v = _mm256_loadu_ps(row + k);
+        acc = _mm256_or_ps(acc, _mm256_cmp_ps(
+            _mm256_and_ps(v, abs_mask), vt, _CMP_GT_OQ));
+    }
+    if (_mm256_movemask_ps(acc)) return true;
+#endif
+    for (; k < n; ++k)
+        if (std::fabs(row[k]) > thresh) return true;
+    return false;
+}
+
+// True iff the table's values are exactly {0, 1, ..., n-1} (the inner-axis
+// tables built by runtime/engine._index_tables are unit-stride
+// permutations; a generic caller could pass arbitrary offsets, so the
+// contiguous-footprint fast paths must verify before assuming).
+bool is_unit_permutation(const int64_t* tab, int64_t n) {
+    std::vector<bool> seen(n, false);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t v = tab[i];
+        if (v < 0 || v >= n || seen[v]) return false;
+        seen[v] = true;
+    }
+    return true;
+}
+
+// --- payload serialization ------------------------------------------------
 
 // Serialize one item's payload: 3x int32 shape, int32 total, int32 n_pairs,
 // then (int32, float32) pairs.  Matches io/archive.serialize_payload.
@@ -84,58 +186,89 @@ std::string serialize_payload_q16(const int32_t shape[3], int64_t total,
     return buf;
 }
 
-// codec 0 = xz container at the given preset (reference-compatible at 6);
-// codec 1 = raw payload bytes (extension: no entropy stage, declared in
-// wtc-meta.json; trades size for host-pack speed)
-bool encode_to_file(const std::string& payload, const char* path,
-                    int codec, int preset) {
-    size_t cap = payload.size() + payload.size() / 3 + 256;
-    std::vector<uint8_t> out(cap);
-    size_t out_pos = 0;
-    if (codec == 1) {
-        out.assign(payload.begin(), payload.end());
-        out_pos = payload.size();
-    } else {
-        lzma_ret ret = lzma_easy_buffer_encode(
-            static_cast<uint32_t>(preset), LZMA_CHECK_CRC64, nullptr,
-            reinterpret_cast<const uint8_t*>(payload.data()), payload.size(),
-            out.data(), &out_pos, out.size());
-        if (ret != LZMA_OK) return false;
-    }
-    // write to a temp name and rename so a crash mid-write never leaves a
-    // truncated .xz that a resumed run (resume=1) would skip as complete
-    std::string tmp = std::string(path) + ".tmp";
-    FILE* f = std::fopen(tmp.c_str(), "wb");
-    if (!f) return false;
-    size_t w = std::fwrite(out.data(), 1, out_pos, f);
-    std::fclose(f);
-    if (w != out_pos) return false;
-    return std::rename(tmp.c_str(), path) == 0;
+std::string make_payload(int payload_fmt, const int32_t shape[3],
+                         int64_t total, const std::vector<Pair>& pairs) {
+    return payload_fmt == 1 ? serialize_payload_q16(shape, total, pairs)
+                            : serialize_payload(shape, total, pairs);
 }
 
-bool xz_decode_file(const char* path, std::vector<uint8_t>& payload,
-                    int codec) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
-    std::fseek(f, 0, SEEK_END);
-    long sz = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    std::vector<uint8_t> blob(sz > 0 ? sz : 0);
-    size_t r = blob.empty() ? 0 : std::fread(blob.data(), 1, blob.size(), f);
-    std::fclose(f);
-    if (r != blob.size()) return false;
+// --- containers ------------------------------------------------------------
+
+// codec 0 = xz container at the given preset (reference-compatible at 6);
+// codec 1 = raw payload bytes (extension: no entropy stage, declared in
+// wtc-meta.json; trades size for host-pack speed).  On success *data/*size
+// view either `payload` itself (raw) or `scratch` (xz).
+bool encode_container(const std::string& payload, int codec, int preset,
+                      std::vector<uint8_t>& scratch,
+                      const uint8_t** data, size_t* size) {
     if (codec == 1) {
-        payload = std::move(blob);
+        *data = reinterpret_cast<const uint8_t*>(payload.data());
+        *size = payload.size();
         return true;
     }
+    scratch.resize(payload.size() + payload.size() / 3 + 256);
+    size_t out_pos = 0;
+    lzma_ret ret = lzma_easy_buffer_encode(
+        static_cast<uint32_t>(preset), LZMA_CHECK_CRC64, nullptr,
+        reinterpret_cast<const uint8_t*>(payload.data()), payload.size(),
+        scratch.data(), &out_pos, scratch.size());
+    if (ret != LZMA_OK) return false;
+    *data = scratch.data();
+    *size = out_pos;
+    return true;
+}
 
-    // streaming decode with a growing buffer
+// Encode + write one item's container to `path` (temp-name + rename so a
+// crash mid-write never leaves a truncated output that a resumed run
+// (resume=1) would skip as complete).  Returns bytes written or -1.
+int64_t encode_to_file(const std::string& payload, const char* path,
+                       int codec, int preset) {
+    std::vector<uint8_t> scratch;
+    const uint8_t* data;
+    size_t size;
+    if (!encode_container(payload, codec, preset, scratch, &data, &size))
+        return -1;
+    std::string tmp = std::string(path) + ".tmp";
+    FILE* f = std::fopen(tmp.c_str(), "wb");
+    if (!f) return -1;
+    size_t w = std::fwrite(data, 1, size, f);
+    std::fclose(f);
+    if (w != size) return -1;
+    if (std::rename(tmp.c_str(), path) != 0) return -1;
+    return static_cast<int64_t>(size);
+}
+
+// Encode one item's container into a malloc'd blob (bundle mode — the
+// Python side appends blobs to the container file in item order and frees
+// each via wtc_free_blob).  Returns bytes or -1.
+int64_t encode_to_blob(const std::string& payload, int codec, int preset,
+                       uint8_t** blob_out) {
+    std::vector<uint8_t> scratch;
+    const uint8_t* data;
+    size_t size;
+    if (!encode_container(payload, codec, preset, scratch, &data, &size))
+        return -1;
+    uint8_t* p = static_cast<uint8_t*>(std::malloc(size ? size : 1));
+    if (!p) return -1;
+    std::memcpy(p, data, size);
+    *blob_out = p;
+    return static_cast<int64_t>(size);
+}
+
+// Decode a container from memory into `payload` (xz: streaming decode with
+// a growing buffer; raw: copy).
+bool decode_container(const uint8_t* blob, size_t blob_size,
+                      std::vector<uint8_t>& payload, int codec) {
+    if (codec == 1) {
+        payload.assign(blob, blob + blob_size);
+        return true;
+    }
     lzma_stream strm = LZMA_STREAM_INIT;
     if (lzma_stream_decoder(&strm, UINT64_MAX, LZMA_CONCATENATED) != LZMA_OK)
         return false;
-    strm.next_in = blob.data();
-    strm.avail_in = blob.size();
-    payload.resize(blob.size() * 4 + 4096);
+    strm.next_in = blob;
+    strm.avail_in = blob_size;
+    payload.resize(blob_size * 4 + 4096);
     strm.next_out = payload.data();
     strm.avail_out = payload.size();
     for (;;) {
@@ -153,6 +286,24 @@ bool xz_decode_file(const char* path, std::vector<uint8_t>& payload,
     payload.resize(payload.size() - strm.avail_out);
     lzma_end(&strm);
     return true;
+}
+
+bool xz_decode_file(const char* path, std::vector<uint8_t>& payload,
+                    int codec) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::fseek(f, 0, SEEK_END);
+    long sz = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> blob(sz > 0 ? sz : 0);
+    size_t r = blob.empty() ? 0 : std::fread(blob.data(), 1, blob.size(), f);
+    std::fclose(f);
+    if (r != blob.size()) return false;
+    if (codec == 1) {
+        payload = std::move(blob);
+        return true;
+    }
+    return decode_container(blob.data(), blob.size(), payload, codec);
 }
 
 void run_pool(int n_threads, int64_t n_items,
@@ -173,24 +324,23 @@ void run_pool(int n_threads, int64_t n_items,
     for (auto& th : threads) th.join();
 }
 
-}  // namespace
+// --- pack cores -------------------------------------------------------------
+//
+// Each core runs the coefficient walk + serialize on a worker pool and hands
+// the payload to `emit(i, payload)` (returns bytes produced, or -1).  The
+// two sinks: per-item files (reference layout) and per-item blobs (bundle).
 
-extern "C" {
-
-// Pack n_items items with per-item float32 thresholds (keep iff
-// |c| > t32[i]); write one .xz per item at paths[i].  All items share one
-// box shape.  Item i's coefficients are `rows` runs of `row_len` floats
-// spaced `row_stride` apart starting at coeffs + offsets[i] — this covers
-// both the contiguous [N, XYZ] layout (rows=1) and the TPU lane-packed
+// Item i's coefficients are `rows` runs of `row_len` floats spaced
+// `row_stride` apart starting at coeffs + offsets[i] — covers both the
+// contiguous [N, XYZ] layout (rows=1) and the TPU lane-packed
 // [M, X, Y, P*Z] layout (rows=X*Y, row_len=Z, row_stride=P*Z) without a
-// host repack.  Returns total compressed bytes, or -(1 + first failing
-// item index) on error.
-int64_t wtc_pack_strided(const float* coeffs, const float* t32,
-                         int64_t n_items, int64_t rows, int64_t row_len,
-                         int64_t row_stride, const int64_t* offsets,
-                         const int32_t* shape, const char* const* paths,
-                         int n_threads, int payload_fmt /*0=f32, 1=q16*/,
-                         int codec /*0=xz, 1=raw*/, int preset /*xz 0-9*/) {
+// host repack.
+template <typename Emit>
+int64_t pack_core_strided(const float* coeffs, const float* t32,
+                          int64_t n_items, int64_t rows, int64_t row_len,
+                          int64_t row_stride, const int64_t* offsets,
+                          const int32_t* shape, int n_threads,
+                          int payload_fmt, Emit emit) {
     const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> total_bytes(0);
     std::atomic<int64_t> first_err(-1);
@@ -199,96 +349,221 @@ int64_t wtc_pack_strided(const float* coeffs, const float* t32,
         const float thresh = t32[i];
         std::vector<Pair> pairs;
         int32_t run = 0;
-        for (int64_t r = 0; r < rows; ++r) {
-            const float* row = base + r * row_stride;
-            for (int64_t k = 0; k < row_len; ++k) {
-                if (std::fabs(row[k]) > thresh) {
-                    pairs.push_back({run, row[k]});
-                    run = 0;
-                } else {
-                    ++run;
-                }
-            }
-        }
-        std::string payload = payload_fmt == 1
-            ? serialize_payload_q16(shape, n_coeffs, pairs)
-            : serialize_payload(shape, n_coeffs, pairs);
-        if (!encode_to_file(payload, paths[i], codec, preset)) {
+        for (int64_t r = 0; r < rows; ++r)
+            scan_row(base + r * row_stride, row_len, thresh, run, pairs);
+        int64_t n = emit(i, make_payload(payload_fmt, shape, n_coeffs,
+                                         pairs));
+        if (n < 0) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;
         }
-        // account actual file size (payload shrinks under xz)
-        FILE* f = std::fopen(paths[i], "rb");
-        if (f) {
-            std::fseek(f, 0, SEEK_END);
-            total_bytes.fetch_add(std::ftell(f));
-            std::fclose(f);
-        }
+        total_bytes.fetch_add(n);
     });
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return total_bytes.load();
 }
 
-// Unpack n_items .xz files into a strided destination (same geometry
-// convention as wtc_pack_strided; the destination regions are zeroed
-// first).  shapes_out (3*n_items, optional) receives each item's box
-// shape.  Returns 0, or -(1 + first failing item index).
-int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
-                           int64_t rows, int64_t row_len, int64_t row_stride,
-                           const int64_t* offsets, float* out,
-                           int32_t* shapes_out, int n_threads,
-                           int payload_fmt /*0=f32, 1=q16*/,
-                           int codec /*0=xz, 1=raw*/) {
-    const int64_t n_coeffs = rows * row_len;
+// Indexed walk: item i's coefficient at LOGICAL position (a, b, c) (the
+// reference's flatten order) lives at coeffs[offsets[i] + ix[a] + iy[b] +
+// iz[c]] — the per-axis tables carry both the layout's strides and any
+// in-place permutation (e.g. the interleaved Haar layout, where the device
+// skips the low/high deinterleave and the host walks coefficients through
+// kernels/haar_pallas.interleave_perm instead).  Same payload bytes as the
+// strided walk for the same logical data.
+template <typename Emit>
+int64_t pack_core_indexed(const float* coeffs, const float* t32,
+                          int64_t n_items, int64_t nx, int64_t ny,
+                          int64_t nz, const int64_t* ix, const int64_t* iy,
+                          const int64_t* iz, const int64_t* offsets,
+                          const int32_t* shape, int n_threads,
+                          int payload_fmt, Emit emit) {
+    const int64_t n_coeffs = nx * ny * nz;
+    // inner-axis table with a contiguous {0..nz-1} footprint => each
+    // logical z-row is a permutation of a contiguous physical row, so an
+    // all-below physical row (the common case at few-percent kept
+    // fractions) is detected with one vector scan and skipped whole
+    const bool iz_unit = is_unit_permutation(iz, nz);
+    std::atomic<int64_t> total_bytes(0);
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        const float* base = coeffs + offsets[i];
+        const float thresh = t32[i];
+        std::vector<Pair> pairs;
+        std::vector<float> buf(nz);
+        int32_t run = 0;
+        for (int64_t a = 0; a < nx; ++a) {
+            const float* pa = base + ix[a];
+            for (int64_t b = 0; b < ny; ++b) {
+                const float* pb = pa + iy[b];
+                if (iz_unit && !row_any_kept(pb, nz, thresh)) {
+                    run += static_cast<int32_t>(nz);
+                    continue;
+                }
+                // gather the row into logical order, then vector-scan it
+                for (int64_t c = 0; c < nz; ++c) buf[c] = pb[iz[c]];
+                scan_row(buf.data(), nz, thresh, run, pairs);
+            }
+        }
+        int64_t n = emit(i, make_payload(payload_fmt, shape, n_coeffs,
+                                         pairs));
+        if (n < 0) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        total_bytes.fetch_add(n);
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return total_bytes.load();
+}
+
+// Mapped walk: item i's coefficient at LOGICAL flat position t lives at
+// coeffs[offsets[i] + map[t]].  The fully general layout walk — needed for
+// the multi-scale interleaved layout, whose logical->physical map is NOT
+// separable per axis (a high-band coordinate means the other axes were
+// never re-transformed at deeper scales).  map has n_coeffs entries,
+// shared by every item of the batch.
+template <typename Emit>
+int64_t pack_core_mapped(const float* coeffs, const float* t32,
+                         int64_t n_items, int64_t n_coeffs,
+                         const int64_t* map, const int64_t* offsets,
+                         const int32_t* shape, int n_threads,
+                         int payload_fmt, Emit emit) {
+    std::atomic<int64_t> total_bytes(0);
+    std::atomic<int64_t> first_err(-1);
+    run_pool(n_threads, n_items, [&](int64_t i) {
+        const float* base = coeffs + offsets[i];
+        const float thresh = t32[i];
+        std::vector<Pair> pairs;
+        // chunked gather-to-buffer so the keep scan itself is vectorized
+        // (the map is an arbitrary permutation; only the gather is scalar)
+        constexpr int64_t kChunk = 4096;
+        std::vector<float> buf(std::min(kChunk, n_coeffs));
+        int32_t run = 0;
+        for (int64_t t0 = 0; t0 < n_coeffs; t0 += kChunk) {
+            const int64_t c = std::min(kChunk, n_coeffs - t0);
+            const int64_t* mp = map + t0;
+            for (int64_t j = 0; j < c; ++j) buf[j] = base[mp[j]];
+            scan_row(buf.data(), c, thresh, run, pairs);
+        }
+        int64_t n = emit(i, make_payload(payload_fmt, shape, n_coeffs,
+                                         pairs));
+        if (n < 0) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
+        total_bytes.fetch_add(n);
+    });
+    if (first_err.load() >= 0) return -(1 + first_err.load());
+    return total_bytes.load();
+}
+
+struct FileEmit {
+    const char* const* paths;
+    int codec;
+    int preset;
+    int64_t operator()(int64_t i, const std::string& payload) const {
+        return encode_to_file(payload, paths[i], codec, preset);
+    }
+};
+
+struct BlobEmit {
+    uint8_t** blobs;
+    int64_t* sizes;
+    int codec;
+    int preset;
+    int64_t operator()(int64_t i, const std::string& payload) const {
+        int64_t n = encode_to_blob(payload, codec, preset, &blobs[i]);
+        sizes[i] = n;
+        return n;
+    }
+};
+
+// --- unpack cores ------------------------------------------------------------
+//
+// Each core pulls one item's container via `load(i, payload)` (file read or
+// bundle member), validates the header, zeroes the item's destination
+// footprint, then scatters the RLE pairs.  Shared by the file and memory
+// source variants.
+
+struct PayloadView {
+    const uint8_t* pd;   // pair data
+    int64_t total;
+    int64_t n_pairs;
+    float scale;         // q16 dequant scale
+};
+
+// Header/bounds validation shared by every unpack walk; fills `view`.
+bool parse_payload(const std::vector<uint8_t>& payload, int payload_fmt,
+                   int64_t n_coeffs, int32_t* shapes_out_i,
+                   PayloadView* view) {
     const size_t head_bytes = payload_fmt == 1 ? 24 : 20;
-    const size_t pair_bytes = payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
+    const size_t pair_bytes =
+        payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
+    if (payload.size() < head_bytes) return false;
+    int32_t head[5];
+    std::memcpy(head, payload.data(), sizeof(head));
+    view->total = head[3];
+    view->n_pairs = head[4];
+    if (view->total > n_coeffs || view->n_pairs < 0 ||
+        payload.size() < head_bytes + view->n_pairs * pair_bytes)
+        return false;
+    if (shapes_out_i)
+        std::memcpy(shapes_out_i, head, 3 * sizeof(int32_t));
+    view->scale = 0.0f;
+    if (payload_fmt == 1)
+        std::memcpy(&view->scale, payload.data() + 20, 4);
+    view->pd = payload.data() + head_bytes;
+    return true;
+}
+
+inline void read_pair(const PayloadView& v, int payload_fmt, int64_t p,
+                      int32_t* run, float* val) {
+    if (payload_fmt == 1) {
+        PairQ16 q;
+        std::memcpy(&q, v.pd + p * sizeof(PairQ16), sizeof(q));
+        *run = q.run;
+        *val = static_cast<float>(q.val) * v.scale;
+    } else {
+        Pair pr;
+        std::memcpy(&pr, v.pd + p * sizeof(Pair), sizeof(pr));
+        *run = pr.run;
+        *val = pr.val;
+    }
+}
+
+template <typename Load>
+int64_t unpack_core_strided(int64_t n_items, int64_t rows, int64_t row_len,
+                            int64_t row_stride, const int64_t* offsets,
+                            float* out, int32_t* shapes_out, int n_threads,
+                            int payload_fmt, Load load) {
+    const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> first_err(-1);
     run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
-        if (!xz_decode_file(paths[i], payload, codec)
-            || payload.size() < head_bytes) {
+        PayloadView v;
+        if (!load(i, payload) ||
+            !parse_payload(payload, payload_fmt, n_coeffs,
+                           shapes_out ? shapes_out + 3 * i : nullptr, &v)) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;
         }
-        int32_t head[5];
-        std::memcpy(head, payload.data(), sizeof(head));
-        const int64_t total = head[3];
-        const int64_t n_pairs = head[4];
-        if (total > n_coeffs ||
-            payload.size() < head_bytes + n_pairs * pair_bytes) {
-            int64_t expect = -1;
-            first_err.compare_exchange_strong(expect, i);
-            return;
-        }
-        if (shapes_out) std::memcpy(shapes_out + 3 * i, head, 3 * sizeof(int32_t));
         float* base = out + offsets[i];
         for (int64_t r = 0; r < rows; ++r)
             std::memset(base + r * row_stride, 0, row_len * sizeof(float));
-        float scale = 0.0f;
-        if (payload_fmt == 1) std::memcpy(&scale, payload.data() + 20, 4);
-        const uint8_t* pd = payload.data() + head_bytes;
         int64_t idx = 0;
-        for (int64_t p = 0; p < n_pairs; ++p) {
+        for (int64_t p = 0; p < v.n_pairs; ++p) {
             int32_t run;
             float val;
-            if (payload_fmt == 1) {
-                PairQ16 q;
-                std::memcpy(&q, pd + p * sizeof(PairQ16), sizeof(q));
-                run = q.run;
-                val = static_cast<float>(q.val) * scale;
-            } else {
-                Pair pr;
-                std::memcpy(&pr, pd + p * sizeof(Pair), sizeof(pr));
-                run = pr.run;
-                val = pr.val;
-            }
+            read_pair(v, payload_fmt, p, &run, &val);
             idx += run;
             // bounds check as decompressor.cpp:23, plus a lower bound the
             // reference lacks: a corrupt payload with negative runs must
             // not write before the buffer
-            if (idx >= 0 && idx < total) {
+            if (idx >= 0 && idx < v.total) {
                 base[(idx / row_len) * row_stride + idx % row_len] = val;
                 ++idx;
             }
@@ -298,117 +573,46 @@ int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
     return 0;
 }
 
-// Indexed variants: item i's coefficient at LOGICAL position (a, b, c)
-// (the reference's flatten order) lives at coeffs[offsets[i] + ix[a] +
-// iy[b] + iz[c]] — the per-axis tables carry both the layout's strides and
-// any in-place permutation (e.g. the interleaved Haar layout, where the
-// device skips the low/high deinterleave and the host walks coefficients
-// through kernels/haar_pallas.interleave_perm instead).  Same payload
-// bytes as the strided variants for the same logical data.
-
-int64_t wtc_pack_indexed(const float* coeffs, const float* t32,
-                         int64_t n_items, int64_t nx, int64_t ny, int64_t nz,
-                         const int64_t* ix, const int64_t* iy,
-                         const int64_t* iz, const int64_t* offsets,
-                         const int32_t* shape, const char* const* paths,
-                         int n_threads, int payload_fmt, int codec,
-                         int preset) {
+template <typename Load>
+int64_t unpack_core_indexed(int64_t n_items, int64_t nx, int64_t ny,
+                            int64_t nz, const int64_t* ix, const int64_t* iy,
+                            const int64_t* iz, const int64_t* offsets,
+                            float* out, int32_t* shapes_out, int n_threads,
+                            int payload_fmt, Load load) {
     const int64_t n_coeffs = nx * ny * nz;
-    std::atomic<int64_t> total_bytes(0);
-    std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
-        const float* base = coeffs + offsets[i];
-        const float thresh = t32[i];
-        std::vector<Pair> pairs;
-        int32_t run = 0;
-        for (int64_t a = 0; a < nx; ++a) {
-            const float* pa = base + ix[a];
-            for (int64_t b = 0; b < ny; ++b) {
-                const float* pb = pa + iy[b];
-                for (int64_t c = 0; c < nz; ++c) {
-                    const float v = pb[iz[c]];
-                    if (std::fabs(v) > thresh) {
-                        pairs.push_back({run, v});
-                        run = 0;
-                    } else {
-                        ++run;
-                    }
-                }
-            }
-        }
-        std::string payload = payload_fmt == 1
-            ? serialize_payload_q16(shape, n_coeffs, pairs)
-            : serialize_payload(shape, n_coeffs, pairs);
-        if (!encode_to_file(payload, paths[i], codec, preset)) {
-            int64_t expect = -1;
-            first_err.compare_exchange_strong(expect, i);
-            return;
-        }
-        FILE* f = std::fopen(paths[i], "rb");
-        if (f) {
-            std::fseek(f, 0, SEEK_END);
-            total_bytes.fetch_add(std::ftell(f));
-            std::fclose(f);
-        }
-    });
-    if (first_err.load() >= 0) return -(1 + first_err.load());
-    return total_bytes.load();
-}
-
-int64_t wtc_unpack_indexed(const char* const* paths, int64_t n_items,
-                           int64_t nx, int64_t ny, int64_t nz,
-                           const int64_t* ix, const int64_t* iy,
-                           const int64_t* iz, const int64_t* offsets,
-                           float* out, int32_t* shapes_out, int n_threads,
-                           int payload_fmt, int codec) {
-    const int64_t n_coeffs = nx * ny * nz;
-    const size_t head_bytes = payload_fmt == 1 ? 24 : 20;
-    const size_t pair_bytes = payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
+    // unit-stride inner table => each (a, b) footprint is one contiguous
+    // row, zeroable with a memset instead of nz scattered stores
+    const bool iz_unit = is_unit_permutation(iz, nz);
     std::atomic<int64_t> first_err(-1);
     run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
-        if (!xz_decode_file(paths[i], payload, codec)
-            || payload.size() < head_bytes) {
+        PayloadView v;
+        if (!load(i, payload) ||
+            !parse_payload(payload, payload_fmt, n_coeffs,
+                           shapes_out ? shapes_out + 3 * i : nullptr, &v)) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;
         }
-        int32_t head[5];
-        std::memcpy(head, payload.data(), sizeof(head));
-        const int64_t total = head[3];
-        const int64_t n_pairs = head[4];
-        if (total > n_coeffs ||
-            payload.size() < head_bytes + n_pairs * pair_bytes) {
-            int64_t expect = -1;
-            first_err.compare_exchange_strong(expect, i);
-            return;
-        }
-        if (shapes_out) std::memcpy(shapes_out + 3 * i, head, 3 * sizeof(int32_t));
         float* base = out + offsets[i];
-        for (int64_t a = 0; a < nx; ++a)
-            for (int64_t b = 0; b < ny; ++b)
-                for (int64_t c = 0; c < nz; ++c)
-                    base[ix[a] + iy[b] + iz[c]] = 0.0f;
-        float scale = 0.0f;
-        if (payload_fmt == 1) std::memcpy(&scale, payload.data() + 20, 4);
-        const uint8_t* pd = payload.data() + head_bytes;
+        if (iz_unit) {
+            for (int64_t a = 0; a < nx; ++a)
+                for (int64_t b = 0; b < ny; ++b)
+                    std::memset(base + ix[a] + iy[b], 0,
+                                nz * sizeof(float));
+        } else {
+            for (int64_t a = 0; a < nx; ++a)
+                for (int64_t b = 0; b < ny; ++b)
+                    for (int64_t c = 0; c < nz; ++c)
+                        base[ix[a] + iy[b] + iz[c]] = 0.0f;
+        }
         int64_t idx = 0;
-        for (int64_t p = 0; p < n_pairs; ++p) {
+        for (int64_t p = 0; p < v.n_pairs; ++p) {
             int32_t run;
             float val;
-            if (payload_fmt == 1) {
-                PairQ16 q;
-                std::memcpy(&q, pd + p * sizeof(PairQ16), sizeof(q));
-                run = q.run;
-                val = static_cast<float>(q.val) * scale;
-            } else {
-                Pair pr;
-                std::memcpy(&pr, pd + p * sizeof(Pair), sizeof(pr));
-                run = pr.run;
-                val = pr.val;
-            }
+            read_pair(v, payload_fmt, p, &run, &val);
             idx += run;
-            if (idx >= 0 && idx < total) {
+            if (idx >= 0 && idx < v.total) {
                 const int64_t c = idx % nz;
                 const int64_t b = (idx / nz) % ny;
                 const int64_t a = idx / (ny * nz);
@@ -421,103 +625,31 @@ int64_t wtc_unpack_indexed(const char* const* paths, int64_t n_items,
     return 0;
 }
 
-// Mapped variants: item i's coefficient at LOGICAL flat position t lives
-// at coeffs[offsets[i] + map[t]].  The fully general layout walk — needed
-// for the multi-scale interleaved layout, whose logical->physical map is
-// NOT separable per axis (a high-band coordinate means the other axes
-// were never re-transformed at deeper scales).  map has nx*ny*nz entries,
-// shared by every item of the batch.
-
-int64_t wtc_pack_mapped(const float* coeffs, const float* t32,
-                        int64_t n_items, int64_t n_coeffs,
-                        const int64_t* map, const int64_t* offsets,
-                        const int32_t* shape, const char* const* paths,
-                        int n_threads, int payload_fmt, int codec,
-                        int preset) {
-    std::atomic<int64_t> total_bytes(0);
-    std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
-        const float* base = coeffs + offsets[i];
-        const float thresh = t32[i];
-        std::vector<Pair> pairs;
-        int32_t run = 0;
-        for (int64_t t = 0; t < n_coeffs; ++t) {
-            const float v = base[map[t]];
-            if (std::fabs(v) > thresh) {
-                pairs.push_back({run, v});
-                run = 0;
-            } else {
-                ++run;
-            }
-        }
-        std::string payload = payload_fmt == 1
-            ? serialize_payload_q16(shape, n_coeffs, pairs)
-            : serialize_payload(shape, n_coeffs, pairs);
-        if (!encode_to_file(payload, paths[i], codec, preset)) {
-            int64_t expect = -1;
-            first_err.compare_exchange_strong(expect, i);
-            return;
-        }
-        FILE* f = std::fopen(paths[i], "rb");
-        if (f) {
-            std::fseek(f, 0, SEEK_END);
-            total_bytes.fetch_add(std::ftell(f));
-            std::fclose(f);
-        }
-    });
-    if (first_err.load() >= 0) return -(1 + first_err.load());
-    return total_bytes.load();
-}
-
-int64_t wtc_unpack_mapped(const char* const* paths, int64_t n_items,
-                          int64_t n_coeffs, const int64_t* map,
-                          const int64_t* offsets, float* out,
-                          int32_t* shapes_out, int n_threads,
-                          int payload_fmt, int codec) {
-    const size_t head_bytes = payload_fmt == 1 ? 24 : 20;
-    const size_t pair_bytes = payload_fmt == 1 ? sizeof(PairQ16) : sizeof(Pair);
+template <typename Load>
+int64_t unpack_core_mapped(int64_t n_items, int64_t n_coeffs,
+                           const int64_t* map, const int64_t* offsets,
+                           float* out, int32_t* shapes_out, int n_threads,
+                           int payload_fmt, Load load) {
     std::atomic<int64_t> first_err(-1);
     run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
-        if (!xz_decode_file(paths[i], payload, codec)
-            || payload.size() < head_bytes) {
+        PayloadView v;
+        if (!load(i, payload) ||
+            !parse_payload(payload, payload_fmt, n_coeffs,
+                           shapes_out ? shapes_out + 3 * i : nullptr, &v)) {
             int64_t expect = -1;
             first_err.compare_exchange_strong(expect, i);
             return;
         }
-        int32_t head[5];
-        std::memcpy(head, payload.data(), sizeof(head));
-        const int64_t total = head[3];
-        const int64_t n_pairs = head[4];
-        if (total > n_coeffs ||
-            payload.size() < head_bytes + n_pairs * pair_bytes) {
-            int64_t expect = -1;
-            first_err.compare_exchange_strong(expect, i);
-            return;
-        }
-        if (shapes_out) std::memcpy(shapes_out + 3 * i, head, 3 * sizeof(int32_t));
         float* base = out + offsets[i];
         for (int64_t t = 0; t < n_coeffs; ++t) base[map[t]] = 0.0f;
-        float scale = 0.0f;
-        if (payload_fmt == 1) std::memcpy(&scale, payload.data() + 20, 4);
-        const uint8_t* pd = payload.data() + head_bytes;
         int64_t idx = 0;
-        for (int64_t p = 0; p < n_pairs; ++p) {
+        for (int64_t p = 0; p < v.n_pairs; ++p) {
             int32_t run;
             float val;
-            if (payload_fmt == 1) {
-                PairQ16 q;
-                std::memcpy(&q, pd + p * sizeof(PairQ16), sizeof(q));
-                run = q.run;
-                val = static_cast<float>(q.val) * scale;
-            } else {
-                Pair pr;
-                std::memcpy(&pr, pd + p * sizeof(Pair), sizeof(pr));
-                run = pr.run;
-                val = pr.val;
-            }
+            read_pair(v, payload_fmt, p, &run, &val);
             idx += run;
-            if (idx >= 0 && idx < total) {
+            if (idx >= 0 && idx < v.total) {
                 base[map[idx]] = val;
                 ++idx;
             }
@@ -525,6 +657,189 @@ int64_t wtc_unpack_mapped(const char* const* paths, int64_t n_items,
     });
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return 0;
+}
+
+struct FileLoad {
+    const char* const* paths;
+    int codec;
+    bool operator()(int64_t i, std::vector<uint8_t>& payload) const {
+        return xz_decode_file(paths[i], payload, codec);
+    }
+};
+
+struct MemLoad {
+    const uint8_t* const* blobs;
+    const int64_t* sizes;
+    int codec;
+    bool operator()(int64_t i, std::vector<uint8_t>& payload) const {
+        if (sizes[i] < 0) return false;
+        return decode_container(blobs[i], static_cast<size_t>(sizes[i]),
+                                payload, codec);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- pack to per-item files (reference-compatible archive layout) ----
+
+// Pack n_items items with per-item float32 thresholds (keep iff
+// |c| > t32[i]); write one .xz per item at paths[i].  All items share one
+// box shape.  Returns total compressed bytes, or -(1 + first failing item
+// index) on error.
+int64_t wtc_pack_strided(const float* coeffs, const float* t32,
+                         int64_t n_items, int64_t rows, int64_t row_len,
+                         int64_t row_stride, const int64_t* offsets,
+                         const int32_t* shape, const char* const* paths,
+                         int n_threads, int payload_fmt /*0=f32, 1=q16*/,
+                         int codec /*0=xz, 1=raw*/, int preset /*xz 0-9*/) {
+    return pack_core_strided(coeffs, t32, n_items, rows, row_len,
+                             row_stride, offsets, shape, n_threads,
+                             payload_fmt, FileEmit{paths, codec, preset});
+}
+
+int64_t wtc_pack_indexed(const float* coeffs, const float* t32,
+                         int64_t n_items, int64_t nx, int64_t ny, int64_t nz,
+                         const int64_t* ix, const int64_t* iy,
+                         const int64_t* iz, const int64_t* offsets,
+                         const int32_t* shape, const char* const* paths,
+                         int n_threads, int payload_fmt, int codec,
+                         int preset) {
+    return pack_core_indexed(coeffs, t32, n_items, nx, ny, nz, ix, iy, iz,
+                             offsets, shape, n_threads, payload_fmt,
+                             FileEmit{paths, codec, preset});
+}
+
+int64_t wtc_pack_mapped(const float* coeffs, const float* t32,
+                        int64_t n_items, int64_t n_coeffs,
+                        const int64_t* map, const int64_t* offsets,
+                        const int32_t* shape, const char* const* paths,
+                        int n_threads, int payload_fmt, int codec,
+                        int preset) {
+    return pack_core_mapped(coeffs, t32, n_items, n_coeffs, map, offsets,
+                            shape, n_threads, payload_fmt,
+                            FileEmit{paths, codec, preset});
+}
+
+// ---- encode to per-item blobs (bundle container mode) ----
+//
+// Same walks and payload bytes as the wtc_pack_* functions, but each item's
+// encoded container lands in a malloc'd buffer (blobs_out[i], sizes_out[i])
+// instead of its own file; the caller appends them to the bundle in item
+// order and frees each via wtc_free_blob.  Returns total bytes or
+// -(1 + first failing item index) (failed calls still own any blobs with
+// sizes_out[i] > 0 — the binding frees them).
+
+int64_t wtc_encode_strided(const float* coeffs, const float* t32,
+                           int64_t n_items, int64_t rows, int64_t row_len,
+                           int64_t row_stride, const int64_t* offsets,
+                           const int32_t* shape, uint8_t** blobs_out,
+                           int64_t* sizes_out, int n_threads,
+                           int payload_fmt, int codec, int preset) {
+    return pack_core_strided(coeffs, t32, n_items, rows, row_len,
+                             row_stride, offsets, shape, n_threads,
+                             payload_fmt,
+                             BlobEmit{blobs_out, sizes_out, codec, preset});
+}
+
+int64_t wtc_encode_indexed(const float* coeffs, const float* t32,
+                           int64_t n_items, int64_t nx, int64_t ny,
+                           int64_t nz, const int64_t* ix, const int64_t* iy,
+                           const int64_t* iz, const int64_t* offsets,
+                           const int32_t* shape, uint8_t** blobs_out,
+                           int64_t* sizes_out, int n_threads,
+                           int payload_fmt, int codec, int preset) {
+    return pack_core_indexed(coeffs, t32, n_items, nx, ny, nz, ix, iy, iz,
+                             offsets, shape, n_threads, payload_fmt,
+                             BlobEmit{blobs_out, sizes_out, codec, preset});
+}
+
+int64_t wtc_encode_mapped(const float* coeffs, const float* t32,
+                          int64_t n_items, int64_t n_coeffs,
+                          const int64_t* map, const int64_t* offsets,
+                          const int32_t* shape, uint8_t** blobs_out,
+                          int64_t* sizes_out, int n_threads,
+                          int payload_fmt, int codec, int preset) {
+    return pack_core_mapped(coeffs, t32, n_items, n_coeffs, map, offsets,
+                            shape, n_threads, payload_fmt,
+                            BlobEmit{blobs_out, sizes_out, codec, preset});
+}
+
+void wtc_free_blob(uint8_t* p) { std::free(p); }
+
+// ---- unpack from per-item files ----
+
+// Unpack n_items .xz files into a strided destination (same geometry
+// convention as wtc_pack_strided; the destination regions are zeroed
+// first).  shapes_out (3*n_items, optional) receives each item's box
+// shape.  Returns 0, or -(1 + first failing item index).
+int64_t wtc_unpack_strided(const char* const* paths, int64_t n_items,
+                           int64_t rows, int64_t row_len, int64_t row_stride,
+                           const int64_t* offsets, float* out,
+                           int32_t* shapes_out, int n_threads,
+                           int payload_fmt /*0=f32, 1=q16*/,
+                           int codec /*0=xz, 1=raw*/) {
+    return unpack_core_strided(n_items, rows, row_len, row_stride, offsets,
+                               out, shapes_out, n_threads, payload_fmt,
+                               FileLoad{paths, codec});
+}
+
+int64_t wtc_unpack_indexed(const char* const* paths, int64_t n_items,
+                           int64_t nx, int64_t ny, int64_t nz,
+                           const int64_t* ix, const int64_t* iy,
+                           const int64_t* iz, const int64_t* offsets,
+                           float* out, int32_t* shapes_out, int n_threads,
+                           int payload_fmt, int codec) {
+    return unpack_core_indexed(n_items, nx, ny, nz, ix, iy, iz, offsets,
+                               out, shapes_out, n_threads, payload_fmt,
+                               FileLoad{paths, codec});
+}
+
+int64_t wtc_unpack_mapped(const char* const* paths, int64_t n_items,
+                          int64_t n_coeffs, const int64_t* map,
+                          const int64_t* offsets, float* out,
+                          int32_t* shapes_out, int n_threads,
+                          int payload_fmt, int codec) {
+    return unpack_core_mapped(n_items, n_coeffs, map, offsets, out,
+                              shapes_out, n_threads, payload_fmt,
+                              FileLoad{paths, codec});
+}
+
+// ---- unpack from in-memory members (bundle container mode) ----
+
+int64_t wtc_unpack_strided_mem(const uint8_t* const* blobs,
+                               const int64_t* blob_sizes, int64_t n_items,
+                               int64_t rows, int64_t row_len,
+                               int64_t row_stride, const int64_t* offsets,
+                               float* out, int32_t* shapes_out,
+                               int n_threads, int payload_fmt, int codec) {
+    return unpack_core_strided(n_items, rows, row_len, row_stride, offsets,
+                               out, shapes_out, n_threads, payload_fmt,
+                               MemLoad{blobs, blob_sizes, codec});
+}
+
+int64_t wtc_unpack_indexed_mem(const uint8_t* const* blobs,
+                               const int64_t* blob_sizes, int64_t n_items,
+                               int64_t nx, int64_t ny, int64_t nz,
+                               const int64_t* ix, const int64_t* iy,
+                               const int64_t* iz, const int64_t* offsets,
+                               float* out, int32_t* shapes_out,
+                               int n_threads, int payload_fmt, int codec) {
+    return unpack_core_indexed(n_items, nx, ny, nz, ix, iy, iz, offsets,
+                               out, shapes_out, n_threads, payload_fmt,
+                               MemLoad{blobs, blob_sizes, codec});
+}
+
+int64_t wtc_unpack_mapped_mem(const uint8_t* const* blobs,
+                              const int64_t* blob_sizes, int64_t n_items,
+                              int64_t n_coeffs, const int64_t* map,
+                              const int64_t* offsets, float* out,
+                              int32_t* shapes_out, int n_threads,
+                              int payload_fmt, int codec) {
+    return unpack_core_mapped(n_items, n_coeffs, map, offsets, out,
+                              shapes_out, n_threads, payload_fmt,
+                              MemLoad{blobs, blob_sizes, codec});
 }
 
 }  // extern "C"

@@ -122,18 +122,23 @@ def main():
     results = {"cpu_count": ncpu, "dims": list(dims), "n_items": n_items,
                "item_bytes": m * 4, "pack": {}, "unpack": {},
                "python_pack": {}, "preset_sensitivity": {}}
+    # scratch on tmpfs when available: the measured quantity is the CODEC
+    # rate (threshold+RLE+encode); disk small-file latency is a property of
+    # the rig's filesystem, reported separately below as fs_overhead
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     for kept in (0.01, 0.05):
         flat, t32 = make_coeffs(n_items, m, kept)
         key = f"kept={kept}"
         results["pack"][key] = {}
         results["unpack"][key] = {}
-        with tempfile.TemporaryDirectory() as d:
+        with tempfile.TemporaryDirectory(dir=shm) as d:
             for nt in thread_counts:
                 gbps, out_bytes, paths = bench_native_pack(
                     flat, t32, dims, nt, d)
-                # best of 2 (first run pays page-cache warmup)
-                gbps2, _, _ = bench_native_pack(flat, t32, dims, nt, d)
-                gbps = max(gbps, gbps2)
+                # best of 3 (first run pays page-cache warmup)
+                for _ in range(2):
+                    gbps2, _, _ = bench_native_pack(flat, t32, dims, nt, d)
+                    gbps = max(gbps, gbps2)
                 results["pack"][key][f"threads={nt}"] = {
                     "input_gbps": round(gbps, 4),
                     "output_bytes": int(out_bytes),
@@ -149,12 +154,29 @@ def main():
             for codec, preset, label in (("raw", 6, "raw"), ("xz", 1, "xz1")):
                 g1, ob, _ = bench_native_pack(flat, t32, dims, ncpu, d,
                                               codec=codec, preset=preset)
-                g2, _, _ = bench_native_pack(flat, t32, dims, ncpu, d,
-                                             codec=codec, preset=preset)
+                for _ in range(2):
+                    g2, _, _ = bench_native_pack(flat, t32, dims, ncpu, d,
+                                                 codec=codec, preset=preset)
+                    g1 = max(g1, g2)
                 results["pack"][key][f"codec={label},threads={ncpu}"] = {
-                    "input_gbps": round(max(g1, g2), 4),
+                    "input_gbps": round(g1, 4),
                     "output_bytes": int(ob),
                     "ratio_pct": round(100.0 * ob / flat.nbytes, 3),
+                }
+        if shm and kept == 0.01:
+            # same fastest config on the real filesystem: the delta is
+            # pure small-file overhead (open+write+rename per item), the
+            # cost the bundle archive mode exists to remove
+            with tempfile.TemporaryDirectory() as ddisk:
+                g1, _, _ = bench_native_pack(flat, t32, dims, ncpu, ddisk,
+                                             codec="raw")
+                g2, _, _ = bench_native_pack(flat, t32, dims, ncpu, ddisk,
+                                             codec="raw")
+                results["fs_overhead"] = {
+                    "raw_pack_gbps_on_disk": round(max(g1, g2), 4),
+                    "raw_pack_gbps_on_tmpfs": results["pack"][key][
+                        f"codec=raw,threads={ncpu}"]["input_gbps"],
+                    "files": n_items,
                 }
         if kept == 0.01:
             results["preset_sensitivity"] = bench_preset_sensitivity(
@@ -178,10 +200,14 @@ def main():
         "e2e_gbps_with_this_host": round(min(dev_rate, packN), 4),
         "note": ("end-to-end compress = min(device, host pack) once "
                  "overlapped; pack scales ~linearly in cores (independent "
-                 "items, no shared state).  At xz preset 6 the north star "
-                 "needs ~70 cores/chip; codec=raw (extension) needs ~10 — "
-                 "a real v5e host (~14 vCPU/chip on v5e-8) reaches "
-                 "~2 GB/s/chip e2e at xz6 and ~15 GB/s/chip at raw"),
+                 "items, no shared state).  With the AVX2 keep-scan the "
+                 "codec=raw extension packs ~3 GB/s/core at realistic kept "
+                 "fractions — ~3 cores/chip reach the 10 GB/s north star, "
+                 "and a real v5e host (~14 vCPU/chip on v5e-8) is device-"
+                 "bound, not host-bound.  The reference-compatible xz "
+                 "preset 6 stays LZMA-bound (~0.15 GB/s/core, ~70 cores "
+                 "for 10 GB/s) — entropy coding, not the scan, is its "
+                 "cost."),
         "pack1_gbps": pack1,
     }
     results["pipeline_e2e"] = bench_overlapped_pipeline()
@@ -237,7 +263,7 @@ def bench_overlapped_pipeline():
                                             max_batch_bytes=16 << 20)
             t0 = time.perf_counter()
             _nf, ib, ob, _d2h = cmod._pack_dense_or_sparse(
-                batches, eng, packer, tdir, keep, "dense", 1)
+                batches, eng, packer, tdir, keep, "dense")
             dt = time.perf_counter() - t0
         out[f"codec={codec}"] = {
             "e2e_input_gbps": round(ib / dt / 1e9, 4),

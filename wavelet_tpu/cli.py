@@ -70,6 +70,7 @@ def parse_argv(argv):
         cfg.payload = kv.get("payload", "f32")
         cfg.codec = kv.get("codec", "xz")
         cfg.xz_preset = int(kv.get("xzpreset", "6"))
+        cfg.archive = kv.get("archive", "files")
         cfg.transfer = kv.get("transfer", "dense")
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"

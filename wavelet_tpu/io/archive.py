@@ -168,7 +168,8 @@ META_NAME = "wtc-meta.json"
 
 def write_meta(path: str, *, threshold_mode: str = "box", keep: float = None,
                keep_fraction: float = None, scales: int = 1,
-               payload: str = "f32", codec: str = "xz", xz_preset: int = 6):
+               payload: str = "f32", codec: str = "xz", xz_preset: int = 6,
+               archive_format: str = "files"):
     """Record extension settings so decompression is self-describing.
 
     A reference-compatible archive (default settings) also gets the file —
@@ -179,7 +180,7 @@ def write_meta(path: str, *, threshold_mode: str = "box", keep: float = None,
 
     meta = {"format_version": 1, "threshold_mode": threshold_mode,
             "scales": int(scales), "payload": payload, "codec": codec,
-            "xz_preset": int(xz_preset)}
+            "xz_preset": int(xz_preset), "archive": archive_format}
     if keep is not None:
         meta["keep"] = float(keep)
     if keep_fraction is not None:
@@ -194,9 +195,12 @@ def read_meta(path: str) -> dict:
     p = os.path.join(path, META_NAME)
     if not os.path.exists(p):
         return {"format_version": 0, "threshold_mode": "box", "scales": 1,
-                "payload": "f32", "codec": "xz", "xz_preset": 6}
+                "payload": "f32", "codec": "xz", "xz_preset": 6,
+                "archive": "files"}
     with open(p) as f:
-        return json.load(f)
+        meta = json.load(f)
+    meta.setdefault("archive", "files")
+    return meta
 
 
 # ---------------------------------------------------------------------------

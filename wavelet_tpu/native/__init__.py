@@ -20,7 +20,9 @@ import numpy as np
 __all__ = ["available", "pack_batch", "unpack_batch",
            "pack_strided", "unpack_strided",
            "pack_indexed", "unpack_indexed",
-           "pack_mapped", "unpack_mapped"]
+           "pack_mapped", "unpack_mapped",
+           "encode_strided", "encode_indexed", "encode_mapped",
+           "unpack_strided_mem", "unpack_indexed_mem", "unpack_mapped_mem"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -93,6 +95,37 @@ def _bind(handle):
     handle.wtc_unpack_mapped.argtypes = [
         _pstr, _i64, _i64, _pi64, _pi64, _pf, _pi32, ctypes.c_int,
         ctypes.c_int, ctypes.c_int]
+    # bundle-mode entry points: encode to per-item blobs / decode members
+    # handed in as (pointer, size) pairs
+    _pu8 = ctypes.POINTER(ctypes.c_uint8)
+    _ppu8 = ctypes.POINTER(_pu8)
+    handle.wtc_encode_strided.restype = _i64
+    handle.wtc_encode_strided.argtypes = [
+        _pf, _pf, _i64, _i64, _i64, _i64, _pi64, _pi32, _ppu8, _pi64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    handle.wtc_encode_indexed.restype = _i64
+    handle.wtc_encode_indexed.argtypes = [
+        _pf, _pf, _i64, _i64, _i64, _i64, _pi64, _pi64, _pi64, _pi64,
+        _pi32, _ppu8, _pi64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    handle.wtc_encode_mapped.restype = _i64
+    handle.wtc_encode_mapped.argtypes = [
+        _pf, _pf, _i64, _i64, _pi64, _pi64, _pi32, _ppu8, _pi64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    handle.wtc_free_blob.restype = None
+    handle.wtc_free_blob.argtypes = [_pu8]
+    handle.wtc_unpack_strided_mem.restype = _i64
+    handle.wtc_unpack_strided_mem.argtypes = [
+        _ppu8, _pi64, _i64, _i64, _i64, _i64, _pi64, _pf, _pi32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    handle.wtc_unpack_indexed_mem.restype = _i64
+    handle.wtc_unpack_indexed_mem.argtypes = [
+        _ppu8, _pi64, _i64, _i64, _i64, _i64, _pi64, _pi64, _pi64, _pi64,
+        _pf, _pi32, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    handle.wtc_unpack_mapped_mem.restype = _i64
+    handle.wtc_unpack_mapped_mem.argtypes = [
+        _ppu8, _pi64, _i64, _i64, _pi64, _pi64, _pf, _pi32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
 
 
 _try_load()
@@ -261,6 +294,175 @@ def unpack_mapped(paths, dest: np.ndarray, coeff_map: np.ndarray,
     shapes = np.empty((n, 3), dtype=np.int32)
     ret = lib.wtc_unpack_mapped(
         _paths_array(list(paths)), n, len(coeff_map),
+        coeff_map.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        dest.ctypes.data_as(_pf), shapes.ctypes.data_as(_pi32), n_threads,
+        _FMT[payload], _CODEC[codec])
+    if ret < 0:
+        raise IOError(f"native unpack failed at item {-(ret + 1)}")
+    return shapes
+
+
+# ---- bundle-mode variants: encode to blobs / unpack from memory ----
+
+_pu8 = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _collect_blobs(n, blob_ptrs, sizes, ret):
+    """Copy the native-allocated blobs into Python bytes and free them
+    (including on a failed call, where earlier items may own memory)."""
+    try:
+        if ret < 0:
+            raise IOError(f"native encode failed at item {-(ret + 1)}")
+        return [ctypes.string_at(blob_ptrs[i], sizes[i]) for i in range(n)]
+    finally:
+        for i in range(n):
+            if blob_ptrs[i]:
+                lib.wtc_free_blob(blob_ptrs[i])
+
+
+def encode_strided(coeffs: np.ndarray, t32: np.ndarray, shape,
+                   rows: int, row_len: int, row_stride: int,
+                   offsets: np.ndarray, n_threads: int = 0,
+                   payload: str = "f32", codec: str = "xz",
+                   preset: int = 6) -> list:
+    """Like :func:`pack_strided` but returns each item's encoded container
+    bytes (bundle mode) instead of writing per-item files."""
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
+    t32 = np.ascontiguousarray(t32, dtype=np.float32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    shp = np.asarray(shape, dtype=np.int32)
+    n = len(offsets)
+    blob_ptrs = (_pu8 * n)()
+    sizes = np.zeros(n, dtype=np.int64)
+    ret = lib.wtc_encode_strided(
+        coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
+        n, rows, row_len, row_stride,
+        offsets.ctypes.data_as(_pi64), shp.ctypes.data_as(_pi32),
+        blob_ptrs, sizes.ctypes.data_as(_pi64), n_threads, _FMT[payload],
+        _CODEC[codec], int(preset))
+    return _collect_blobs(n, blob_ptrs, sizes, ret)
+
+
+def encode_indexed(coeffs: np.ndarray, t32: np.ndarray, shape,
+                   ix: np.ndarray, iy: np.ndarray, iz: np.ndarray,
+                   offsets: np.ndarray, n_threads: int = 0,
+                   payload: str = "f32", codec: str = "xz",
+                   preset: int = 6) -> list:
+    """Blob-returning variant of :func:`pack_indexed` (bundle mode)."""
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
+    t32 = np.ascontiguousarray(t32, dtype=np.float32)
+    ix = np.ascontiguousarray(ix, dtype=np.int64)
+    iy = np.ascontiguousarray(iy, dtype=np.int64)
+    iz = np.ascontiguousarray(iz, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    shp = np.asarray(shape, dtype=np.int32)
+    n = len(offsets)
+    blob_ptrs = (_pu8 * n)()
+    sizes = np.zeros(n, dtype=np.int64)
+    ret = lib.wtc_encode_indexed(
+        coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
+        n, len(ix), len(iy), len(iz),
+        ix.ctypes.data_as(_pi64), iy.ctypes.data_as(_pi64),
+        iz.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        shp.ctypes.data_as(_pi32), blob_ptrs,
+        sizes.ctypes.data_as(_pi64), n_threads, _FMT[payload],
+        _CODEC[codec], int(preset))
+    return _collect_blobs(n, blob_ptrs, sizes, ret)
+
+
+def encode_mapped(coeffs: np.ndarray, t32: np.ndarray, shape,
+                  coeff_map: np.ndarray, offsets: np.ndarray,
+                  n_threads: int = 0, payload: str = "f32",
+                  codec: str = "xz", preset: int = 6) -> list:
+    """Blob-returning variant of :func:`pack_mapped` (bundle mode)."""
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
+    t32 = np.ascontiguousarray(t32, dtype=np.float32)
+    coeff_map = np.ascontiguousarray(coeff_map, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    shp = np.asarray(shape, dtype=np.int32)
+    n = len(offsets)
+    blob_ptrs = (_pu8 * n)()
+    sizes = np.zeros(n, dtype=np.int64)
+    ret = lib.wtc_encode_mapped(
+        coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
+        n, len(coeff_map),
+        coeff_map.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        shp.ctypes.data_as(_pi32), blob_ptrs,
+        sizes.ctypes.data_as(_pi64), n_threads, _FMT[payload],
+        _CODEC[codec], int(preset))
+    return _collect_blobs(n, blob_ptrs, sizes, ret)
+
+
+def _blob_arrays(blobs):
+    """(pointer array, size array) viewing a list of bytes objects —
+    zero-copy: the pointers alias the bytes' buffers, valid while the list
+    is alive (callers keep it alive across the native call)."""
+    n = len(blobs)
+    ptrs = (_pu8 * n)()
+    sizes = np.empty(n, dtype=np.int64)
+    for i, b in enumerate(blobs):
+        ptrs[i] = ctypes.cast(ctypes.c_char_p(b), _pu8)
+        sizes[i] = len(b)
+    return ptrs, sizes
+
+
+def unpack_strided_mem(blobs, dest: np.ndarray, rows: int, row_len: int,
+                       row_stride: int, offsets: np.ndarray,
+                       n_threads: int = 0, payload: str = "f32",
+                       codec: str = "xz") -> np.ndarray:
+    """Memory-source variant of :func:`unpack_strided`: ``blobs`` is a list
+    of per-item container bytes (bundle members)."""
+    assert dest.dtype == np.float32 and dest.flags.c_contiguous
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(blobs)
+    ptrs, sizes = _blob_arrays(blobs)
+    shapes = np.empty((n, 3), dtype=np.int32)
+    ret = lib.wtc_unpack_strided_mem(
+        ptrs, sizes.ctypes.data_as(_pi64), n, rows, row_len, row_stride,
+        offsets.ctypes.data_as(_pi64), dest.ctypes.data_as(_pf),
+        shapes.ctypes.data_as(_pi32), n_threads, _FMT[payload],
+        _CODEC[codec])
+    if ret < 0:
+        raise IOError(f"native unpack failed at item {-(ret + 1)}")
+    return shapes
+
+
+def unpack_indexed_mem(blobs, dest: np.ndarray, ix: np.ndarray,
+                       iy: np.ndarray, iz: np.ndarray, offsets: np.ndarray,
+                       n_threads: int = 0, payload: str = "f32",
+                       codec: str = "xz") -> np.ndarray:
+    """Memory-source variant of :func:`unpack_indexed` (bundle mode)."""
+    assert dest.dtype == np.float32 and dest.flags.c_contiguous
+    ix = np.ascontiguousarray(ix, dtype=np.int64)
+    iy = np.ascontiguousarray(iy, dtype=np.int64)
+    iz = np.ascontiguousarray(iz, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(blobs)
+    ptrs, sizes = _blob_arrays(blobs)
+    shapes = np.empty((n, 3), dtype=np.int32)
+    ret = lib.wtc_unpack_indexed_mem(
+        ptrs, sizes.ctypes.data_as(_pi64), n, len(ix), len(iy), len(iz),
+        ix.ctypes.data_as(_pi64), iy.ctypes.data_as(_pi64),
+        iz.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
+        dest.ctypes.data_as(_pf), shapes.ctypes.data_as(_pi32), n_threads,
+        _FMT[payload], _CODEC[codec])
+    if ret < 0:
+        raise IOError(f"native unpack failed at item {-(ret + 1)}")
+    return shapes
+
+
+def unpack_mapped_mem(blobs, dest: np.ndarray, coeff_map: np.ndarray,
+                      offsets: np.ndarray, n_threads: int = 0,
+                      payload: str = "f32", codec: str = "xz") -> np.ndarray:
+    """Memory-source variant of :func:`unpack_mapped` (bundle mode)."""
+    assert dest.dtype == np.float32 and dest.flags.c_contiguous
+    coeff_map = np.ascontiguousarray(coeff_map, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(blobs)
+    ptrs, sizes = _blob_arrays(blobs)
+    shapes = np.empty((n, 3), dtype=np.int32)
+    ret = lib.wtc_unpack_mapped_mem(
+        ptrs, sizes.ctypes.data_as(_pi64), n, len(coeff_map),
         coeff_map.ctypes.data_as(_pi64), offsets.ctypes.data_as(_pi64),
         dest.ctypes.data_as(_pf), shapes.ctypes.data_as(_pi32), n_threads,
         _FMT[payload], _CODEC[codec])

@@ -41,6 +41,8 @@ class Config:
     payload: str = "f32"              # "f32" (parity) | "q16" (quantized)
     codec: str = "xz"                 # "xz" (parity) | "raw" (no entropy stage)
     xz_preset: int = 6                # xz preset (6 = reference parity)
+    archive: str = "files"            # "files" (parity) | "bundle" (one
+                                      #   container per timestep+process)
     transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
     device_metrics: bool = False      # estimate RMSE on device (f32 fast path)
     fast_estimate: bool = False       # in-memory estimate (no scratch dir)

@@ -19,7 +19,7 @@ import numpy as np
 
 from wavelet_tpu.core import haar, threshold
 from wavelet_tpu.core import rle
-from wavelet_tpu.io import archive
+from wavelet_tpu.io import archive, bundle
 from wavelet_tpu.kernels import haar_pallas
 from wavelet_tpu.runtime import mesh as mesh_lib
 from wavelet_tpu.runtime.batching import ShapeBatch
@@ -612,19 +612,33 @@ class HostPacker:
       (compressor.cpp:250-291);
     - python: NumPy RLE + stdlib ``lzma`` (releases the GIL) on a thread
       pool, used when the shared library isn't available.
+
+    Two archive layouts with identical member bytes:
+    - ``files`` (reference-compatible): one ``.xz`` per (t, lev, comp, box);
+    - ``bundle`` (extension, io/bundle.py): members appended to one
+      container per (timestep, process) — removes the per-file open/write/
+      rename cost that dominates once the codec runs at memory speed.
+      Callers must :meth:`close_bundles` after the last pack (the pipelines
+      do); unclosed bundles stay ``.tmp`` and are invisible to readers.
     """
 
     def __init__(self, workers: int | None = None,
                  use_native: bool | None = None, payload: str = "f32",
-                 codec: str = "xz", xz_preset: int = 6):
+                 codec: str = "xz", xz_preset: int = 6,
+                 archive_format: str = "files"):
         self.workers = workers or min(32, (os.cpu_count() or 4))
         if payload not in ("f32", "q16"):
             raise ValueError(f"unknown payload format {payload!r}")
         if codec not in ("xz", "raw"):
             raise ValueError(f"unknown payload codec {codec!r}")
+        if archive_format not in ("files", "bundle"):
+            raise ValueError(f"unknown archive format {archive_format!r}")
         self.payload = payload
         self.codec = codec
         self.xz_preset = int(xz_preset)
+        self.archive_format = archive_format
+        self._writers = {}          # (dir, t) -> BundleWriter
+        self._bundle_sets = {}      # dir -> BundleSet (read side, lazy)
         if use_native is None:
             use_native = native.available()
         self.use_native = use_native and native.available()
@@ -632,6 +646,50 @@ class HostPacker:
     def _paths(self, dir_, items):
         return [os.path.join(dir_, archive.payload_filename(
             it.t, it.level, it.comp_idx, it.box)) for it in items]
+
+    # ---- bundle plumbing ----
+
+    def _writer(self, dir_: str, t: int) -> bundle.BundleWriter:
+        key = (dir_, int(t))
+        w = self._writers.get(key)
+        if w is None:
+            proc = jax.process_index()
+            gen = 0
+            while True:
+                path = os.path.join(dir_, bundle.bundle_name(t, proc, gen))
+                if not os.path.exists(path):
+                    break
+                # resume: finished bundles are immutable — append the
+                # remaining items as a new generation
+                gen += 1
+            w = self._writers[key] = bundle.BundleWriter(path)
+        return w
+
+    def _append_members(self, dir_: str, items, blobs) -> int:
+        """Append (item, blob) pairs in item order (deterministic bytes)."""
+        total = 0
+        for it, blob in zip(items, blobs):
+            total += self._writer(dir_, it.t).add(
+                it.t, it.level, it.comp_idx, it.box, blob)
+        return total
+
+    def close_bundles(self, t: int | None = None) -> int:
+        """Finalize open bundles (index + trailer + atomic rename) — all of
+        them, or only timestep ``t``'s (the streaming pipeline closes each
+        timestep as it completes, so a crash costs one timestep, matching
+        the per-file mode's resume granularity).  Returns total container
+        bytes written."""
+        total = 0
+        for key in list(self._writers):
+            if t is None or key[1] == int(t):
+                total += self._writers.pop(key).close()
+        return total
+
+    def _bundle_set(self, dir_: str) -> bundle.BundleSet:
+        bs = self._bundle_sets.get(dir_)
+        if bs is None:
+            bs = self._bundle_sets[dir_] = bundle.BundleSet(dir_)
+        return bs
 
     @staticmethod
     def _geometry(batch: ShapeBatch):
@@ -664,9 +722,9 @@ class HostPacker:
         but already-written outputs are skipped here).  Returns total
         compressed bytes."""
         items = coeff_batch.items
-        paths = self._paths(out_dir, items)
         rows, row_len, row_stride = self._geometry(coeff_batch)
         sel = list(range(len(items))) if subset is None else list(subset)
+        bundled = self.archive_format == "bundle"
         if self.use_native:
             if not sel:
                 return 0
@@ -674,26 +732,56 @@ class HostPacker:
             if coeff_batch.layout == "interleaved":
                 if coeff_batch.scales > 1:
                     # multi-scale map is non-separable: full flat-map walk
+                    if bundled:
+                        blobs = native.encode_mapped(
+                            coeff_batch.data, np.asarray(t32)[sel],
+                            coeff_batch.shape, coeff_batch._logical_map(),
+                            offsets[sel], self.workers,
+                            payload=self.payload, codec=self.codec,
+                            preset=self.xz_preset)
+                        return self._append_members(
+                            out_dir, [items[i] for i in sel], blobs)
                     return native.pack_mapped(
                         coeff_batch.data, np.asarray(t32)[sel],
-                        coeff_batch.shape, [paths[i] for i in sel],
+                        coeff_batch.shape,
+                        self._paths(out_dir, [items[i] for i in sel]),
                         coeff_batch._logical_map(), offsets[sel],
                         self.workers, payload=self.payload,
                         codec=self.codec, preset=self.xz_preset)
                 ix, iy, iz = self._index_tables(coeff_batch)
+                if bundled:
+                    blobs = native.encode_indexed(
+                        coeff_batch.data, np.asarray(t32)[sel],
+                        coeff_batch.shape, ix, iy, iz, offsets[sel],
+                        self.workers, payload=self.payload,
+                        codec=self.codec, preset=self.xz_preset)
+                    return self._append_members(
+                        out_dir, [items[i] for i in sel], blobs)
                 return native.pack_indexed(
                     coeff_batch.data, np.asarray(t32)[sel],
-                    coeff_batch.shape, [paths[i] for i in sel], ix, iy, iz,
+                    coeff_batch.shape,
+                    self._paths(out_dir, [items[i] for i in sel]),
+                    ix, iy, iz,
                     offsets[sel], self.workers, payload=self.payload,
                     codec=self.codec, preset=self.xz_preset)
+            if bundled:
+                blobs = native.encode_strided(
+                    coeff_batch.data, np.asarray(t32)[sel],
+                    coeff_batch.shape, rows, row_len, row_stride,
+                    offsets[sel], self.workers, payload=self.payload,
+                    codec=self.codec, preset=self.xz_preset)
+                return self._append_members(
+                    out_dir, [items[i] for i in sel], blobs)
             return native.pack_strided(
                 coeff_batch.data, np.asarray(t32)[sel], coeff_batch.shape,
-                [paths[i] for i in sel], rows, row_len, row_stride,
+                self._paths(out_dir, [items[i] for i in sel]),
+                rows, row_len, row_stride,
                 offsets[sel], self.workers, payload=self.payload,
                 codec=self.codec, preset=self.xz_preset)
 
         serialize = (archive.serialize_payload_q16 if self.payload == "q16"
                      else archive.serialize_payload)
+        paths = None if bundled else self._paths(out_dir, items)
 
         def one(i):
             flat = np.ascontiguousarray(coeff_batch.item_view(i)).reshape(-1)
@@ -702,18 +790,25 @@ class HostPacker:
             blob = archive.encode_blob(
                 serialize(coeff_batch.shape, runs, vals),
                 self.codec, self.xz_preset)
+            if bundled:
+                return blob
             _atomic_write(paths[i], blob)
             return len(blob)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
-            return sum(ex.map(one, sel))
+            results = list(ex.map(one, sel))
+        if bundled:
+            return self._append_members(
+                out_dir, [items[i] for i in sel], results)
+        return sum(results)
 
     def pack_sparse(self, out_dir: str, sparse: "SparseCoeffs",
                     t32: np.ndarray) -> int:
         """Pack from device-sparsified (index, value) pairs — no dense
         coefficient array ever reaches the host.  Bytes identical to the
         dense path (same mask, same RLE)."""
-        paths = self._paths(out_dir, sparse.items)
+        bundled = self.archive_format == "bundle"
+        paths = None if bundled else self._paths(out_dir, sparse.items)
         serialize = (archive.serialize_payload_q16 if self.payload == "q16"
                      else archive.serialize_payload)
 
@@ -722,33 +817,63 @@ class HostPacker:
             runs = np.diff(idx, prepend=np.int32(-1)).astype(np.int32) - 1
             blob = archive.encode_blob(serialize(sparse.shape, runs, vals),
                                        self.codec, self.xz_preset)
+            if bundled:
+                return blob
             _atomic_write(paths[i], blob)
             return len(blob)
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
-            return sum(ex.map(one, range(len(sparse.items))))
+            results = list(ex.map(one, range(len(sparse.items))))
+        if bundled:
+            return self._append_members(out_dir, sparse.items, results)
+        return sum(results)
 
     def unpack_into(self, in_dir: str, batch: ShapeBatch) -> None:
         """Read + xz-decode + RLE-scatter every item into ``batch.data``."""
-        paths = self._paths(in_dir, batch.items)
         dims = batch.shape
         rows, row_len, row_stride = self._geometry(batch)
+        bundled = self.archive_format == "bundle"
+        if bundled:
+            bs = self._bundle_set(in_dir)
+            blobs = [bs.blob(it.t, it.level, it.comp_idx, it.box)
+                     for it in batch.items]
+        else:
+            paths = self._paths(in_dir, batch.items)
         if self.use_native:
             if batch.layout == "interleaved" and batch.scales > 1:
-                shapes = native.unpack_mapped(
-                    paths, batch.data, batch._logical_map(),
-                    batch.item_offsets(), self.workers,
-                    payload=self.payload, codec=self.codec)
+                if bundled:
+                    shapes = native.unpack_mapped_mem(
+                        blobs, batch.data, batch._logical_map(),
+                        batch.item_offsets(), self.workers,
+                        payload=self.payload, codec=self.codec)
+                else:
+                    shapes = native.unpack_mapped(
+                        paths, batch.data, batch._logical_map(),
+                        batch.item_offsets(), self.workers,
+                        payload=self.payload, codec=self.codec)
             elif batch.layout == "interleaved":
                 ix, iy, iz = self._index_tables(batch)
-                shapes = native.unpack_indexed(
-                    paths, batch.data, ix, iy, iz, batch.item_offsets(),
-                    self.workers, payload=self.payload, codec=self.codec)
+                if bundled:
+                    shapes = native.unpack_indexed_mem(
+                        blobs, batch.data, ix, iy, iz,
+                        batch.item_offsets(), self.workers,
+                        payload=self.payload, codec=self.codec)
+                else:
+                    shapes = native.unpack_indexed(
+                        paths, batch.data, ix, iy, iz, batch.item_offsets(),
+                        self.workers, payload=self.payload,
+                        codec=self.codec)
             else:
-                shapes = native.unpack_strided(
-                    paths, batch.data, rows, row_len, row_stride,
-                    batch.item_offsets(), self.workers,
-                    payload=self.payload, codec=self.codec)
+                if bundled:
+                    shapes = native.unpack_strided_mem(
+                        blobs, batch.data, rows, row_len, row_stride,
+                        batch.item_offsets(), self.workers,
+                        payload=self.payload, codec=self.codec)
+                else:
+                    shapes = native.unpack_strided(
+                        paths, batch.data, rows, row_len, row_stride,
+                        batch.item_offsets(), self.workers,
+                        payload=self.payload, codec=self.codec)
             if not np.all(shapes == np.asarray(dims, np.int32)):
                 raise ValueError(
                     f"payload shapes disagree with dimensions.raw {dims}")
@@ -759,8 +884,11 @@ class HostPacker:
                        else archive.deserialize_payload)
 
         def one(i):
-            with open(paths[i], "rb") as f:
-                payload = archive.decode_blob(f.read(), self.codec)
+            if bundled:
+                payload = archive.decode_blob(blobs[i], self.codec)
+            else:
+                with open(paths[i], "rb") as f:
+                    payload = archive.decode_blob(f.read(), self.codec)
             shape, total, runs, vals = deserialize(payload)
             if tuple(shape) != tuple(dims):
                 raise ValueError(
