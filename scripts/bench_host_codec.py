@@ -210,6 +210,7 @@ def main():
                  "cost."),
         "pack1_gbps": pack1,
     }
+    results["bundle_vs_files"] = bench_bundle_vs_files()
     results["pipeline_e2e"] = bench_overlapped_pipeline()
 
     os.makedirs("bench_results", exist_ok=True)
@@ -218,6 +219,39 @@ def main():
     print(json.dumps(results["analysis"]))
     print(json.dumps(results["pipeline_e2e"]))
     return 0
+
+
+def bench_bundle_vs_files():
+    """archive=bundle vs per-file layout in the many-small-boxes regime
+    (real AMR levels hold thousands of small boxes): same member bytes, one
+    container per timestep instead of one file per item.  Measured ON DISK
+    deliberately — the per-file open/write/rename cost is what the bundle
+    removes."""
+    from wavelet_tpu.runtime import batching, engine as eng_mod
+
+    n_items, dims = 2048, (16, 16, 16)
+    m = int(np.prod(dims))
+    flat, t32 = make_coeffs(n_items, m, 0.01, seed=3)
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+             for b in range(n_items)]
+    batch = batching.ShapeBatch(items=items, shape=dims,
+                                data=flat.reshape((n_items,) + dims),
+                                n_valid=n_items)
+    out = {"items": n_items, "dims": list(dims),
+           "input_bytes": int(flat.nbytes)}
+    for fmt in ("files", "bundle"):
+        best = 0.0
+        for _ in range(3):
+            with tempfile.TemporaryDirectory() as d:
+                packer = eng_mod.HostPacker(codec="raw", archive_format=fmt)
+                t0 = time.perf_counter()
+                packer.pack(d, batch, t32)
+                packer.close_bundles()
+                dt = time.perf_counter() - t0
+                best = max(best, flat.nbytes / dt / 1e9)
+        out[fmt + "_gbps"] = round(best, 4)
+    out["speedup"] = round(out["bundle_gbps"] / out["files_gbps"], 2)
+    return out
 
 
 def bench_overlapped_pipeline():

@@ -62,7 +62,8 @@ def test_q16_payload_roundtrip():
 def test_meta_sidecar_defaults():
     assert archive.read_meta("/nonexistent") == {
         "format_version": 0, "threshold_mode": "box", "scales": 1,
-        "payload": "f32", "codec": "xz", "xz_preset": 6}
+        "payload": "f32", "codec": "xz", "xz_preset": 6,
+        "archive": "files"}
 
 
 def _synth(tmp_path):

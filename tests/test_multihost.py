@@ -126,6 +126,54 @@ def test_two_process_archive_matches_single_process(tmp_path, extra):
     assert not diff, f"bytes differ for {diff}"
 
 
+def test_two_process_bundle_archive(tmp_path):
+    """archive=bundle across 2 processes: each process writes its own
+    bundle files (names carry the process index, so the split of one
+    timestep's items across processes composes without contention), the
+    member set and every member's bytes match a single-process bundle run,
+    and decompression regenerates identical plotfiles."""
+    import filecmp
+
+    from wavelet_tpu.io import bundle
+
+    data_dir = _write_data(tmp_path)
+    single_dir = str(tmp_path / "single") + os.sep
+    multi_dir = str(tmp_path / "multi") + os.sep
+    env = dict(os.environ, JAX_PLATFORMS="cpu", WAVELET_TPU_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(_cli_args(data_dir, single_dir,
+                                 extra=("archive=bundle",)),
+                       env=env, cwd=cwd, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-3000:]
+    _run_two_processes(data_dir, multi_dir, extra=("archive=bundle",))
+
+    bs_single = bundle.BundleSet(single_dir)
+    bs_multi = bundle.BundleSet(multi_dir)
+    assert set(bs_single.keys()) == set(bs_multi.keys())
+    for key in bs_single.keys():
+        assert bs_single.blob(*key) == bs_multi.blob(*key), key
+    # both process ids actually wrote bundles (the work really was split)
+    names = bundle.list_bundles(multi_dir)
+    assert any("-p0" in n for n in names) and any("-p1" in n for n in names)
+
+    out_s = str(tmp_path / "out_s") + os.sep
+    out_m = str(tmp_path / "out_m") + os.sep
+    for comp, out in ((single_dir, out_s), (multi_dir, out_m)):
+        rr = subprocess.run(
+            [PY, "-m", "wavelet_tpu.cli", f"compresseddir={comp}",
+             f"out={out}", "-d"], env=env, cwd=cwd, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, timeout=240)
+        assert rr.returncode == 0, rr.stdout.decode(errors="replace")[-2000:]
+    for root, _d, names in os.walk(out_s):
+        rel = os.path.relpath(root, out_s)
+        for n in names:
+            assert filecmp.cmp(os.path.join(root, n),
+                               os.path.join(out_m, rel, n),
+                               shallow=False), f"{rel}/{n} differs"
+
+
 def test_process_local_slice_partitions_completely():
     """Slices over all process ids must tile [0, n) exactly (no item done
     twice, none dropped) for any n and process count."""

@@ -25,13 +25,21 @@ log = logging.getLogger("wavelet_tpu")
 __all__ = ["check_run"]
 
 
-def _check_payload(path: str, dims, meta) -> str | None:
-    """Returns an error string, or None if the payload is sound."""
-    if not os.path.exists(path):
-        return "missing payload file"
+def _check_payload(blob_or_path, dims, meta) -> str | None:
+    """Returns an error string, or None if the payload is sound.  Accepts a
+    file path (per-file archives) or member bytes (bundle archives)."""
+    if isinstance(blob_or_path, str):
+        if not os.path.exists(blob_or_path):
+            return "missing payload file"
+        try:
+            with open(blob_or_path, "rb") as f:
+                blob = f.read()
+        except OSError as e:
+            return f"payload read failed: {e}"
+    else:
+        blob = blob_or_path
     try:
-        with open(path, "rb") as f:
-            payload = archive.decode_blob(f.read(), meta.get("codec", "xz"))
+        payload = archive.decode_blob(blob, meta.get("codec", "xz"))
     except (lzma.LZMAError, OSError) as e:
         return f"container decode failed: {e}"
     q16 = meta.get("payload") == "q16"
@@ -108,6 +116,17 @@ def check_run(cfg: common.Config) -> dict:
             errors.append(
                 f"{name}: {size} bytes but boxcounts.raw implies {need}")
 
+    bundled = meta.get("archive") == "bundle"
+    bundle_set = None
+    if bundled:
+        from wavelet_tpu.io import bundle as bundle_mod
+
+        try:
+            bundle_set = bundle_mod.BundleSet(d)
+        except ValueError as e:
+            log.error("bundle error: %s", e)
+            return {"files": 0, "errors": errors + [f"bundle: {e}"]}
+
     n_files = 0
     for t in range(len(info.files)):
         for li in range(len(levels)):
@@ -115,7 +134,17 @@ def check_run(cfg: common.Config) -> dict:
                 dims = dimensions[t][li][b]
                 for comp_idx in info.comp_idxs:
                     name = archive.payload_filename(t, li, comp_idx, b)
-                    err = _check_payload(os.path.join(d, name), dims, meta)
+                    if bundled:
+                        try:
+                            blob = bundle_set.blob(t, li, comp_idx, b)
+                        except FileNotFoundError:
+                            n_files += 1
+                            errors.append(f"{name}: missing bundle member")
+                            continue
+                        err = _check_payload(blob, dims, meta)
+                    else:
+                        err = _check_payload(os.path.join(d, name), dims,
+                                             meta)
                     n_files += 1
                     if err:
                         errors.append(f"{name}: {err}")

@@ -69,10 +69,25 @@ def write_sidecars(run: common.RunData, min_level, max_level, out_dir: str):
     write_sidecars_meta(meta, min_level, max_level, out_dir)
 
 
-def _exists(out_dir: str, item) -> bool:
+def _exists(out_dir: str, item, have=None) -> bool:
+    """Is this item's output already in the archive?  ``have`` is the
+    preloaded member-key set in bundle mode (finished bundles are immutable,
+    so one index scan at run start stays valid); None = per-file checks."""
+    if have is not None:
+        return (item.t, item.level, item.comp_idx, item.box) in have
     return os.path.exists(os.path.join(
         out_dir, archive.payload_filename(item.t, item.level,
                                           item.comp_idx, item.box)))
+
+
+def _have_index(out_dir: str, archive_format: str):
+    """Resume index: a set of (t, lev, comp, box) already present (bundle
+    mode), or None (files mode — _exists stats per file)."""
+    if archive_format != "bundle":
+        return None
+    from wavelet_tpu.io import bundle as bundle_mod
+
+    return set(bundle_mod.BundleSet(out_dir).keys())
 
 
 def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
@@ -134,7 +149,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                        resume: bool = False,
                        scales: int = 1,
                        payload: str = "f32",
-                       transfer: str = "dense") -> dict:
+                       transfer: str = "dense",
+                       archive_format: str = "files") -> dict:
     """Device codec + host pack for already-collected data. Returns stats.
 
     ``threshold_mode``:
@@ -147,7 +163,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
       unchanged, so either mode decompresses identically.
     """
     eng = engine.CodecEngine(mesh=mesh, scales=scales)
-    packer = packer or engine.HostPacker(payload=payload)
+    packer = packer or engine.HostPacker(payload=payload,
+                                         archive_format=archive_format)
     pad = mesh.size if mesh is not None else 1
     # multi-host fan-out: each process owns a contiguous slice of the work
     # items and writes its own shard of .xz files (the archive is a flat
@@ -160,6 +177,7 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
         items = items[mesh_lib.process_local_slice(len(items))]
     skipped = 0
 
+    have = _have_index(out_dir, packer.archive_format) if resume else None
     if resume and threshold_mode != "global":
         # every (t, lev, comp, box) output is an independent file written
         # after the sidecars, so a killed run restarts by skipping existing
@@ -168,7 +186,7 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
         # mode items are NOT filtered here: the histogram (and therefore the
         # threshold) must cover every item or a resumed archive would mix
         # two thresholds — only the pack stage skips existing files.
-        kept_items = [p for p in items if not _exists(out_dir, p[0])]
+        kept_items = [p for p in items if not _exists(out_dir, p[0], have)]
         skipped = len(items) - len(kept_items)
         if skipped:
             log.info("Resume: skipping %d already-compressed items", skipped)
@@ -201,17 +219,23 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
             subset = None
             if resume:
                 subset = [i for i, it in enumerate(cb.items)
-                          if not _exists(out_dir, it)]
+                          if not _exists(out_dir, it, have)]
                 skipped += len(cb.items) - len(subset)
             out_bytes += packer.pack(out_dir, cb, t32, subset=subset)
             n_files += len(subset) if subset is not None else len(cb.items)
             in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
+        bundle_bytes = packer.close_bundles()
+        if packer.archive_format == "bundle":
+            out_bytes = bundle_bytes
         return {"files": n_files, "input_bytes": in_bytes,
                 "output_bytes": out_bytes, "global_threshold": float(t),
                 "skipped": skipped}
 
     n_files, in_bytes, out_bytes, d2h = _pack_dense_or_sparse(
         batches, eng, packer, out_dir, keep, transfer)
+    bundle_bytes = packer.close_bundles()
+    if packer.archive_format == "bundle":
+        out_bytes = bundle_bytes
     return {"files": n_files, "input_bytes": in_bytes,
             "output_bytes": out_bytes, "skipped": skipped,
             "device_to_host_bytes": d2h}
@@ -244,7 +268,10 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
 
     eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
     packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
-                               xz_preset=cfg.xz_preset)
+                               xz_preset=cfg.xz_preset,
+                               archive_format=cfg.archive)
+    have = (_have_index(cfg.compressed_dir, cfg.archive)
+            if cfg.resume else None)
     pad = mesh.size if mesh is not None else 1
     ncomp = len(meta.comp_idxs)
     per_t = [sum(meta.counts[t]) * ncomp for t in range(len(meta.files))]
@@ -269,7 +296,8 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                                           int(bases[t])))
         n_skip = 0
         if resume_filter:
-            kept = [p for p in items if not _exists(cfg.compressed_dir, p[0])]
+            kept = [p for p in items
+                    if not _exists(cfg.compressed_dir, p[0], have)]
             n_skip = len(items) - len(kept)
             items = kept
         return batching.plan_batches(items, pad_multiple=pad,
@@ -301,6 +329,7 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                  cfg.keep_fraction, tval)
         stats["global_threshold"] = float(tval)
         # pass 2: streamed transform + pack at the one global threshold
+        bundle_bytes = 0
         for t in range(len(meta.files)):
             batches, _ = timestep_batches(t, resume_filter=False)
             for batch in batches:
@@ -308,7 +337,7 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                 subset = None
                 if cfg.resume:
                     subset = [i for i, it in enumerate(cb.items)
-                              if not _exists(cfg.compressed_dir, it)]
+                              if not _exists(cfg.compressed_dir, it, have)]
                     skipped += len(cb.items) - len(subset)
                 t32 = np.full(len(cb.items), tval, np.float32)
                 out_bytes += packer.pack(cfg.compressed_dir, cb, t32,
@@ -316,8 +345,12 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                 n_files += (len(subset) if subset is not None
                             else len(cb.items))
                 in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
+            # a finished timestep's bundle is closed (atomic-renamed) right
+            # away: a crash costs one timestep, like the per-file mode
+            bundle_bytes += packer.close_bundles(t)
     else:
         d2h_bytes = 0
+        bundle_bytes = 0
         for t in range(len(meta.files)):
             batches, n_skip = timestep_batches(t, resume_filter=cfg.resume)
             skipped += n_skip
@@ -328,9 +361,13 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             in_bytes += ib
             out_bytes += ob
             d2h_bytes += d2h
+            bundle_bytes += packer.close_bundles(t)
         stats["device_to_host_bytes"] = d2h_bytes
         if skipped:
             log.info("Resume: skipped %d already-compressed items", skipped)
+    bundle_bytes += packer.close_bundles()
+    if packer.archive_format == "bundle":
+        out_bytes = bundle_bytes
     stats.update({"files": n_files, "input_bytes": in_bytes,
                   "output_bytes": out_bytes, "skipped": skipped})
     return stats
@@ -357,7 +394,8 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
                            threshold_mode=cfg.threshold_mode,
                            keep=cfg.keep, keep_fraction=cfg.keep_fraction,
                            scales=cfg.scales, payload=cfg.payload,
-                           codec=cfg.codec, xz_preset=cfg.xz_preset)
+                           codec=cfg.codec, xz_preset=cfg.xz_preset,
+                           archive_format=cfg.archive)
 
     with debug.phase_timer(
             "compress", message="Compression completed in %s seconds.") as ph:

@@ -79,7 +79,8 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None):
     amrex = archive.read_amrexinfo(cfg.compressed_dir)
     meta = archive.read_meta(cfg.compressed_dir)
     packer = engine.HostPacker(payload=meta.get("payload", "f32"),
-                               codec=meta.get("codec", "xz"))
+                               codec=meta.get("codec", "xz"),
+                               archive_format=meta.get("archive", "files"))
     eng = engine.CodecEngine(mesh=mesh, scales=meta.get("scales", 1))
     pad = mesh.size if mesh is not None else 1
     # multi-host fan-out: timesteps are independent units (each regenerates

@@ -124,7 +124,8 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
 
     with tempfile.TemporaryDirectory() as scratch:
         packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
-                                   xz_preset=cfg.xz_preset)
+                                   xz_preset=cfg.xz_preset,
+                                   archive_format=cfg.archive)
         compress.compress_collected(run, cfg.keep, scratch, mesh=mesh,
                                     packer=packer,
                                     threshold_mode=cfg.threshold_mode,
