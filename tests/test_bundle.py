@@ -47,6 +47,22 @@ def test_bundle_writer_reader_roundtrip(tmp_path):
         bs.blob(9, 9, 9, 9)
 
 
+def test_bundle_generation_wins_member_collision(tmp_path):
+    """Ordering is by parsed (t, p, g), not lexicographic — '-g1' would
+    sort before its base name — so a generation's member shadows the
+    base's on a key collision."""
+    w = bundle.BundleWriter(str(tmp_path / bundle.bundle_name(0, 0)))
+    w.add(0, 0, 0, 0, b"old")
+    w.close()
+    w = bundle.BundleWriter(
+        str(tmp_path / bundle.bundle_name(0, 0, generation=1)))
+    w.add(0, 0, 0, 0, b"new")
+    w.close()
+    assert bundle.list_bundles(str(tmp_path)) == [
+        bundle.bundle_name(0, 0), bundle.bundle_name(0, 0, generation=1)]
+    assert bundle.BundleSet(str(tmp_path)).blob(0, 0, 0, 0) == b"new"
+
+
 def test_bundle_empty_writer_leaves_nothing(tmp_path):
     w = bundle.BundleWriter(str(tmp_path / bundle.bundle_name(1, 0)))
     assert w.close() == 0

@@ -240,3 +240,105 @@ def test_adaptive_sparse_cap_shrinks_transfer():
         i2, v2 = s2.item_pairs(i, 0.0)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(v1, v2)
+
+
+# ---------------------------------------------------------------------------
+# decompress-side sparse transfer (transfer=sparse on -d)
+# ---------------------------------------------------------------------------
+
+def _fixture_roundtrip(tmp_path, compress_extra, decompress_transfer):
+    import filecmp
+
+    from conftest import FIXTURES, fixture
+    from wavelet_tpu.pipeline import decompress_run
+
+    comp = str(tmp_path / "comp") + os.sep
+    out = str(tmp_path / f"out_{decompress_transfer}") + os.sep
+    if not os.path.exists(os.path.join(comp, "runinfo.raw")):
+        compress_run(Config(
+            data_dir=FIXTURES, min_time="plt00074", max_time="plt00075",
+            min_level=0, max_level=1, components=["temp", "pressure"],
+            keep=0.999, compressed_dir=comp, **compress_extra))
+    decompress_run(Config(compressed_dir=comp, out_dir=out,
+                          transfer=decompress_transfer))
+    for plt in ("plt00074", "plt00075"):
+        src = fixture(plt)
+        for root, _d, names in os.walk(src):
+            rel = os.path.relpath(root, src)
+            for n in names:
+                assert filecmp.cmp(
+                    os.path.join(root, n),
+                    os.path.join(out, plt, rel, n),
+                    shallow=False), (plt, rel, n)
+
+
+@pytest.mark.parametrize("compress_extra", [
+    {},
+    {"archive": "bundle"},
+    {"codec": "raw"},
+    {"scales": 2},
+    {"threshold_mode": "global", "keep_fraction": 0.5},
+], ids=["default", "bundle", "raw", "scales2", "global"])
+def test_sparse_decompress_byte_identical(tmp_path, compress_extra):
+    """transfer=sparse on the decompress side regenerates byte-identical
+    plotfiles for every archive flavor (same coefficients, same inverse
+    arithmetic — only the host->device transport differs)."""
+    _fixture_roundtrip(tmp_path, compress_extra, "sparse")
+
+
+def test_sparse_decompress_equals_dense_on_q16(tmp_path):
+    """q16 payloads dequantize identically through both transports."""
+    import filecmp
+
+    from conftest import FIXTURES
+    from wavelet_tpu.pipeline import decompress_run
+
+    comp = str(tmp_path / "comp") + os.sep
+    compress_run(Config(
+        data_dir=FIXTURES, min_time="plt00074", max_time="plt00074",
+        min_level=0, max_level=1, components=["temp", "pressure"],
+        keep=0.999, compressed_dir=comp, payload="q16"))
+    outs = []
+    for mode in ("dense", "sparse"):
+        out = str(tmp_path / f"out_{mode}") + os.sep
+        decompress_run(Config(compressed_dir=comp, out_dir=out,
+                              transfer=mode))
+        outs.append(out)
+    for root, _d, names in os.walk(outs[0]):
+        rel = os.path.relpath(root, outs[0])
+        for n in names:
+            assert filecmp.cmp(os.path.join(root, n),
+                               os.path.join(outs[1], rel, n),
+                               shallow=False), (rel, n)
+
+
+def test_sparse_decompress_malformed_payload_matches_dense(tmp_path):
+    """On corrupt RLE streams the sparse path must reconstruct exactly what
+    the dense path does (the reference's skip-increment semantics)."""
+    from wavelet_tpu.core import rle
+    from wavelet_tpu.io import archive
+    from wavelet_tpu.runtime import batching, engine
+
+    dims = (4, 4, 4)
+    total = 64
+    # out-of-range pair mid-stream + negative run: exercises both bounds
+    runs = np.array([2, 100, -50, 1], np.int32)
+    vals = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    payload = archive.serialize_payload(dims, runs, vals)
+    comp = tmp_path / "comp"
+    comp.mkdir()
+    with open(comp / archive.payload_filename(0, 0, 0, 0), "wb") as f:
+        f.write(archive.encode_blob(payload, "xz", 6))
+
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=0)]
+    packer = engine.HostPacker()
+    dense = batching.empty_batch(items, dims, pack=1)
+    packer.unpack_into(str(comp), dense)
+    idx, svals = packer.unpack_sparse(
+        str(comp), batching.ShapeBatch(shape=dims, data=None, items=items,
+                                       n_valid=1))
+    scattered = np.zeros(total, np.float32)
+    keep = idx[0] < total
+    scattered[idx[0][keep]] = svals[0][keep]
+    assert np.array_equal(scattered,
+                          np.asarray(dense.item_view(0)).reshape(-1))

@@ -89,6 +89,7 @@ def parse_argv(argv):
     else:
         cfg.compressed_dir = need("compresseddir")
         cfg.out_dir = need("out")
+        cfg.transfer = kv.get("transfer", "dense")
     return mode, cfg
 
 
@@ -98,20 +99,9 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     mode, cfg = parse_argv(argv)
 
-    import os
-
-    if os.environ.get("WAVELET_TPU_PLATFORM"):
-        # deterministic backend selection for subprocess harnesses: a plain
-        # JAX_PLATFORMS env var can be overridden by site-level plugins that
-        # call jax.config.update after reading it; an explicit config update
-        # here always wins
-        import jax
-
-        jax.config.update("jax_platforms",
-                          os.environ["WAVELET_TPU_PLATFORM"])
-
     from wavelet_tpu.runtime import debug
 
+    debug.apply_platform_env()
     debug.enable_compilation_cache()
     debug.apply_env_debug_flags()
 

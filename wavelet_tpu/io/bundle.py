@@ -53,13 +53,21 @@ def bundle_name(t: int, process: int, generation: int = 0) -> str:
 
 
 def list_bundles(dir_: str):
-    """Sorted bundle file names in ``dir_`` (completed ones only —
-    in-flight ``.tmp`` files don't match)."""
+    """Bundle file names in ``dir_`` ordered by (timestep, process,
+    generation) — completed ones only, in-flight ``.tmp`` files don't
+    match.  Parsed-key order (not lexicographic: ``-g1`` would sort
+    *before* its base name) so later generations come last and win any
+    member-key collision in :class:`BundleSet`."""
     try:
         entries = os.listdir(dir_)
     except FileNotFoundError:
         return []
-    return sorted(e for e in entries if _NAME_RE.match(e))
+
+    def key(name):
+        m = _NAME_RE.match(name)
+        return (int(m.group(1)), int(m.group(2)), int(m.group(3) or 0))
+
+    return sorted((e for e in entries if _NAME_RE.match(e)), key=key)
 
 
 class BundleWriter:

@@ -28,10 +28,13 @@ __all__ = ["decompress_run", "iter_decompressed_timesteps"]
 
 
 def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
-                         counts, dimensions):
+                         counts, dimensions, transfer="dense"):
     """Decode + inverse-transform every box of timestep ``t``.
 
-    Returns ``regen``: [lev][box] -> (C, X, Y, Z) float32.
+    Returns ``(regen, h2d_bytes)`` with ``regen``: [lev][box] ->
+    (C, X, Y, Z) float32.  ``transfer="sparse"`` ships only the kept
+    (position, value) pairs to the device and scatters there — the mirror
+    of the compress-side sparse path, for slow host->device links.
     """
     buckets = {}
     for li in range(num_levels):
@@ -44,21 +47,31 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
     comp_pos = {c: k for k, c in enumerate(info.comp_idxs)}
     ncomp = len(info.comp_idxs)
     regen = [[None] * counts[t][li] for li in range(num_levels)]
+    h2d_bytes = 0
     for dims, bucket_items in buckets.items():
-        batch = batching.empty_batch(bucket_items, dims,
-                                     pack=eng.pack_factor(dims),
-                                     pad_multiple=pad,
-                                     layout=eng.coeff_layout(dims),
-                                     scales=eng.eff_scales(dims))
-        packer.unpack_into(cfg.compressed_dir, batch)
-        out = eng.decompress_shapebatch(batch)
+        if transfer == "sparse":
+            batch = batching.ShapeBatch(shape=dims, data=None,
+                                        items=bucket_items,
+                                        n_valid=len(bucket_items))
+            idx, vals = packer.unpack_sparse(cfg.compressed_dir, batch)
+            h2d_bytes += idx.nbytes + vals.nbytes
+            out = eng.decompress_shapebatch_sparse(batch, idx, vals)
+        else:
+            batch = batching.empty_batch(bucket_items, dims,
+                                         pack=eng.pack_factor(dims),
+                                         pad_multiple=pad,
+                                         layout=eng.coeff_layout(dims),
+                                         scales=eng.eff_scales(dims))
+            packer.unpack_into(cfg.compressed_dir, batch)
+            h2d_bytes += batch.data.nbytes
+            out = eng.decompress_shapebatch(batch)
         for i, it in enumerate(bucket_items):
             if regen[it.level][it.box] is None:
                 regen[it.level][it.box] = np.zeros(
                     (ncomp,) + dims, dtype=np.float32)
             regen[it.level][it.box][comp_pos[it.comp_idx]] = \
                 out.item_view(i)
-    return regen
+    return regen, h2d_bytes
 
 
 def iter_decompressed_timesteps(cfg: common.Config, mesh=None):
@@ -94,8 +107,9 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None):
         sl = mesh_lib.process_local_slice(num_times)
         t_range = range(sl.start, sl.stop)
     for t in t_range:
-        regen = _decompress_timestep(cfg, eng, packer, pad, info, t,
-                                     num_levels, counts, dimensions)
+        regen, _h2d = _decompress_timestep(cfg, eng, packer, pad, info, t,
+                                           num_levels, counts, dimensions,
+                                           transfer=cfg.transfer)
         name = os.path.join(cfg.out_dir, os.path.basename(info.files[t]))
         yield (t, name, regen, locations[t], dimensions[t], info, amrex)
 

@@ -42,6 +42,20 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def apply_platform_env() -> None:
+    """Honor ``WAVELET_TPU_PLATFORM`` (e.g. ``cpu``) deterministically.
+
+    A plain ``JAX_PLATFORMS`` env var can be overridden by site-level
+    plugins that call ``jax.config.update`` after reading it; an explicit
+    config update here always wins.  Entry points (CLI, bench scripts)
+    call this before any device work."""
+    import jax
+
+    if os.environ.get("WAVELET_TPU_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["WAVELET_TPU_PLATFORM"])
+
+
 def apply_env_debug_flags() -> None:
     """Install debug configuration from environment variables (call once at
     CLI startup; harmless if repeated)."""

@@ -103,6 +103,18 @@ def _compact_step(flat: jax.Array, t32: jax.Array, cap: int):
     return counts, idxs, vals
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _scatter_rows(idx: jax.Array, vals: jax.Array, m: int) -> jax.Array:
+    """Sparse host->device decompress: per item, scatter padded (logical
+    flat position, value) pairs into a zero row of m coefficients.
+    Padding slots carry position == m, dropped by scatter mode="drop"."""
+    def one(idx_i, vals_i):
+        return jnp.zeros((m,), jnp.float32).at[idx_i].set(
+            vals_i, mode="drop", unique_indices=True)
+
+    return jax.vmap(one)(idx, vals)
+
+
 def _inverse_step(flat: jax.Array, dims):
     return haar.inverse_from_flat(flat, dims)
 
@@ -562,6 +574,40 @@ class CodecEngine:
                                tuple(int(d) for d in coeff_batch.shape))
         return dataclasses.replace(coeff_batch, data=np.asarray(out))
 
+    def decompress_shapebatch_sparse(self, batch: ShapeBatch,
+                                     idx: np.ndarray,
+                                     vals: np.ndarray) -> ShapeBatch:
+        """Sparse-transfer decompress: (logical position, value) pairs ->
+        device scatter -> inverse transform.
+
+        Only the kept pairs cross the host->device link (the mirror of the
+        compress-side ``transfer=sparse`` path; kept fractions on real AMR
+        data are a few percent, and host->device bandwidth is the binding
+        resource on tunneled/shared-link rigs).  The scatter builds plain
+        logical coefficient rows, so the inverse runs the jnp path — no
+        layout maps are needed anywhere; bit-identical output to the dense
+        path (same coefficients, same inverse arithmetic).
+        """
+        dims = tuple(int(d) for d in batch.shape)
+        m = int(np.prod(dims))
+        pad = self.mesh.size if self.mesh is not None else 1
+        n = idx.shape[0]
+        n_pad = (-n) % pad
+        if n_pad:
+            idx = np.concatenate(
+                [idx, np.full((n_pad, idx.shape[1]), m, idx.dtype)])
+            vals = np.concatenate(
+                [vals, np.zeros((n_pad, vals.shape[1]), vals.dtype)])
+        rows = _scatter_rows(self._put(jnp.asarray(idx)),
+                             self._put(jnp.asarray(vals)), m)
+        eff = self.eff_scales(dims)
+        if eff > 1:
+            out = _inv_multi_jit(rows.reshape((-1,) + dims), eff)
+        else:
+            out = _inverse_jit(rows, dims)
+        return ShapeBatch(shape=dims, data=np.asarray(out),
+                          items=batch.items, n_valid=batch.n_valid)
+
     def forward_hist_batch(self, data: np.ndarray, n_pad_rows: int = 0):
         """-> (flat [N, XYZ], magnitude histogram int64[4096]).
 
@@ -827,6 +873,61 @@ class HostPacker:
         if bundled:
             return self._append_members(out_dir, sparse.items, results)
         return sum(results)
+
+    def unpack_sparse(self, in_dir: str, batch: ShapeBatch):
+        """Decode payloads to padded (logical position, value) pair arrays
+        for the sparse-transfer decompress path: returns
+        ``(idx int32 [n_items, cap], vals f32 [n_items, cap])`` where
+        padding slots carry position == X*Y*Z (dropped by the device
+        scatter).  Only kept pairs ever materialize — no dense rows on the
+        host and only ~kept bytes over the host->device link."""
+        items = batch.items
+        dims = tuple(batch.shape)
+        m = int(np.prod(dims))
+        bundled = self.archive_format == "bundle"
+        bs = self._bundle_set(in_dir) if bundled else None
+        paths = None if bundled else self._paths(in_dir, items)
+        deserialize = (archive.deserialize_payload_q16
+                       if self.payload == "q16"
+                       else archive.deserialize_payload)
+
+        def one(i):
+            if bundled:
+                it = items[i]
+                blob = bs.blob(it.t, it.level, it.comp_idx, it.box)
+            else:
+                with open(paths[i], "rb") as f:
+                    blob = f.read()
+            payload = archive.decode_blob(blob, self.codec)
+            shape, total, runs, vals = deserialize(payload)
+            if tuple(shape) != dims:
+                raise ValueError(
+                    f"payload shape {tuple(shape)} disagrees with "
+                    f"dimensions.raw {dims}")
+            runs64 = np.asarray(runs, np.int64)
+            pos = np.cumsum(runs64 + 1) - 1
+            if len(pos) and (runs64.min() < 0 or pos[-1] >= total):
+                # malformed stream: the reference's decoder advances idx
+                # only when a pair lands in bounds (decompressor.cpp:23 +
+                # the hardened lower bound); reproduce it exactly so sparse
+                # and dense decompress agree on corrupt payloads too
+                row = rle.rle_decode(runs, vals, total)
+                p = np.flatnonzero(row).astype(np.int32)
+                return p, row[p]
+            return pos.astype(np.int32), np.asarray(vals)
+
+        with cf.ThreadPoolExecutor(self.workers) as ex:
+            pairs = list(ex.map(one, range(len(items))))
+        cap = max([len(p) for p, _ in pairs] + [1])
+        # round the pad capacity up so jit specializations are shared
+        # across batches with similar kept counts
+        cap = max(256, 1 << (cap - 1).bit_length())
+        idx = np.full((len(items), cap), m, np.int32)
+        vals = np.zeros((len(items), cap), np.float32)
+        for i, (p, v) in enumerate(pairs):
+            idx[i, :len(p)] = p
+            vals[i, :len(p)] = v
+        return idx, vals
 
     def unpack_into(self, in_dir: str, batch: ShapeBatch) -> None:
         """Read + xz-decode + RLE-scatter every item into ``batch.data``."""
