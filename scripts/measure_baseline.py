@@ -177,6 +177,10 @@ def config5(results, tmp):
             ("raw_bundle", {"codec": "raw", "archive": "bundle"}),
             ("raw_sparse_bundle", {"codec": "raw", "archive": "bundle",
                                    "transfer": "sparse"})):
+        # flush the previous mode's dirty pages so no mode is timed against
+        # write-back pressure its predecessor created (observed 1.8x swings
+        # on this rig's disk otherwise)
+        os.sync()
         comp = os.path.join(tmp, f"comp5_{mode}") + os.sep
         regen = os.path.join(tmp, f"out5_{mode}") + os.sep
         cfg = Config(data_dir=data_dir, min_time="plt00050",
@@ -187,6 +191,7 @@ def config5(results, tmp):
         stats["boxes"] = n_boxes
         stats["compress_gbps_e2e"] = (
             stats["input_bytes"] / 1e9 / stats["compress_seconds"])
+        os.sync()
         d = decompress_run(Config(compressed_dir=comp, out_dir=regen))
         stats["decompress_seconds"] = d["decompress_seconds"]
         stats["decompress_gbps_e2e"] = (
