@@ -192,8 +192,12 @@ def config5(results, tmp):
         stats["compress_gbps_e2e"] = (
             stats["input_bytes"] / 1e9 / stats["compress_seconds"])
         os.sync()
-        d = decompress_run(Config(compressed_dir=comp, out_dir=regen))
+        # sparse transport is symmetric: the sparse row decompresses with
+        # -d transfer=sparse so the measurement covers the new h2d path
+        d = decompress_run(Config(compressed_dir=comp, out_dir=regen,
+                                  transfer=extra.get("transfer", "dense")))
         stats["decompress_seconds"] = d["decompress_seconds"]
+        stats["host_to_device_bytes"] = d.get("host_to_device_bytes")
         stats["decompress_gbps_e2e"] = (
             stats["input_bytes"] / 1e9 / d["decompress_seconds"])
         out[mode] = stats

@@ -342,3 +342,54 @@ def test_sparse_decompress_malformed_payload_matches_dense(tmp_path):
     scattered[idx[0][keep]] = svals[0][keep]
     assert np.array_equal(scattered,
                           np.asarray(dense.item_view(0)).reshape(-1))
+
+
+def test_sparse_decompress_rejects_total_mismatch(tmp_path):
+    """A corrupt header whose total disagrees with dimensions.raw raises a
+    clean ValueError (the dense path hits it as a reshape failure; the
+    sparse path must not silently drop the out-of-range coefficients)."""
+    from wavelet_tpu.io import archive
+    from wavelet_tpu.runtime import batching, engine
+
+    dims = (4, 4, 4)
+    runs = np.array([0], np.int32)
+    vals = np.array([1.0], np.float32)
+    payload = archive.serialize_payload(dims, runs, vals)
+    # forge the total field (int32 after the three dims)
+    forged = bytearray(payload)
+    forged[12:16] = np.int32(128).tobytes()
+    comp = tmp_path / "comp"
+    comp.mkdir()
+    with open(comp / archive.payload_filename(0, 0, 0, 0), "wb") as f:
+        f.write(archive.encode_blob(bytes(forged), "xz", 6))
+
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=0)]
+    packer = engine.HostPacker()
+    with pytest.raises(ValueError, match="total"):
+        packer.unpack_sparse(
+            str(comp), batching.ShapeBatch(shape=dims, data=None,
+                                           items=items, n_valid=1))
+
+
+def test_decompress_run_reports_h2d_bytes(tmp_path):
+    """decompress_run returns host_to_device_bytes, and the sparse
+    transport's figure is smaller than the dense one at low kept
+    fractions."""
+    from conftest import FIXTURES
+    from wavelet_tpu.pipeline import decompress_run
+
+    comp = str(tmp_path / "comp") + os.sep
+    compress_run(Config(
+        data_dir=FIXTURES, min_time="plt00074", max_time="plt00074",
+        min_level=0, max_level=1, components=["temp", "pressure"],
+        keep=0.999, compressed_dir=comp))
+    h2d = {}
+    for mode in ("dense", "sparse"):
+        out = str(tmp_path / f"out_{mode}") + os.sep
+        stats = decompress_run(Config(compressed_dir=comp, out_dir=out,
+                                      transfer=mode))
+        h2d[mode] = stats["host_to_device_bytes"]
+    assert h2d["dense"] > 0 and h2d["sparse"] > 0
+    # fixtures are constant boxes: almost nothing is kept, so the padded
+    # pair arrays are far smaller than the dense coefficient rows
+    assert h2d["sparse"] < h2d["dense"]

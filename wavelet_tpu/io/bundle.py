@@ -62,12 +62,16 @@ def list_bundles(dir_: str):
         entries = os.listdir(dir_)
     except FileNotFoundError:
         return []
-
-    def key(name):
+    keyed = []
+    for name in entries:
         m = _NAME_RE.match(name)
-        return (int(m.group(1)), int(m.group(2)), int(m.group(3) or 0))
-
-    return sorted((e for e in entries if _NAME_RE.match(e)), key=key)
+        if m:
+            # the file name itself tie-breaks an explicit "-g0" vs its
+            # suffix-less equivalent (same parsed key) so collision
+            # resolution never depends on os.listdir order
+            keyed.append(((int(m.group(1)), int(m.group(2)),
+                           int(m.group(3) or 0), name), name))
+    return [name for _k, name in sorted(keyed)]
 
 
 class BundleWriter:

@@ -74,12 +74,15 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
     return regen, h2d_bytes
 
 
-def iter_decompressed_timesteps(cfg: common.Config, mesh=None):
+def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     """Generator over regenerated timesteps: yields
     ``(t, plotfile_name, regen, locations_t, dimensions_t, info, amrex)``
     one timestep at a time, holding only that timestep's boxes — callers
     that consume and drop each item keep peak memory flat in the number of
-    timesteps (asserted by tests/test_streaming.py)."""
+    timesteps (asserted by tests/test_streaming.py).  A ``stats`` dict, if
+    given, accumulates ``host_to_device_bytes`` (the actual transport
+    bytes, padded arrays included — the number ``transfer=sparse`` is
+    meant to shrink)."""
     info = archive.read_runinfo(cfg.compressed_dir)
     levels = common.format_levels(info.min_level, info.max_level)
     num_times = len(info.files)
@@ -107,9 +110,12 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None):
         sl = mesh_lib.process_local_slice(num_times)
         t_range = range(sl.start, sl.stop)
     for t in t_range:
-        regen, _h2d = _decompress_timestep(cfg, eng, packer, pad, info, t,
-                                           num_levels, counts, dimensions,
-                                           transfer=cfg.transfer)
+        regen, h2d = _decompress_timestep(cfg, eng, packer, pad, info, t,
+                                          num_levels, counts, dimensions,
+                                          transfer=cfg.transfer)
+        if stats is not None:
+            stats["host_to_device_bytes"] = (
+                stats.get("host_to_device_bytes", 0) + h2d)
         name = os.path.join(cfg.out_dir, os.path.basename(info.files[t]))
         yield (t, name, regen, locations[t], dimensions[t], info, amrex)
 
@@ -125,11 +131,12 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     n_boxes = 0
+    stats: dict = {}
     with debug.phase_timer(
             "decompress",
             message="Decompression completed in %s seconds.") as ph:
         for (t, name, regen, locs_t, dims_t, rinfo, amrex) in \
-                iter_decompressed_timesteps(cfg, mesh):
+                iter_decompressed_timesteps(cfg, mesh, stats=stats):
             log.info("%s", name)
             geom = amrex.geomcellinfo[t]
             plotfile.write_plotfile(
@@ -146,5 +153,6 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
             )
             n_boxes += sum(len(per) for per in regen)
     log.info("Sucessfully wrote plotfiles.")
-    return {"decompress_seconds": ph.seconds, "times": num_times,
-            "levels": num_levels, "boxes": n_boxes}
+    stats.update({"decompress_seconds": ph.seconds, "times": num_times,
+                  "levels": num_levels, "boxes": n_boxes})
+    return stats

@@ -107,7 +107,9 @@ def _compact_step(flat: jax.Array, t32: jax.Array, cap: int):
 def _scatter_rows(idx: jax.Array, vals: jax.Array, m: int) -> jax.Array:
     """Sparse host->device decompress: per item, scatter padded (logical
     flat position, value) pairs into a zero row of m coefficients.
-    Padding slots carry position == m, dropped by scatter mode="drop"."""
+    Padding slots carry positions >= m (distinct per slot — the
+    unique_indices contract requires ALL indices unique, including the
+    dropped ones), discarded by scatter mode="drop"."""
     def one(idx_i, vals_i):
         return jnp.zeros((m,), jnp.float32).at[idx_i].set(
             vals_i, mode="drop", unique_indices=True)
@@ -594,8 +596,9 @@ class CodecEngine:
         n = idx.shape[0]
         n_pad = (-n) % pad
         if n_pad:
-            idx = np.concatenate(
-                [idx, np.full((n_pad, idx.shape[1]), m, idx.dtype)])
+            cap = idx.shape[1]
+            pad_row = (m + np.arange(cap, dtype=idx.dtype))[None]
+            idx = np.concatenate([idx, np.repeat(pad_row, n_pad, axis=0)])
             vals = np.concatenate(
                 [vals, np.zeros((n_pad, vals.shape[1]), vals.dtype)])
         rows = _scatter_rows(self._put(jnp.asarray(idx)),
@@ -878,9 +881,16 @@ class HostPacker:
         """Decode payloads to padded (logical position, value) pair arrays
         for the sparse-transfer decompress path: returns
         ``(idx int32 [n_items, cap], vals f32 [n_items, cap])`` where
-        padding slots carry position == X*Y*Z (dropped by the device
-        scatter).  Only kept pairs ever materialize — no dense rows on the
-        host and only ~kept bytes over the host->device link."""
+        padding slots carry distinct positions >= X*Y*Z (dropped by the
+        device scatter; distinct because the scatter asserts
+        unique_indices).  Only kept pairs ever materialize — no dense rows
+        on the host and only ~kept bytes over the host->device link.
+
+        Decoding runs the Python codec path (lzma releases the GIL, so the
+        thread pool still parallelizes) rather than the native dense walks
+        — the mode targets rigs where the host->device LINK binds, not
+        host decode; on fast-link hosts the dense path's native unpack is
+        the faster choice."""
         items = batch.items
         dims = tuple(batch.shape)
         m = int(np.prod(dims))
@@ -904,6 +914,13 @@ class HostPacker:
                 raise ValueError(
                     f"payload shape {tuple(shape)} disagrees with "
                     f"dimensions.raw {dims}")
+            if int(total) != m:
+                # the dense path hits this as a reshape failure; reject the
+                # corrupt header with the same clean-error contract instead
+                # of silently dropping the out-of-range coefficients
+                raise ValueError(
+                    f"payload total {int(total)} disagrees with "
+                    f"dimensions.raw volume {m}")
             runs64 = np.asarray(runs, np.int64)
             pos = np.cumsum(runs64 + 1) - 1
             if len(pos) and (runs64.min() < 0 or pos[-1] >= total):
@@ -922,7 +939,11 @@ class HostPacker:
         # round the pad capacity up so jit specializations are shared
         # across batches with similar kept counts
         cap = max(256, 1 << (cap - 1).bit_length())
-        idx = np.full((len(items), cap), m, np.int32)
+        # padding slots get distinct out-of-range positions m, m+1, ... —
+        # all dropped by the device scatter, but unique as its
+        # unique_indices contract requires
+        idx = np.tile(m + np.arange(cap, dtype=np.int32),
+                      (len(items), 1))
         vals = np.zeros((len(items), cap), np.float32)
         for i, (p, v) in enumerate(pairs):
             idx[i, :len(p)] = p
