@@ -490,3 +490,38 @@ def test_eff_scales():
     assert e.eff_scales((16, 8, 4)) == 2
     assert e.eff_scales((8, 4, 2)) == 1
     assert e.eff_scales((7, 8, 8)) == 1
+
+
+@pytest.mark.parametrize("scales", [1, 2])
+def test_interleaved_sparse_decompress_bitwise(tmp_path, interleaved_env,
+                                               scales):
+    """-d transfer=sparse on the fused-kernel path (scatter into the
+    packed interleaved layout + the SAME Pallas inverse as dense) is
+    bit-identical to dense decompress."""
+    import filecmp
+
+    from wavelet_tpu.pipeline import Config, compress_run, decompress_run
+
+    data_dir = _synth(tmp_path)
+    comp = str(tmp_path / "comp") + os.sep
+    compress_run(Config(data_dir=data_dir, min_time="plt00050",
+                        max_time="plt00050", min_level=0, max_level=0,
+                        components=["a", "b"], keep=0.97,
+                        compressed_dir=comp, scales=scales))
+    outs = []
+    for mode in ("dense", "sparse"):
+        out = str(tmp_path / f"out_{mode}") + os.sep
+        # engine must actually take the interleaved path for these boxes
+        from wavelet_tpu.runtime import engine as eng_mod
+
+        assert eng_mod.CodecEngine(
+            scales=scales).coeff_layout((8, 8, 8)) == "interleaved"
+        decompress_run(Config(compressed_dir=comp, out_dir=out,
+                              transfer=mode))
+        outs.append(out)
+    for root, _d, names in os.walk(outs[0]):
+        rel = os.path.relpath(root, outs[0])
+        for nme in names:
+            assert filecmp.cmp(os.path.join(root, nme),
+                               os.path.join(outs[1], rel, nme),
+                               shallow=False), (rel, nme)

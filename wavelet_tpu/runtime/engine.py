@@ -22,6 +22,7 @@ from wavelet_tpu.core import rle
 from wavelet_tpu.io import archive, bundle
 from wavelet_tpu.kernels import haar_pallas
 from wavelet_tpu.runtime import mesh as mesh_lib
+from wavelet_tpu.runtime import batching
 from wavelet_tpu.runtime.batching import ShapeBatch
 from wavelet_tpu import native
 
@@ -101,6 +102,15 @@ def _compact_step(flat: jax.Array, t32: jax.Array, cap: int):
     vals = jnp.take_along_axis(flat, order, axis=1)
     idxs = order.astype(jnp.int32)
     return counts, idxs, vals
+
+
+@functools.partial(jax.jit, static_argnames=("total",))
+def _scatter_flat(phys: jax.Array, vals: jax.Array, total: int) -> jax.Array:
+    """One flat scatter of every item's (physical position, value) pairs
+    into the zeroed packed coefficient array (sparse decompress fast path).
+    Positions >= total (padding — distinct per slot) are dropped."""
+    return jnp.zeros((total,), jnp.float32).at[phys.reshape(-1)].set(
+        vals.reshape(-1), mode="drop", unique_indices=True)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
@@ -585,13 +595,19 @@ class CodecEngine:
         Only the kept pairs cross the host->device link (the mirror of the
         compress-side ``transfer=sparse`` path; kept fractions on real AMR
         data are a few percent, and host->device bandwidth is the binding
-        resource on tunneled/shared-link rigs).  The scatter builds plain
-        logical coefficient rows, so the inverse runs the jnp path — no
-        layout maps are needed anywhere; bit-identical output to the dense
-        path (same coefficients, same inverse arithmetic).
+        resource on tunneled/shared-link rigs).  On the fused-kernel path
+        the scatter targets the packed interleaved layout directly (host
+        translates logical positions through the layout map), so the
+        inverse runs the same Pallas kernel as the dense path — sparse
+        transport costs nothing on the device side.  Elsewhere the scatter
+        builds plain logical rows for the jnp inverse.  Either way the
+        output is bit-identical to the dense path (same coefficients, same
+        inverse arithmetic).
         """
         dims = tuple(int(d) for d in batch.shape)
         m = int(np.prod(dims))
+        if self.coeff_layout(dims) == "interleaved":
+            return self._decompress_sparse_interleaved(batch, idx, vals)
         pad = self.mesh.size if self.mesh is not None else 1
         n = idx.shape[0]
         n_pad = (-n) % pad
@@ -610,6 +626,50 @@ class CodecEngine:
             out = _inverse_jit(rows, dims)
         return ShapeBatch(shape=dims, data=np.asarray(out),
                           items=batch.items, n_valid=batch.n_valid)
+
+    def _decompress_sparse_interleaved(self, batch: ShapeBatch,
+                                       idx: np.ndarray,
+                                       vals: np.ndarray) -> ShapeBatch:
+        """Sparse-transfer decompress on the fused-kernel path: translate
+        logical positions through the interleave map on the host (cheap —
+        only kept pairs), scatter once into the zeroed packed array on
+        device, and run the SAME Pallas inverse as the dense path."""
+        dims = tuple(int(d) for d in batch.shape)
+        m = int(np.prod(dims))
+        pad = self.mesh.size if self.mesh is not None else 1
+        eff = self.eff_scales(dims)
+        x, y, z = dims
+        pack = batching.cap_pack(self.pack_factor(dims), len(batch.items), z)
+        n_rows = batching.pad_to_multiple(len(batch.items),
+                                          pack * pad) // pack
+        packed_shape = (max(n_rows, 1), x, y, pack * z)
+        total = int(np.prod(packed_shape))
+        # geometry-only shell (no dead host allocation): _logical_map and
+        # item_offsets never touch .data
+        shell = ShapeBatch(shape=dims, data=None, items=batch.items,
+                           n_valid=batch.n_valid, pack=pack,
+                           layout="interleaved", scales=eff)
+        lmap = np.asarray(shell._logical_map(), np.int64)
+        offs = np.asarray(shell.item_offsets(), np.int64)
+        n, cap = idx.shape
+        kept = idx < m
+        # padding slots -> distinct positions past the array (dropped by
+        # the scatter, unique as its unique_indices contract requires);
+        # batches cap at 1 GiB so total + n*cap stays far below 2^31
+        phys = np.where(
+            kept,
+            offs[:, None] + lmap[np.where(kept, idx, 0)],
+            total + np.arange(n * cap, dtype=np.int64).reshape(n, cap))
+        # pair arrays are NOT mesh-sharded (their row count is the item
+        # count, not mesh-divisible); only the packed array the kernel
+        # consumes gets the mesh layout
+        flat = _scatter_flat(jnp.asarray(phys.astype(np.int32)),
+                             jnp.asarray(vals), total)
+        rows = self._put(flat.reshape(packed_shape))
+        out = self._kernel("inv_interleaved", pack, eff)(rows)
+        return ShapeBatch(shape=dims, data=np.asarray(out),
+                          items=batch.items, n_valid=batch.n_valid,
+                          pack=pack, layout="halves")
 
     def forward_hist_batch(self, data: np.ndarray, n_pad_rows: int = 0):
         """-> (flat [N, XYZ], magnitude histogram int64[4096]).
