@@ -158,6 +158,7 @@ def config5(results, tmp):
     # pick the keep whose kept fraction lands in the realistic 1-5% band
     # for this data (the per-box rule's kept fraction is data-dependent;
     # real AMR fields at keep=0.999 keep a few percent)
+    os.makedirs(os.path.join(tmp, "c5data"), exist_ok=True)
     from wavelet_tpu.runtime import engine as eng_mod
     from wavelet_tpu.io import plotfile as pf_mod
 
@@ -171,12 +172,20 @@ def config5(results, tmp):
         if kept <= 0.05:
             break
     out = {"keep": keep, "kept_fraction": round(kept, 5)}
-    for mode, extra in (
+    for mode_i, (mode, extra) in enumerate((
             ("parity_xz_files", {}),
             ("raw_files", {"codec": "raw"}),
             ("raw_bundle", {"codec": "raw", "archive": "bundle"}),
             ("raw_sparse_bundle", {"codec": "raw", "archive": "bundle",
-                                   "transfer": "sparse"})):
+                                   "transfer": "sparse"}))):
+        # each mode gets its own (imperceptibly perturbed) dataset: the
+        # axon layer can serve repeated identical (executable, input)
+        # device executions from a cache, which would fake the later
+        # modes' device-transform time (CLAUDE.md benchmarking rule)
+        mode_tmp = os.path.join(tmp, "c5data", mode)
+        data_dir, _ = synthetic_plotfile(mode_tmp, n_boxes=64, dim=64,
+                                         ncomp=1, name="plt00050",
+                                         offset=3.0 + 1e-3 * mode_i)
         # flush the previous mode's dirty pages so no mode is timed against
         # write-back pressure its predecessor created (observed 1.8x swings
         # on this rig's disk otherwise)

@@ -254,11 +254,10 @@ def _fixture_roundtrip(tmp_path, compress_extra, decompress_transfer):
 
     comp = str(tmp_path / "comp") + os.sep
     out = str(tmp_path / f"out_{decompress_transfer}") + os.sep
-    if not os.path.exists(os.path.join(comp, "runinfo.raw")):
-        compress_run(Config(
-            data_dir=FIXTURES, min_time="plt00074", max_time="plt00075",
-            min_level=0, max_level=1, components=["temp", "pressure"],
-            keep=0.999, compressed_dir=comp, **compress_extra))
+    compress_run(Config(
+        data_dir=FIXTURES, min_time="plt00074", max_time="plt00075",
+        min_level=0, max_level=1, components=["temp", "pressure"],
+        keep=0.999, compressed_dir=comp, **compress_extra))
     decompress_run(Config(compressed_dir=comp, out_dir=out,
                           transfer=decompress_transfer))
     for plt in ("plt00074", "plt00075"):

@@ -57,6 +57,13 @@ def parse_argv(argv):
             raise SystemExit(f"Missing {key}!")
         return kv[key]
 
+    def transfer_key():
+        t = kv.get("transfer", "dense")
+        if t not in ("dense", "sparse"):
+            # a typo'd transport would otherwise silently run dense
+            raise SystemExit(f"Unknown transfer={t!r} (dense|sparse)")
+        return t
+
     cfg = Config()
     if mode in ("c", "estimate"):
         cfg.data_dir = need("datadir")
@@ -71,7 +78,7 @@ def parse_argv(argv):
         cfg.codec = kv.get("codec", "xz")
         cfg.xz_preset = int(kv.get("xzpreset", "6"))
         cfg.archive = kv.get("archive", "files")
-        cfg.transfer = kv.get("transfer", "dense")
+        cfg.transfer = transfer_key()
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")
@@ -89,7 +96,7 @@ def parse_argv(argv):
     else:
         cfg.compressed_dir = need("compresseddir")
         cfg.out_dir = need("out")
-        cfg.transfer = kv.get("transfer", "dense")
+        cfg.transfer = transfer_key()
     return mode, cfg
 
 

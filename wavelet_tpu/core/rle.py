@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["rle_encode_mask", "rle_decode"]
+__all__ = ["rle_encode_mask", "rle_decode", "rle_decode_pairs"]
 
 
 def rle_encode_mask(mask: np.ndarray, values_src: np.ndarray):
@@ -59,3 +59,24 @@ def rle_decode(runs: np.ndarray, vals: np.ndarray, total: int) -> np.ndarray:
             out[idx] = val
             idx += 1
     return out
+
+
+def rle_decode_pairs(runs: np.ndarray, vals: np.ndarray, total: int):
+    """Decode to ``(positions int64[k], values f32[k])`` without
+    materializing the dense vector (sparse-transfer decompress).
+
+    Same two paths and the SAME malformed-stream semantics as
+    :func:`rle_decode` — this helper is the single home of that contract,
+    so the sparse and dense transports can never drift apart on corrupt
+    payloads.
+    """
+    runs = np.asarray(runs)
+    if len(runs):
+        if runs.min() >= 0:
+            pos = np.cumsum(runs.astype(np.int64) + 1) - 1
+            if pos[-1] < total:
+                return pos, np.asarray(vals)
+        row = rle_decode(runs, vals, total)
+        pos = np.flatnonzero(row)
+        return pos, row[pos]
+    return np.zeros(0, np.int64), np.zeros(0, np.float32)

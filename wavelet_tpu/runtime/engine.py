@@ -607,7 +607,9 @@ class CodecEngine:
         dims = tuple(int(d) for d in batch.shape)
         m = int(np.prod(dims))
         if self.coeff_layout(dims) == "interleaved":
-            return self._decompress_sparse_interleaved(batch, idx, vals)
+            out = self._decompress_sparse_interleaved(batch, idx, vals)
+            if out is not None:
+                return out
         pad = self.mesh.size if self.mesh is not None else 1
         n = idx.shape[0]
         n_pad = (-n) % pad
@@ -633,7 +635,10 @@ class CodecEngine:
         """Sparse-transfer decompress on the fused-kernel path: translate
         logical positions through the interleave map on the host (cheap —
         only kept pairs), scatter once into the zeroed packed array on
-        device, and run the SAME Pallas inverse as the dense path."""
+        device, and run the SAME Pallas inverse as the dense path.
+
+        Returns None when flat positions would overflow int32 (caller
+        falls back to the per-row scatter + jnp inverse)."""
         dims = tuple(int(d) for d in batch.shape)
         m = int(np.prod(dims))
         pad = self.mesh.size if self.mesh is not None else 1
@@ -644,6 +649,11 @@ class CodecEngine:
                                           pack * pad) // pack
         packed_shape = (max(n_rows, 1), x, y, pack * z)
         total = int(np.prod(packed_shape))
+        if total + idx.size >= 2**31 - 1:
+            # flat int32 positions would wrap (decompress buckets are
+            # unbounded, unlike compress's 1 GiB batch cap): use the
+            # per-row scatter path, whose positions never exceed m + cap
+            return None
         # geometry-only shell (no dead host allocation): _logical_map and
         # item_offsets never touch .data
         shell = ShapeBatch(shape=dims, data=None, items=batch.items,
@@ -655,7 +665,7 @@ class CodecEngine:
         kept = idx < m
         # padding slots -> distinct positions past the array (dropped by
         # the scatter, unique as its unique_indices contract requires);
-        # batches cap at 1 GiB so total + n*cap stays far below 2^31
+        # the guard above keeps every position inside int32
         phys = np.where(
             kept,
             offs[:, None] + lmap[np.where(kept, idx, 0)],
@@ -981,24 +991,21 @@ class HostPacker:
                 raise ValueError(
                     f"payload total {int(total)} disagrees with "
                     f"dimensions.raw volume {m}")
-            runs64 = np.asarray(runs, np.int64)
-            pos = np.cumsum(runs64 + 1) - 1
-            if len(pos) and (runs64.min() < 0 or pos[-1] >= total):
-                # malformed stream: the reference's decoder advances idx
-                # only when a pair lands in bounds (decompressor.cpp:23 +
-                # the hardened lower bound); reproduce it exactly so sparse
-                # and dense decompress agree on corrupt payloads too
-                row = rle.rle_decode(runs, vals, total)
-                p = np.flatnonzero(row).astype(np.int32)
-                return p, row[p]
-            return pos.astype(np.int32), np.asarray(vals)
+            # shared helper = the single home of the malformed-stream
+            # semantics (reference's skip-increment rule), so sparse and
+            # dense decompress can never drift apart on corrupt payloads
+            pos, v = rle.rle_decode_pairs(runs, vals, total)
+            return pos.astype(np.int32), v
 
         with cf.ThreadPoolExecutor(self.workers) as ex:
             pairs = list(ex.map(one, range(len(items))))
         cap = max([len(p) for p, _ in pairs] + [1])
         # round the pad capacity up so jit specializations are shared
-        # across batches with similar kept counts
-        cap = max(256, 1 << (cap - 1).bit_length())
+        # across batches with similar kept counts — but never past the box
+        # volume (a 256 floor on an m=64 box would ship MORE bytes than
+        # the dense row)
+        cap = min(max(256, 1 << (cap - 1).bit_length()),
+                  1 << (m - 1).bit_length())
         # padding slots get distinct out-of-range positions m, m+1, ... —
         # all dropped by the device scatter, but unique as its
         # unique_indices contract requires
