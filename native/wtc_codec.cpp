@@ -165,7 +165,13 @@ std::string serialize_payload_q16(const int32_t shape[3], int64_t total,
                                   const std::vector<Pair>& pairs) {
     float maxmag = 0.0f;
     for (const auto& p : pairs) maxmag = std::max(maxmag, std::fabs(p.val));
-    const float scale = pairs.empty() ? 0.0f : maxmag / 32767.0f;
+    // divide in double then round once to f32, exactly like the Python
+    // packer (float(max|v|) / 32767.0 packed as "<f") — an f32 divide
+    // double-rounds and can differ by 1 ulp near rounding boundaries,
+    // which would change the scale word AND every quantized value
+    const float scale = pairs.empty()
+        ? 0.0f
+        : static_cast<float>(static_cast<double>(maxmag) / 32767.0);
     std::string buf;
     buf.reserve(24 + pairs.size() * sizeof(PairQ16));
     int32_t head[5] = {shape[0], shape[1], shape[2],
@@ -306,14 +312,26 @@ bool xz_decode_file(const char* path, std::vector<uint8_t>& payload,
     return decode_container(blob.data(), blob.size(), payload, codec);
 }
 
-void run_pool(int n_threads, int64_t n_items,
-              const std::function<void(int64_t)>& work) {
+// Returns -1, or the index of the first item whose work threw (bad_alloc
+// from a hostile xz bomb, etc.) — an exception escaping a std::thread
+// start function would std::terminate the whole process, so workers catch
+// everything and surface it as a per-item failure instead.
+int64_t run_pool(int n_threads, int64_t n_items,
+                 const std::function<void(int64_t)>& work) {
     std::atomic<int64_t> next(0);
+    std::atomic<int64_t> thrown(-1);
     auto worker = [&]() {
         for (;;) {
             int64_t i = next.fetch_add(1);
-            if (i >= n_items) return;
-            work(i);
+            if (i >= n_items ||
+                thrown.load(std::memory_order_relaxed) >= 0)
+                return;
+            try {
+                work(i);
+            } catch (...) {
+                int64_t expect = -1;
+                thrown.compare_exchange_strong(expect, i);
+            }
         }
     };
     std::vector<std::thread> threads;
@@ -322,6 +340,7 @@ void run_pool(int n_threads, int64_t n_items,
     if (nt < 1) nt = 1;
     for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
     for (auto& th : threads) th.join();
+    return thrown.load();
 }
 
 // --- pack cores -------------------------------------------------------------
@@ -344,7 +363,7 @@ int64_t pack_core_strided(const float* coeffs, const float* t32,
     const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> total_bytes(0);
     std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
+    const int64_t pool_thrown = run_pool(n_threads, n_items, [&](int64_t i) {
         const float* base = coeffs + offsets[i];
         const float thresh = t32[i];
         std::vector<Pair> pairs;
@@ -360,6 +379,7 @@ int64_t pack_core_strided(const float* coeffs, const float* t32,
         }
         total_bytes.fetch_add(n);
     });
+    if (pool_thrown >= 0) return -(1 + pool_thrown);
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return total_bytes.load();
 }
@@ -386,7 +406,7 @@ int64_t pack_core_indexed(const float* coeffs, const float* t32,
     const bool iz_unit = is_unit_permutation(iz, nz);
     std::atomic<int64_t> total_bytes(0);
     std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
+    const int64_t pool_thrown = run_pool(n_threads, n_items, [&](int64_t i) {
         const float* base = coeffs + offsets[i];
         const float thresh = t32[i];
         std::vector<Pair> pairs;
@@ -414,6 +434,7 @@ int64_t pack_core_indexed(const float* coeffs, const float* t32,
         }
         total_bytes.fetch_add(n);
     });
+    if (pool_thrown >= 0) return -(1 + pool_thrown);
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return total_bytes.load();
 }
@@ -432,7 +453,7 @@ int64_t pack_core_mapped(const float* coeffs, const float* t32,
                          int payload_fmt, Emit emit) {
     std::atomic<int64_t> total_bytes(0);
     std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
+    const int64_t pool_thrown = run_pool(n_threads, n_items, [&](int64_t i) {
         const float* base = coeffs + offsets[i];
         const float thresh = t32[i];
         std::vector<Pair> pairs;
@@ -456,6 +477,7 @@ int64_t pack_core_mapped(const float* coeffs, const float* t32,
         }
         total_bytes.fetch_add(n);
     });
+    if (pool_thrown >= 0) return -(1 + pool_thrown);
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return total_bytes.load();
 }
@@ -507,7 +529,10 @@ bool parse_payload(const std::vector<uint8_t>& payload, int payload_fmt,
     std::memcpy(head, payload.data(), sizeof(head));
     view->total = head[3];
     view->n_pairs = head[4];
-    if (view->total > n_coeffs || view->n_pairs < 0 ||
+    // total must equal the box volume exactly: the Python path rejects a
+    // corrupt total (reshape failure / explicit check), and accepting a
+    // short one here would silently zero-fill instead of erroring
+    if (view->total != n_coeffs || view->n_pairs < 0 ||
         payload.size() < head_bytes + view->n_pairs * pair_bytes)
         return false;
     if (shapes_out_i)
@@ -541,7 +566,7 @@ int64_t unpack_core_strided(int64_t n_items, int64_t rows, int64_t row_len,
                             int payload_fmt, Load load) {
     const int64_t n_coeffs = rows * row_len;
     std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
+    const int64_t pool_thrown = run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
         PayloadView v;
         if (!load(i, payload) ||
@@ -569,6 +594,7 @@ int64_t unpack_core_strided(int64_t n_items, int64_t rows, int64_t row_len,
             }
         }
     });
+    if (pool_thrown >= 0) return -(1 + pool_thrown);
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return 0;
 }
@@ -584,7 +610,7 @@ int64_t unpack_core_indexed(int64_t n_items, int64_t nx, int64_t ny,
     // row, zeroable with a memset instead of nz scattered stores
     const bool iz_unit = is_unit_permutation(iz, nz);
     std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
+    const int64_t pool_thrown = run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
         PayloadView v;
         if (!load(i, payload) ||
@@ -621,6 +647,7 @@ int64_t unpack_core_indexed(int64_t n_items, int64_t nx, int64_t ny,
             }
         }
     });
+    if (pool_thrown >= 0) return -(1 + pool_thrown);
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return 0;
 }
@@ -631,7 +658,7 @@ int64_t unpack_core_mapped(int64_t n_items, int64_t n_coeffs,
                            float* out, int32_t* shapes_out, int n_threads,
                            int payload_fmt, Load load) {
     std::atomic<int64_t> first_err(-1);
-    run_pool(n_threads, n_items, [&](int64_t i) {
+    const int64_t pool_thrown = run_pool(n_threads, n_items, [&](int64_t i) {
         std::vector<uint8_t> payload;
         PayloadView v;
         if (!load(i, payload) ||
@@ -655,6 +682,7 @@ int64_t unpack_core_mapped(int64_t n_items, int64_t n_coeffs,
             }
         }
     });
+    if (pool_thrown >= 0) return -(1 + pool_thrown);
     if (first_err.load() >= 0) return -(1 + first_err.load());
     return 0;
 }
