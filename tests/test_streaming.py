@@ -8,7 +8,6 @@ archive is byte-identical to the in-memory path and (b) earlier timesteps'
 boxes actually become collectible while later ones process.
 """
 
-import filecmp
 import gc
 import os
 import weakref
@@ -146,6 +145,87 @@ def test_decompress_streams_one_timestep_at_a_time(tmp_path):
             if told < t:
                 assert all(w() is None for w in wrefs), (
                     f"timestep {told} boxes still alive at timestep {t}")
+
+
+def test_prefetch_compress_matches_default(tmp_path, monkeypatch):
+    """prefetch=1 overlaps the next timestep's plotfile read with the codec:
+    archives must stay byte-identical and peak live box bytes must stay
+    within the documented TWO-timestep window."""
+    data_dir = _write_many_timesteps(tmp_path)
+    base_dir = str(tmp_path / "base") + os.sep
+    pre_dir = str(tmp_path / "pre") + os.sep
+    compress.compress_run(_cfg(data_dir, base_dir))
+
+    live = []
+    peak = [0]
+    real_read_level = pf.read_level
+
+    class _Tracked:
+        pass
+
+    def tracked_read_level(path, lev, idxs):
+        lv = real_read_level(path, lev, idxs)
+        marker = _Tracked()
+        live.append((weakref.ref(marker), sum(b.nbytes for b in lv.boxes)))
+        lv._lifetime_marker = marker
+        gc.collect()
+        peak[0] = max(peak[0], sum(nb for w, nb in live if w() is not None))
+        return lv
+
+    monkeypatch.setattr(
+        "wavelet_tpu.pipeline.compress.plotfile.read_level",
+        tracked_read_level)
+    compress.compress_run(_cfg(data_dir, pre_dir, prefetch=1))
+    a, b = _dir_bytes(base_dir), _dir_bytes(pre_dir)
+    a.pop("wtc-meta.json"), b.pop("wtc-meta.json")
+    assert a == b
+    one_timestep = 2 * 2 * 16 * 8 * 8 * 4
+    assert peak[0] <= 2 * one_timestep, (
+        f"peak live box bytes {peak[0]} exceeds the two-timestep window")
+
+
+def test_prefetch_global_mode_matches_default(tmp_path):
+    """Global mode with prefetch=1 (read-ahead in both passes + overlapped
+    pack) must produce the identical threshold and archive bytes."""
+    data_dir = _write_many_timesteps(tmp_path)
+    base_dir = str(tmp_path / "gbase") + os.sep
+    pre_dir = str(tmp_path / "gpre") + os.sep
+    s0 = compress.compress_run(_cfg(data_dir, base_dir,
+                                    threshold_mode="global",
+                                    keep_fraction=0.05))
+    s1 = compress.compress_run(_cfg(data_dir, pre_dir,
+                                    threshold_mode="global",
+                                    keep_fraction=0.05, prefetch=1))
+    assert s0["global_threshold"] == s1["global_threshold"]
+    a, b = _dir_bytes(base_dir), _dir_bytes(pre_dir)
+    a.pop("wtc-meta.json"), b.pop("wtc-meta.json")
+    assert a == b
+
+
+def test_prefetch_decompress_matches_default(tmp_path):
+    """prefetch=1 on decompress (plotfile write overlapped with the next
+    timestep's decode) must regenerate identical plotfile bytes."""
+    data_dir = _write_many_timesteps(tmp_path)
+    comp_dir = str(tmp_path / "comp") + os.sep
+    out_a = str(tmp_path / "outa") + os.sep
+    out_b = str(tmp_path / "outb") + os.sep
+    compress.compress_run(_cfg(data_dir, comp_dir))
+    decompress_run(Config(compressed_dir=comp_dir, out_dir=out_a))
+    decompress_run(Config(compressed_dir=comp_dir, out_dir=out_b,
+                          prefetch=1))
+    def tree_bytes(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = f.read()
+        return out
+
+    for t in range(N_TIMES):
+        name = f"plt{10 + t:05d}"
+        assert tree_bytes(os.path.join(out_a, name)) == \
+            tree_bytes(os.path.join(out_b, name))
 
 
 def test_compress_peak_rss_bounded_by_window(tmp_path, monkeypatch):

@@ -79,6 +79,7 @@ def parse_argv(argv):
         cfg.xz_preset = int(kv.get("xzpreset", "6"))
         cfg.archive = kv.get("archive", "files")
         cfg.transfer = transfer_key()
+        cfg.prefetch = int(kv.get("prefetch", "0"))
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")
@@ -97,6 +98,7 @@ def parse_argv(argv):
         cfg.compressed_dir = need("compresseddir")
         cfg.out_dir = need("out")
         cfg.transfer = transfer_key()
+        cfg.prefetch = int(kv.get("prefetch", "0"))
     return mode, cfg
 
 

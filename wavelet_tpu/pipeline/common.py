@@ -46,6 +46,11 @@ class Config:
     transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
     device_metrics: bool = False      # estimate RMSE on device (f32 fast path)
     fast_estimate: bool = False       # in-memory estimate (no scratch dir)
+    prefetch: int = 0                 # 1 = overlap next timestep's plotfile
+                                      #   read (compress) / this timestep's
+                                      #   plotfile write (decompress) with the
+                                      #   codec; peak RSS becomes TWO
+                                      #   timesteps instead of one
 
 
 def clean_string(filename: str) -> int:

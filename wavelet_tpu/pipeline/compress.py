@@ -258,6 +258,25 @@ def _iter_timestep_items(meta: common.RunMeta, t: int, lv_boxes,
                 g += 1
 
 
+def _iter_prefetched(n_times: int, read_one, depth: int):
+    """Yield ``(t, read_one(t))`` for every timestep, reading timestep t+1
+    in a background thread while the caller processes t when ``depth > 0``
+    (``prefetch=1``): disk I/O overlaps the codec at the cost of holding at
+    most TWO timesteps' boxes instead of one.  ``depth == 0`` reads inline
+    (strict one-timestep peak RSS, the default)."""
+    if depth <= 0:
+        for t in range(n_times):
+            yield t, read_one(t)
+        return
+    with cf.ThreadPoolExecutor(1) as pool:
+        nxt = pool.submit(read_one, 0) if n_times else None
+        for t in range(n_times):
+            cur = nxt.result()
+            nxt = (pool.submit(read_one, t + 1)
+                   if t + 1 < n_times else None)
+            yield t, cur
+
+
 def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                         mesh) -> dict:
     """One-timestep-at-a-time compression: read → device codec → host pack →
@@ -317,8 +336,10 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
         # memory costs re-reading + re-transforming in pass 2; fixed
         # float-bit bins merge by addition across timesteps and hosts)
         hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
-        for t in range(len(meta.files)):
-            batches, _ = timestep_batches(t, resume_filter=False)
+        for _t, (batches, _) in _iter_prefetched(
+                len(meta.files),
+                lambda t: timestep_batches(t, resume_filter=False),
+                cfg.prefetch):
             for batch in batches:
                 _cb, h = eng.forward_hist_shapebatch(batch)
                 hist += h
@@ -328,31 +349,49 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
         log.info("Global magnitude threshold (keep_fraction=%s): %s",
                  cfg.keep_fraction, tval)
         stats["global_threshold"] = float(tval)
-        # pass 2: streamed transform + pack at the one global threshold
+        # pass 2: streamed transform + pack at the one global threshold.
+        # A single pack worker overlaps the host RLE+xz of batch i with the
+        # device forward of batch i+1 (same pattern as _pack_dense_or_sparse;
+        # one worker keeps pack order — and so bundle member order —
+        # deterministic).
         bundle_bytes = 0
-        for t in range(len(meta.files)):
-            batches, _ = timestep_batches(t, resume_filter=False)
-            for batch in batches:
-                cb, _h = eng.forward_hist_shapebatch(batch)
-                subset = None
-                if cfg.resume:
-                    subset = [i for i, it in enumerate(cb.items)
-                              if not _exists(cfg.compressed_dir, it, have)]
-                    skipped += len(cb.items) - len(subset)
-                t32 = np.full(len(cb.items), tval, np.float32)
-                out_bytes += packer.pack(cfg.compressed_dir, cb, t32,
-                                         subset=subset)
-                n_files += (len(subset) if subset is not None
-                            else len(cb.items))
-                in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
-            # a finished timestep's bundle is closed (atomic-renamed) right
-            # away: a crash costs one timestep, like the per-file mode
-            bundle_bytes += packer.close_bundles(t)
+        with cf.ThreadPoolExecutor(1) as pack_pool:
+            pending = None
+            for t, (batches, _) in _iter_prefetched(
+                    len(meta.files),
+                    lambda t: timestep_batches(t, resume_filter=False),
+                    cfg.prefetch):
+                for batch in batches:
+                    cb, _h = eng.forward_hist_shapebatch(batch)
+                    subset = None
+                    if cfg.resume:
+                        subset = [i for i, it in enumerate(cb.items)
+                                  if not _exists(cfg.compressed_dir, it,
+                                                 have)]
+                        skipped += len(cb.items) - len(subset)
+                    t32 = np.full(len(cb.items), tval, np.float32)
+                    if pending is not None:
+                        out_bytes += pending.result()
+                    pending = pack_pool.submit(packer.pack,
+                                               cfg.compressed_dir, cb, t32,
+                                               subset=subset)
+                    n_files += (len(subset) if subset is not None
+                                else len(cb.items))
+                    in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
+                # a finished timestep's bundle is closed (atomic-renamed)
+                # right away: a crash costs one timestep, like the per-file
+                # mode (the pack worker must drain first)
+                if pending is not None:
+                    out_bytes += pending.result()
+                    pending = None
+                bundle_bytes += packer.close_bundles(t)
     else:
         d2h_bytes = 0
         bundle_bytes = 0
-        for t in range(len(meta.files)):
-            batches, n_skip = timestep_batches(t, resume_filter=cfg.resume)
+        for t, (batches, n_skip) in _iter_prefetched(
+                len(meta.files),
+                lambda t: timestep_batches(t, resume_filter=cfg.resume),
+                cfg.prefetch):
             skipped += n_skip
             nf, ib, ob, d2h = _pack_dense_or_sparse(
                 batches, eng, packer, cfg.compressed_dir, cfg.keep,

@@ -13,6 +13,7 @@ Stages:
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import logging
 import os
 
@@ -134,24 +135,36 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
     stats: dict = {}
     with debug.phase_timer(
             "decompress",
-            message="Decompression completed in %s seconds.") as ph:
+            message="Decompression completed in %s seconds.") as ph, \
+            cf.ThreadPoolExecutor(1) as write_pool:
+        # prefetch=1: timestep t's plotfile write runs on the worker while
+        # t+1 decodes (independent output directories) — peak memory grows
+        # to two timesteps' boxes; the single worker keeps writes ordered.
+        pending = None
         for (t, name, regen, locs_t, dims_t, rinfo, amrex) in \
                 iter_decompressed_timesteps(cfg, mesh, stats=stats):
             log.info("%s", name)
             geom = amrex.geomcellinfo[t]
-            plotfile.write_plotfile(
-                name,
-                [regen[li] for li in range(num_levels)],
-                [locs_t[li] for li in range(num_levels)],
-                [dims_t[li] for li in range(num_levels)],
-                rinfo.components,
-                float(amrex.true_times[t]),
-                geom[0:3], geom[3:6],
-                amrex.ref_ratios,
-                (amrex.x_dim, amrex.y_dim, amrex.z_dim),
-                amrex.level_steps[t],
-            )
+            job = (plotfile.write_plotfile,
+                   name,
+                   [regen[li] for li in range(num_levels)],
+                   [locs_t[li] for li in range(num_levels)],
+                   [dims_t[li] for li in range(num_levels)],
+                   rinfo.components,
+                   float(amrex.true_times[t]),
+                   geom[0:3], geom[3:6],
+                   amrex.ref_ratios,
+                   (amrex.x_dim, amrex.y_dim, amrex.z_dim),
+                   amrex.level_steps[t])
+            if cfg.prefetch > 0:
+                if pending is not None:
+                    pending.result()
+                pending = write_pool.submit(*job)
+            else:
+                job[0](*job[1:])
             n_boxes += sum(len(per) for per in regen)
+        if pending is not None:
+            pending.result()
     log.info("Sucessfully wrote plotfiles.")
     stats.update({"decompress_seconds": ph.seconds, "times": num_times,
                   "levels": num_levels, "boxes": n_boxes})
