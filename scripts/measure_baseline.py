@@ -213,6 +213,67 @@ def config5(results, tmp):
     results["config5_e2e_realistic"] = out
 
 
+def spiky_plotfile(tmp, n_boxes=64, dim=64, name="plt00060"):
+    """Shock/flame-like field: smooth low-amplitude background with sparse
+    high-magnitude features (~1% of cells), the regime sparse transport is
+    designed for — the per-box threshold rides the large spikes, so only a
+    few percent of coefficients survive.  Every box gets one strongly
+    positive spike so the signed-absmax rule never degenerates
+    (SURVEY.md §5.2)."""
+    rng = np.random.default_rng(7)
+    boxes, locs, dims = [], [], []
+    for b in range(n_boxes):
+        a = rng.standard_normal((dim, dim, dim)).astype(np.float32) * 1e-3
+        # each point spike spreads into ~8 single-scale Haar coefficients,
+        # so 0.125% spike density lands near 1% kept coefficients
+        mask = rng.random((dim, dim, dim)) < 0.00125
+        a[mask] = np.abs(rng.standard_normal(mask.sum())
+                         ).astype(np.float32) * 100
+        a.flat[0] = 1000.0
+        boxes.append(a[None])
+        locs.append((b * dim, 0, 0))
+        dims.append((dim, dim, dim))
+    src = os.path.join(tmp, "spiky", name)
+    pf.write_plotfile(src, [boxes], [locs], [dims], ["f"], 0.25,
+                      [0., 0., 0.], [1., 1., 1.], (2, 2, 2),
+                      (n_boxes * dim, dim, dim), [60])
+    return os.path.join(tmp, "spiky"), n_boxes
+
+
+def config6(results, tmp):
+    """Sparse-regime END-TO-END rows: same shape/volume as config5 but on
+    spiky ~1%-kept data (config5's smooth fields keep ~5-8%, above the
+    point where (index, value) pairs at 8 B each beat 4 B dense rows).
+    Dense vs sparse transport, both directions, on the raw/bundle fast
+    path so the transport difference isn't buried under xz time."""
+    out = {}
+    for mode_i, transfer in enumerate(("dense", "sparse")):
+        mode_tmp = os.path.join(tmp, "c6data", transfer)
+        data_dir, n_boxes = spiky_plotfile(mode_tmp, n_boxes=64, dim=64,
+                                           name=f"plt0006{mode_i}")
+        os.sync()
+        comp = os.path.join(tmp, f"comp6_{transfer}") + os.sep
+        regen = os.path.join(tmp, f"out6_{transfer}") + os.sep
+        name = f"plt0006{mode_i}"
+        cfg = Config(data_dir=data_dir, min_time=name, max_time=name,
+                     min_level=0, max_level=0, components=["f"],
+                     compressed_dir=comp, keep=0.999, codec="raw",
+                     archive="bundle", transfer=transfer)
+        stats = compress_run(cfg)
+        stats["boxes"] = n_boxes
+        stats["compress_gbps_e2e"] = (
+            stats["input_bytes"] / 1e9 / stats["compress_seconds"])
+        os.sync()
+        d = decompress_run(Config(compressed_dir=comp, out_dir=regen,
+                                  transfer=transfer))
+        stats["decompress_seconds"] = d["decompress_seconds"]
+        stats["host_to_device_bytes"] = d.get("host_to_device_bytes")
+        stats["decompress_gbps_e2e"] = (
+            stats["input_bytes"] / 1e9 / d["decompress_seconds"])
+        out[transfer] = stats
+    results["config6_e2e_sparse_regime"] = out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_results/measured.json")
@@ -229,7 +290,7 @@ def main():
     results["platform"] = jax.devices()[0].platform
 
     only = (set(int(x) for x in args.only.split(","))
-            if args.only else {1, 2, 3, 4, 5})
+            if args.only else {1, 2, 3, 4, 5, 6})
     with tempfile.TemporaryDirectory() as tmp:
         if 1 in only:
             config1(results)
@@ -241,6 +302,8 @@ def main():
             config4(results, tmp)
         if 5 in only:
             config5(results, tmp)
+        if 6 in only:
+            config6(results, tmp)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -129,9 +129,16 @@ def test_sparse_vs_dense_byte_identical_multiscale(tmp_path, layout,
 
 def test_transfer_sparse_scales2_end_to_end(tmp_path):
     """CLI-level: transfer=sparse no longer routes scales=2 runs to dense;
-    archives match the dense-transfer run and decompress identically."""
+    archives match the dense-transfer run and decompress identically.
+
+    Spiky low-kept data: with dense-ish data every item overflows the cap
+    and the (honestly counted) fallback fetch makes sparse d2h >= dense —
+    the d2h assertion needs the mode's design regime."""
     rng = np.random.default_rng(6)
-    box = (rng.standard_normal((2, 16, 8, 16)) * 5).astype(np.float32)
+    box = (rng.standard_normal((2, 16, 8, 16)) * 0.01).astype(np.float32)
+    spikes = rng.random((2, 16, 8, 16)) < 0.01
+    box[spikes] = 50.0
+    box[:, 0, 0, 0] = 100.0      # positive signed absmax (SURVEY.md §5.2)
     src = tmp_path / "data" / "plt00055"
     pf.write_plotfile(str(src), [[box]], [[(0, 0, 0)]], [[(16, 8, 16)]],
                       ["a", "b"], 0.5, [0., 0., 0.], [1., 1., 1.],
@@ -211,9 +218,47 @@ def test_sparse_mode_reduces_d2h_bytes(tmp_path):
     assert stats["sparse"]["output_bytes"] > 0
 
 
+def test_sparse_decompress_dense_fallback_when_pairs_exceed_dense(tmp_path):
+    """At pathological kept fractions (here: constant-negative data, whose
+    signed absmax is negative, so the reference threshold rule keeps every
+    coefficient) the padded (index, value) pair stream costs more bytes
+    than the dense rows — the sparse decompress path must fall back to
+    dense transport (never ship more than dense) and still produce
+    identical plotfiles."""
+    from wavelet_tpu.pipeline import decompress_run
+
+    box = np.full((1, 8, 8, 8), -5.0, np.float32)
+    pf.write_plotfile(str(tmp_path / "data" / "plt00070"),
+                      [[box]], [[(0, 0, 0)]], [[(8, 8, 8)]], ["a"], 0.5,
+                      [0., 0., 0.], [1., 1., 1.], (2, 2, 2), (8, 8, 8),
+                      [70])
+    comp = str(tmp_path / "comp") + "/"
+    compress_run(Config(data_dir=str(tmp_path / "data"),
+                        min_time="plt00070", max_time="plt00070",
+                        min_level=0, max_level=0, components=["a"],
+                        keep=0.999, compressed_dir=comp))
+
+    stats = {}
+    for mode in ("dense", "sparse"):
+        out = str(tmp_path / f"out_{mode}") + "/"
+        stats[mode] = decompress_run(Config(compressed_dir=comp,
+                                            out_dir=out, transfer=mode))
+
+    # the fallback shipped dense bytes (not the larger pair stream)
+    assert stats["sparse"]["host_to_device_bytes"] == \
+        stats["dense"]["host_to_device_bytes"]
+
+    for root, _dirs, files in os.walk(str(tmp_path / "out_dense")):
+        for fn in files:
+            a = os.path.join(root, fn)
+            b = a.replace("out_dense", "out_sparse")
+            assert filecmp.cmp(a, b, shallow=False), fn
+
+
 def test_adaptive_sparse_cap_shrinks_transfer():
-    """After the first batch reveals the kept fraction, later batches size
-    the device->host buffers to ~1.5x it instead of the 25% default."""
+    """The fetched pair buffers are trimmed on device to the observed max
+    kept count (power-of-2 rounded) — even a shape's FIRST batch, whose
+    compaction capacity is the cold 25% default, ships only ~kept bytes."""
     import numpy as np
 
     from wavelet_tpu.runtime import batching, engine as eng_mod
@@ -233,7 +278,9 @@ def test_adaptive_sparse_cap_shrinks_transfer():
 
     s1, _ = eng.compress_shapebatch_sparse(one_batch(), 0.9)
     s2, _ = eng.compress_shapebatch_sparse(one_batch(), 0.9)
-    assert s2.cap < s1.cap
+    max_kept = int(s1.counts.max())
+    assert s1.cap <= max(128, 2 * max_kept)   # first batch already trimmed
+    assert s2.cap <= s1.cap
     # undersized caps must not change results: pairs identical
     for i in range(8):
         i1, v1 = s1.item_pairs(i, 0.0)

@@ -106,8 +106,7 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
                 # sparsification on device: only kept (index, value) pairs
                 # cross the device->host link
                 sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
-                d2h_bytes += (sparse.counts.nbytes + sparse.idxs.nbytes
-                              + sparse.vals.nbytes)
+                d2h_bytes += sparse.transfer_bytes()
                 job = (packer.pack_sparse, out_dir, sparse, t32)
             else:
                 coeffs, t32 = eng.compress_shapebatch(batch, keep)

@@ -55,8 +55,34 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
                                         items=bucket_items,
                                         n_valid=len(bucket_items))
             idx, vals = packer.unpack_sparse(cfg.compressed_dir, batch)
-            h2d_bytes += idx.nbytes + vals.nbytes
-            out = eng.decompress_shapebatch_sparse(batch, idx, vals)
+            dense = batching.empty_batch(bucket_items, dims,
+                                         pack=eng.pack_factor(dims),
+                                         pad_multiple=pad,
+                                         layout=eng.coeff_layout(dims),
+                                         scales=eng.eff_scales(dims))
+            if idx.nbytes + vals.nbytes >= dense.data.nbytes:
+                # sparse transport must never ship MORE than dense: at
+                # high kept fractions (pairs are 8 B/coefficient vs 4 B
+                # dense, padded to a shared power-of-2 capacity) the pair
+                # stream can exceed the dense rows — scatter the decoded
+                # pairs into dense rows on host and take the dense device
+                # path instead (same bytes on the link, no device scatter)
+                log.info("sparse transfer: kept fraction too high for "
+                         "shape %s (%d pair bytes >= %d dense) — "
+                         "falling back to dense transport", dims,
+                         idx.nbytes + vals.nbytes, dense.data.nbytes)
+                m = int(np.prod(dims))
+                row = np.zeros(m, np.float32)
+                for i in range(len(bucket_items)):
+                    k = idx[i] < m
+                    row[:] = 0.0
+                    row[idx[i][k]] = vals[i][k]
+                    dense.item_write(i, row.reshape(dims))
+                h2d_bytes += dense.data.nbytes
+                out = eng.decompress_shapebatch(dense)
+            else:
+                h2d_bytes += idx.nbytes + vals.nbytes
+                out = eng.decompress_shapebatch_sparse(batch, idx, vals)
         else:
             batch = batching.empty_batch(bucket_items, dims,
                                          pack=eng.pack_factor(dims),

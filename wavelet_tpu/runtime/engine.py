@@ -194,6 +194,21 @@ class SparseCoeffs:
 
     _flat_np: object = None   # bulk dense fallback, fetched lazily once
 
+    def transfer_bytes(self) -> int:
+        """Actual device->host traffic this sparsification costs: the pair
+        buffers PLUS the dense rows the overflow fallback fetches (a bulk
+        fallback pulls the whole flat array once) — the honest number for
+        the ``device_to_host_bytes`` stat."""
+        n = len(self.items)
+        total = self.counts.nbytes + self.idxs.nbytes + self.vals.nbytes
+        n_over = int(np.sum(self.counts[:n] > self.cap))
+        if not n_over:
+            return total
+        m = int(np.prod(self.shape))
+        if n_over > max(2, n // 10) and self._flat_dev is not None:
+            return total + int(np.prod(self._flat_dev.shape)) * 4
+        return total + n_over * m * 4
+
     def item_pairs(self, i: int, t32_i: float):
         """(indices, values) of item i's kept coefficients."""
         k = int(self.counts[i])
@@ -463,6 +478,10 @@ class CodecEngine:
         -> (SparseCoeffs, t32).  Capacity = ``cap_fraction`` of the
         coefficient count; rare overflowing items fall back to a dense
         single-row fetch (handled by :class:`SparseCoeffs.item_pairs`).
+        The pair buffers are trimmed on device to the observed max kept
+        count before fetching, and a batch with WIDESPREAD overflow ships
+        the dense array alone (pairs would only add traffic) — sparse
+        transport never fetches more than dense plus the counts.
 
         When ``cap_fraction`` is None it ADAPTS: the first batch of a
         shape uses 25%, later batches size the buffer to 1.5x the largest
@@ -519,6 +538,32 @@ class CodecEngine:
             observed = float(counts[: batch.n_valid].max()) / m
             self._sparse_cap_hint[batch.shape] = float(
                 min(0.25, max(observed * 1.5, 64 / m)))
+        # the counts (tiny) land first, so the transport can adapt BEFORE
+        # the expensive device->host fetch:
+        n = batch.n_valid
+        n_over = int(np.sum(counts[:n] > cap)) if n else 0
+        if n and n_over > max(2, n // 10):
+            # widespread overflow (e.g. the reference's negative-absmax
+            # keep-everything quirk on zero-mean fields): the bulk dense
+            # fallback must fetch the whole flat array anyway, so fetching
+            # pair buffers on top would only ADD traffic — ship dense
+            # alone and route every item through the fallback (cap=0)
+            empty = np.zeros((len(counts), 0))
+            return SparseCoeffs(shape=dims, items=batch.items,
+                                counts=counts,
+                                idxs=empty.astype(np.int32),
+                                vals=empty.astype(np.float32),
+                                cap=0, _flat_dev=flat,
+                                _flat_np=np.asarray(flat)), t32
+        # otherwise trim the pair buffers ON DEVICE to the observed max —
+        # a cold adaptive cap (25% of m on a shape's first batch) then
+        # costs nothing on the link; power-of-2 trim widths keep the
+        # slice-op specializations bounded
+        needed = int(counts[:n].max()) if n else 0
+        trim = int(min(cap, max(128, 1 << (max(needed, 1) - 1).bit_length())))
+        if trim < cap:
+            idxs, vals = idxs[:, :trim], vals[:, :trim]
+            cap = trim
         return SparseCoeffs(shape=dims, items=batch.items,
                             counts=counts,
                             idxs=np.asarray(idxs), vals=np.asarray(vals),
