@@ -213,14 +213,14 @@ def config5(results, tmp):
     results["config5_e2e_realistic"] = out
 
 
-def spiky_plotfile(tmp, n_boxes=64, dim=64, name="plt00060"):
+def spiky_plotfile(tmp, n_boxes=64, dim=64, name="plt00060", seed=7):
     """Shock/flame-like field: smooth low-amplitude background with sparse
     high-magnitude features (~1% of cells), the regime sparse transport is
     designed for — the per-box threshold rides the large spikes, so only a
     few percent of coefficients survive.  Every box gets one strongly
     positive spike so the signed-absmax rule never degenerates
     (SURVEY.md §5.2)."""
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     boxes, locs, dims = [], [], []
     for b in range(n_boxes):
         a = rng.standard_normal((dim, dim, dim)).astype(np.float32) * 1e-3
@@ -249,8 +249,12 @@ def config6(results, tmp):
     out = {}
     for mode_i, transfer in enumerate(("dense", "sparse")):
         mode_tmp = os.path.join(tmp, "c6data", transfer)
+        # per-mode data (distinct seed): the axon layer can serve repeated
+        # identical (executable, input) device executions from a cache,
+        # which would fake the second mode's device time (CLAUDE.md rule)
         data_dir, n_boxes = spiky_plotfile(mode_tmp, n_boxes=64, dim=64,
-                                           name=f"plt0006{mode_i}")
+                                           name=f"plt0006{mode_i}",
+                                           seed=7 + mode_i)
         os.sync()
         comp = os.path.join(tmp, f"comp6_{transfer}") + os.sep
         regen = os.path.join(tmp, f"out6_{transfer}") + os.sep

@@ -218,6 +218,53 @@ def test_sparse_mode_reduces_d2h_bytes(tmp_path):
     assert stats["sparse"]["output_bytes"] > 0
 
 
+def test_sparse_transfer_never_ships_more_than_dense():
+    """The compress-side transport invariant, measured by the honest
+    accounting (transfer_bytes counts pair buffers AND every fallback
+    fetch item_pairs performs): in every regime — tiny all-overflowing
+    buckets, one spiky box among many sparse ones, widespread overflow,
+    plain sparse — the sparse transport costs at most dense + the counts
+    vector."""
+    from wavelet_tpu.runtime import batching, engine as eng_mod
+
+    rng = np.random.default_rng(11)
+
+    def boxes_case(n, spec):
+        out = np.zeros((n, 8, 8, 8), np.float32)
+        for i in range(n):
+            if spec(i) == "all":        # negative absmax -> keep all
+                out[i] = -5.0
+            elif spec(i) == "spiky":
+                out[i] = rng.standard_normal((8, 8, 8)) * 1e-3
+                out[i, 0, 0, 0] = 100.0
+                out[i, 4, 4, 4] = 50.0
+        return out
+
+    cases = [
+        ("single box all kept", boxes_case(1, lambda i: "all")),
+        ("two boxes all kept", boxes_case(2, lambda i: "all")),
+        ("one overflower among 15 sparse",
+         boxes_case(15, lambda i: "all" if i == 0 else "spiky")),
+        ("widespread overflow",
+         boxes_case(12, lambda i: "all" if i % 2 else "spiky")),
+        ("all sparse", boxes_case(8, lambda i: "spiky")),
+    ]
+    for name, arrs in cases:
+        eng = eng_mod.CodecEngine()   # fresh adaptive hints per case
+        items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+                 for b in range(len(arrs))]
+        batch = batching.plan_batches(
+            [(it, arrs[i]) for i, it in enumerate(items)],
+            pack_fn=eng.pack_factor)[0]
+        dense_bytes = batch.data.nbytes
+        s, t32 = eng.compress_shapebatch_sparse(batch, 0.999)
+        # exercise every fallback item_pairs would perform, then check the
+        # accounting covered it
+        for i in range(len(items)):
+            s.item_pairs(i, float(t32[i]))
+        assert s.transfer_bytes() <= dense_bytes + s.counts.nbytes, name
+
+
 def test_sparse_decompress_dense_fallback_when_pairs_exceed_dense(tmp_path):
     """At pathological kept fractions (here: constant-negative data, whose
     signed absmax is negative, so the reference threshold rule keeps every

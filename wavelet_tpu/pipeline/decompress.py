@@ -55,12 +55,10 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
                                         items=bucket_items,
                                         n_valid=len(bucket_items))
             idx, vals = packer.unpack_sparse(cfg.compressed_dir, batch)
-            dense = batching.empty_batch(bucket_items, dims,
-                                         pack=eng.pack_factor(dims),
-                                         pad_multiple=pad,
-                                         layout=eng.coeff_layout(dims),
-                                         scales=eng.eff_scales(dims))
-            if idx.nbytes + vals.nbytes >= dense.data.nbytes:
+            dense_nbytes = batching.dense_batch_nbytes(
+                len(bucket_items), dims, pack=eng.pack_factor(dims),
+                pad_multiple=pad)
+            if idx.nbytes + vals.nbytes >= dense_nbytes:
                 # sparse transport must never ship MORE than dense: at
                 # high kept fractions (pairs are 8 B/coefficient vs 4 B
                 # dense, padded to a shared power-of-2 capacity) the pair
@@ -70,7 +68,12 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
                 log.info("sparse transfer: kept fraction too high for "
                          "shape %s (%d pair bytes >= %d dense) — "
                          "falling back to dense transport", dims,
-                         idx.nbytes + vals.nbytes, dense.data.nbytes)
+                         idx.nbytes + vals.nbytes, dense_nbytes)
+                dense = batching.empty_batch(bucket_items, dims,
+                                             pack=eng.pack_factor(dims),
+                                             pad_multiple=pad,
+                                             layout=eng.coeff_layout(dims),
+                                             scales=eng.eff_scales(dims))
                 m = int(np.prod(dims))
                 row = np.zeros(m, np.float32)
                 for i in range(len(bucket_items)):

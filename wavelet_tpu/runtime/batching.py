@@ -145,6 +145,17 @@ def cap_pack(pack: int, n_items: int, z: int | None = None) -> int:
     return max(1, pack)
 
 
+def dense_batch_nbytes(n_items: int, dims, pack: int = 1,
+                       pad_multiple: int = 1) -> int:
+    """Bytes of the padded dense array :func:`empty_batch` would allocate
+    — for transport-cost decisions without allocating it."""
+    x, y, z = dims
+    pack = cap_pack(pack, n_items, z)
+    quantum = pack * pad_multiple
+    n_pad = pad_to_multiple(n_items, quantum) if quantum > 1 else n_items
+    return n_pad * x * y * z * 4
+
+
 def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,
                 layout: str = "halves", scales: int = 1) -> ShapeBatch:
     """Zero-filled ShapeBatch for ``items`` of one shape (decompress side)."""

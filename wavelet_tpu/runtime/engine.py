@@ -539,15 +539,28 @@ class CodecEngine:
             self._sparse_cap_hint[batch.shape] = float(
                 min(0.25, max(observed * 1.5, 64 / m)))
         # the counts (tiny) land first, so the transport can adapt BEFORE
-        # the expensive device->host fetch:
+        # the expensive device->host fetch.  Trim the pair buffers to the
+        # observed max NON-overflowing count (overflowers never have their
+        # pair rows read — item_pairs serves them from the dense fallback,
+        # so one spiky box must not pin the whole batch at the cold cap);
+        # power-of-2 trim widths keep the slice-op specializations bounded.
         n = batch.n_valid
-        n_over = int(np.sum(counts[:n] > cap)) if n else 0
-        if n and n_over > max(2, n // 10):
-            # widespread overflow (e.g. the reference's negative-absmax
-            # keep-everything quirk on zero-mean fields): the bulk dense
-            # fallback must fetch the whole flat array anyway, so fetching
-            # pair buffers on top would only ADD traffic — ship dense
-            # alone and route every item through the fallback (cap=0)
+        live = counts[:n][counts[:n] <= cap] if n else counts[:0]
+        n_over = n - len(live)
+        needed = int(live.max()) if len(live) else 0
+        trim = int(min(cap, max(128, 1 << (max(needed, 1) - 1).bit_length())))
+        # ship the dense array ALONE whenever pairs + the fallback fetches
+        # item_pairs would actually perform (bulk flat fetch when overflow
+        # is widespread — its latency heuristic — else per-item rows)
+        # would cost at least as much (widespread overflow — e.g. the
+        # reference's negative-absmax keep-everything quirk on zero-mean
+        # fields — or even a single overflower in a tiny bucket): the
+        # never-more-than-dense transport invariant
+        dense_bytes = int(np.prod(flat.shape)) * 4
+        fallback_bytes = (dense_bytes if n_over > max(2, n // 10)
+                          else n_over * m * 4)
+        pair_bytes = len(counts) * trim * 8 + fallback_bytes
+        if n and n_over and pair_bytes >= dense_bytes:
             empty = np.zeros((len(counts), 0))
             return SparseCoeffs(shape=dims, items=batch.items,
                                 counts=counts,
@@ -555,12 +568,6 @@ class CodecEngine:
                                 vals=empty.astype(np.float32),
                                 cap=0, _flat_dev=flat,
                                 _flat_np=np.asarray(flat)), t32
-        # otherwise trim the pair buffers ON DEVICE to the observed max —
-        # a cold adaptive cap (25% of m on a shape's first batch) then
-        # costs nothing on the link; power-of-2 trim widths keep the
-        # slice-op specializations bounded
-        needed = int(counts[:n].max()) if n else 0
-        trim = int(min(cap, max(128, 1 << (max(needed, 1) - 1).bit_length())))
         if trim < cap:
             idxs, vals = idxs[:, :trim], vals[:, :trim]
             cap = trim
