@@ -266,6 +266,52 @@ def test_cli_fastestimate_key():
 
 
 # ---------------------------------------------------------------------------
+# keep sweep (keep="k1 k2 ...") in estimate mode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fast", [False, True], ids=["scratch", "fast"])
+def test_estimate_keep_sweep_matches_individual_runs(tmp_path, fast):
+    """One invocation sweeping three keeps must report exactly the numbers
+    three independent runs report (the fast path shares the forward — the
+    signed absmax is keep-independent)."""
+    from wavelet_tpu.pipeline import Config, estimate_run
+
+    data_dir = _codec_synth(tmp_path)
+    keeps = [0.99, 0.999, 0.9999]
+    base = dict(data_dir=data_dir, min_time="plt00030", max_time="plt00030",
+                min_level=0, max_level=0, components=["a", "b"],
+                fast_estimate=fast)
+    swept = estimate_run(Config(keep=keeps[0], keep_sweep=keeps, **base))
+    assert set(swept["keep_sweep"]) == {repr(k) for k in keeps}
+    for k in keeps:
+        single = estimate_run(Config(keep=k, **base))
+        got = swept["keep_sweep"][repr(k)]
+        assert got == single
+
+
+def test_cli_keep_sweep_parsing():
+    from wavelet_tpu import cli
+
+    mode, cfg = cli.parse_argv([
+        'datadir=/d', 'minfile=a1', 'minlevel=0', 'components=x',
+        'keep=0.99 0.999 0.9999', '-estimate'])
+    assert mode == "estimate"
+    assert cfg.keep_sweep == [0.99, 0.999, 0.9999]
+    assert cfg.keep == 0.99
+    # single keep: no sweep
+    _mode, cfg1 = cli.parse_argv([
+        'datadir=/d', 'minfile=a1', 'minlevel=0', 'components=x',
+        'keep=0.999', '-estimate'])
+    assert cfg1.keep_sweep is None and cfg1.keep == 0.999
+    # a compression run writes one archive at one keep
+    with pytest.raises(SystemExit):
+        cli.parse_argv([
+            'datadir=/d', 'minfile=a1', 'maxfile=a2', 'minlevel=0',
+            'maxlevel=0', 'components=x', 'keep=0.99 0.999',
+            'compresseddir=/c/', '-c'])
+
+
+# ---------------------------------------------------------------------------
 # code-review round-2 regressions
 # ---------------------------------------------------------------------------
 

@@ -87,7 +87,17 @@ def parse_argv(argv):
             cfg.keep_fraction = float(need("keepfraction"))
             cfg.keep = float(kv.get("keep", "0.999"))
         else:
-            cfg.keep = float(need("keep"))
+            keeps = [float(v) for v in need("keep").split()]
+            if not keeps:
+                raise SystemExit("Missing keep!")
+            if len(keeps) > 1:
+                if mode != "estimate":
+                    # a compression run writes ONE archive at ONE keep
+                    raise SystemExit(
+                        "keep sweep (several keep values) is only valid "
+                        "with -estimate")
+                cfg.keep_sweep = keeps
+            cfg.keep = keeps[0]
         if mode == "c":
             cfg.compressed_dir = need("compresseddir")
         else:

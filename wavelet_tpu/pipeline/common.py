@@ -46,6 +46,9 @@ class Config:
     transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
     device_metrics: bool = False      # estimate RMSE on device (f32 fast path)
     fast_estimate: bool = False       # in-memory estimate (no scratch dir)
+    keep_sweep: list | None = None    # estimate mode: several keeps in one
+                                      #   run (fastestimate shares the
+                                      #   forward transform across them)
     prefetch: int = 0                 # 1 = overlap next timestep's plotfile
                                       #   read (compress) / this timestep's
                                       #   plotfile write (decompress) with the

@@ -5,10 +5,17 @@ compress into a scratch dir, decompress, report per-component mean RMSE
 (unweighted over boxes, the reference's estimator), adjusted loss
 (RMSE / range over the estimated subset) and compressed size as a
 percentage of the (component-adjusted) raw level size.
+
+Extension: ``keep="0.99 0.999 0.9999"`` sweeps several keeps in ONE
+invocation (the reference README's suggested workflow is one run per
+keep).  With ``fastestimate=1`` the sweep shares the forward transform —
+the threshold rule's data-dependent half (the signed absmax) is
+keep-independent, so each extra keep costs only the masking/metrics pass.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import tempfile
@@ -25,21 +32,10 @@ log = logging.getLogger("wavelet_tpu")
 __all__ = ["estimate_run"]
 
 
-def _fast_estimate_sizes_and_regen(run, cfg, mesh):
-    """In-memory estimate core: device transform + threshold + inverse with
-    NO scratch directory.  The compressed-size metric is the sum of the
-    encoded blob lengths — numerically identical to ``dir_size(scratch)``
-    (st_size sums = blob lengths), and RMSE comes from the same masked
-    coefficients, so every reported number matches the disk path exactly.
-    Returns (regen boxes like run.levels_data[0][0].boxes, total bytes)."""
-    from wavelet_tpu.core import rle, threshold as thr
-
-    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
-    serialize = (archive.serialize_payload_q16 if cfg.payload == "q16"
-                 else archive.serialize_payload)
+def _fast_buckets(run):
+    """Shape-bucketed (box, comp_idx) pairs + stacked per-bucket data."""
     lv = run.levels_data[0][0]
     comp_pos = {c: k for k, c in enumerate(run.comp_idxs)}
-    regen = [np.zeros_like(box) for box in lv.boxes]
     buckets = {}
     for b in range(len(lv.boxes)):
         dims = tuple(lv.dimensions[b])
@@ -48,20 +44,21 @@ def _fast_estimate_sizes_and_regen(run, cfg, mesh):
     stacked = {dims: np.stack([lv.boxes[b][comp_pos[ci]]
                                for (b, ci) in pairs])
                for dims, pairs in buckets.items()}
-    if cfg.threshold_mode == "global":
-        hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
-        flats = {}
-        for dims, data in stacked.items():
-            flat, h = eng.forward_hist_batch(data)
-            flats[dims] = flat
-            hist += h
-        tval = thr.threshold_from_histogram(hist, cfg.keep_fraction)
-        t32s = {dims: np.full(len(buckets[dims]), tval, np.float32)
-                for dims in buckets}
-    else:
-        flats, t32s = {}, {}
-        for dims, data in stacked.items():
-            flats[dims], t32s[dims] = eng.compress_batch_raw(data, cfg.keep)
+    return lv, comp_pos, buckets, stacked
+
+
+def _fast_codec_regen(run, cfg, eng, comp_pos, buckets, flats, t32s):
+    """Masked coefficients -> serialized sizes -> device inverse -> regen.
+    The compressed-size metric is the sum of the encoded blob lengths —
+    numerically identical to ``dir_size(scratch)`` (st_size sums = blob
+    lengths), and RMSE comes from the same masked coefficients, so every
+    reported number matches the disk path exactly."""
+    from wavelet_tpu.core import rle
+
+    serialize = (archive.serialize_payload_q16 if cfg.payload == "q16"
+                 else archive.serialize_payload)
+    lv = run.levels_data[0][0]
+    regen = [np.zeros_like(box) for box in lv.boxes]
     total_bytes = 0
     for dims, pairs in buckets.items():
         flat, t32 = flats[dims], t32s[dims]
@@ -85,43 +82,83 @@ def _fast_estimate_sizes_and_regen(run, cfg, mesh):
     return regen, total_bytes
 
 
-def estimate_run(cfg: common.Config, mesh=None) -> dict:
-    files = common.format_files(cfg.data_dir, cfg.min_time, cfg.min_time)
-    levels = [cfg.min_level]
-    ncomp = len(cfg.components)
+def _metrics_result(run, cfg, mesh, regen, comp_size, files, levels,
+                    keep: float) -> dict:
+    """Per-component mean RMSE (unweighted over boxes, modes.cpp:269-291),
+    adjusted loss, and size percentage (modes.cpp:294-324)."""
+    lv = run.levels_data[0][0]
+    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+    if cfg.device_metrics:
+        per_box = [eng.rmse_batch(a, p) for a, p in zip(lv.boxes, regen)]
+    else:
+        per_box = [metrics.rmse_per_box(a, p)
+                   for a, p in zip(lv.boxes, regen)]
+    mean_rmse = metrics.mean_rmse(per_box)
+    result = {"components": {}, "keep": keep}
+    for c, name in enumerate(run.components):
+        loss = metrics.adjusted_loss(
+            mean_rmse[c],
+            float(run.max_values[c]) - float(run.min_values[c]))
+        log.info("Predicted RMSE, %s = %s", name, mean_rmse[c])
+        log.info("Predicted Adjusted loss, %s = %s", name, loss)
+        result["components"][name] = {
+            "rmse": float(mean_rmse[c]), "adjusted_loss": float(loss)}
+    h = plotfile.read_header(files[0])
+    raw_path = os.path.join(files[0], f"Level_{levels[0]}")
+    raw_size = metrics.dir_size(raw_path) / h.n_comp * len(cfg.components)
+    pct = comp_size / raw_size * 100.0
+    log.info("Predicted compressed size: %s%%", pct)
+    result["compressed_size_pct"] = pct
+    return result
 
-    run = common.collect_run(files, cfg.components, levels)
 
-    if cfg.fast_estimate:
-        # fastestimate=1: no scratch archive at all (metrics identical)
-        regen, comp_size = _fast_estimate_sizes_and_regen(run, cfg, mesh)
+def _fast_estimate(run, cfg, mesh, files, levels) -> dict:
+    """fastestimate=1: no scratch archive at all (metrics identical)."""
+    from wavelet_tpu.core import threshold as thr
+
+    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+    _lv, comp_pos, buckets, stacked = _fast_buckets(run)
+    if cfg.threshold_mode == "global":
+        hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
+        flats = {}
+        for dims, data in stacked.items():
+            flat, h = eng.forward_hist_batch(data)
+            flats[dims] = flat
+            hist += h
+        tval = thr.threshold_from_histogram(hist, cfg.keep_fraction)
+        t32s = {dims: np.full(len(buckets[dims]), tval, np.float32)
+                for dims in buckets}
+        regen, comp_size = _fast_codec_regen(run, cfg, eng, comp_pos,
+                                             buckets, flats, t32s)
         log.info("Compression complete.")
         log.info("Decompression complete.")
-        lv = run.levels_data[0][0]
-        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
-        if cfg.device_metrics:
-            per_box = [eng.rmse_batch(a, p) for a, p in zip(lv.boxes, regen)]
-        else:
-            per_box = [metrics.rmse_per_box(a, p)
-                       for a, p in zip(lv.boxes, regen)]
-        mean_rmse = metrics.mean_rmse(per_box)
-        result = {"components": {}, "keep": cfg.keep}
-        for c, name in enumerate(run.components):
-            loss = metrics.adjusted_loss(
-                mean_rmse[c],
-                float(run.max_values[c]) - float(run.min_values[c]))
-            log.info("Predicted RMSE, %s = %s", name, mean_rmse[c])
-            log.info("Predicted Adjusted loss, %s = %s", name, loss)
-            result["components"][name] = {
-                "rmse": float(mean_rmse[c]), "adjusted_loss": float(loss)}
-        h = plotfile.read_header(files[0])
-        raw_path = os.path.join(files[0], f"Level_{levels[0]}")
-        raw_size = metrics.dir_size(raw_path) / h.n_comp * ncomp
-        pct = comp_size / raw_size * 100.0
-        log.info("Predicted compressed size: %s%%", pct)
-        result["compressed_size_pct"] = pct
-        return result
+        return _metrics_result(run, cfg, mesh, regen, comp_size, files,
+                               levels, cfg.keep)
+    # box mode: ONE forward per bucket; each keep derives its thresholds
+    # from the keep-independent signed absmax
+    flats, signeds = {}, {}
+    for dims, data in stacked.items():
+        flats[dims], signeds[dims] = eng.forward_signed_batch(data)
+    keeps = cfg.keep_sweep or [cfg.keep]
+    sweep = {}
+    for keep in keeps:
+        t32s = {dims: thr.exact_threshold32(signeds[dims], keep)
+                for dims in buckets}
+        regen, comp_size = _fast_codec_regen(run, cfg, eng, comp_pos,
+                                             buckets, flats, t32s)
+        log.info("Compression complete.")
+        log.info("Decompression complete.")
+        log.info("keep = %s:", keep)
+        sweep[repr(keep)] = _metrics_result(run, cfg, mesh, regen,
+                                            comp_size, files, levels, keep)
+    if len(keeps) == 1:
+        return sweep[repr(keeps[0])]
+    return {"keep_sweep": sweep}
 
+
+def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
+    """Reference-shaped estimate: compress into a scratch dir, decompress,
+    measure (modes.cpp:209-328)."""
     with tempfile.TemporaryDirectory() as scratch:
         packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
                                    xz_preset=cfg.xz_preset,
@@ -154,34 +191,28 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
             for i, it in enumerate(items):
                 regen[it.box][comp_pos[it.comp_idx]] = out.item_view(i)
         log.info("Decompression complete.")
-
-        # per-box RMSE, unweighted mean per component (modes.cpp:269-291);
-        # devicemetrics=1 computes it on device (f32 fast path), the default
-        # host path matches the reference's double accumulation exactly
-        if cfg.device_metrics:
-            per_box = [eng.rmse_batch(a, p)
-                       for a, p in zip(lv.boxes, regen)]
-        else:
-            per_box = [metrics.rmse_per_box(a, p)
-                       for a, p in zip(lv.boxes, regen)]
-        mean_rmse = metrics.mean_rmse(per_box)
-        result = {"components": {}, "keep": cfg.keep}
-        for c, name in enumerate(run.components):
-            loss = metrics.adjusted_loss(
-                mean_rmse[c],
-                float(run.max_values[c]) - float(run.min_values[c]))
-            log.info("Predicted RMSE, %s = %s", name, mean_rmse[c])
-            log.info("Predicted Adjusted loss, %s = %s", name, loss)
-            result["components"][name] = {
-                "rmse": float(mean_rmse[c]), "adjusted_loss": float(loss)}
-
-        # size estimate (modes.cpp:294-324): raw Level dir size scaled by the
-        # fraction of components compressed
-        h = plotfile.read_header(files[0])
-        raw_path = os.path.join(files[0], f"Level_{levels[0]}")
-        raw_size = metrics.dir_size(raw_path) / h.n_comp * ncomp
         comp_size = metrics.dir_size(scratch)
-        pct = comp_size / raw_size * 100.0
-        log.info("Predicted compressed size: %s%%", pct)
-        result["compressed_size_pct"] = pct
-    return result
+        return _metrics_result(run, cfg, mesh, regen, comp_size, files,
+                               levels, cfg.keep)
+
+
+def estimate_run(cfg: common.Config, mesh=None) -> dict:
+    files = common.format_files(cfg.data_dir, cfg.min_time, cfg.min_time)
+    levels = [cfg.min_level]
+
+    run = common.collect_run(files, cfg.components, levels)
+
+    keeps = cfg.keep_sweep or [cfg.keep]
+    if len(keeps) > 1 and cfg.threshold_mode == "global":
+        raise ValueError("keep sweep requires the box threshold mode "
+                         "(global mode thresholds by keepfraction)")
+    if cfg.fast_estimate:
+        return _fast_estimate(run, cfg, mesh, files, levels)
+    if len(keeps) == 1:
+        return _estimate_scratch(run, cfg, mesh, files, levels)
+    sweep = {}
+    for keep in keeps:
+        log.info("keep = %s:", keep)
+        c2 = dataclasses.replace(cfg, keep=keep, keep_sweep=None)
+        sweep[repr(keep)] = _estimate_scratch(run, c2, mesh, files, levels)
+    return {"keep_sweep": sweep}

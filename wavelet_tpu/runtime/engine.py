@@ -393,10 +393,11 @@ class CodecEngine:
     def _halves_ok(self, dims) -> bool:
         return self.scales == 1 and self._pallas_ok(dims)
 
-    def compress_batch_raw(self, data: np.ndarray, keep: float):
-        """-> (coeffs f32 [N, XYZ], t32 f32 [N]): transform + exact per-item
-        thresholds; masking is left to the consumer (the host packer applies
-        ``|c| > t32`` during RLE, so no mask array crosses the wire)."""
+    def forward_signed_batch(self, data: np.ndarray):
+        """-> (coeffs f32 [N, XYZ], signed absmax f32 [N]): the transform
+        and the keep-independent half of the threshold rule — a keep sweep
+        (estimate mode) runs this once and derives each keep's exact
+        thresholds from ``signed`` for free."""
         dev = self._put(jnp.asarray(data))
         eff = self.eff_scales(data.shape[1:])
         if self._halves_ok(data.shape[1:]):
@@ -411,8 +412,14 @@ class CodecEngine:
         else:
             flat, signed_dev = _compress_step(dev)
             signed = np.asarray(signed_dev)
-        t32 = threshold.exact_threshold32(signed, keep)
-        return np.asarray(flat), t32
+        return np.asarray(flat), signed
+
+    def compress_batch_raw(self, data: np.ndarray, keep: float):
+        """-> (coeffs f32 [N, XYZ], t32 f32 [N]): transform + exact per-item
+        thresholds; masking is left to the consumer (the host packer applies
+        ``|c| > t32`` during RLE, so no mask array crosses the wire)."""
+        flat, signed = self.forward_signed_batch(data)
+        return flat, threshold.exact_threshold32(signed, keep)
 
     def compress_batch(self, data: np.ndarray, keep: float):
         """-> (coeffs f32 [N, XYZ], mask bool [N, XYZ]) as NumPy arrays."""
