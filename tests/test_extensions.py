@@ -101,6 +101,59 @@ def test_extended_modes_end_to_end(tmp_path, scales, payload):
     assert err < 0.02 * rng_val
 
 
+def test_random_flavor_matrix_transport_knobs_never_change_bytes(tmp_path):
+    """Interaction property across the whole flavor matrix: for ANY codec
+    flavor (scales x payload x threshold mode), the transport/container
+    knobs (transfer, archive, codec, xzpreset, prefetch) must never change
+    the regenerated plotfile bytes — seeded random draws cover combos the
+    per-feature tests don't."""
+    import itertools
+
+    rng = np.random.default_rng(99)
+    data_dir = _synth(tmp_path)
+
+    def tree_bytes(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = f.read()
+        return out
+
+    codec_flavors = list(itertools.product(
+        (1, 2), ("f32", "q16"), ("box", "global")))
+    rng.shuffle(codec_flavors)
+    for trial, (scales, payload, tmode) in enumerate(codec_flavors[:4]):
+        codec_kw = dict(scales=scales, payload=payload,
+                        threshold_mode=tmode)
+        if tmode == "global":
+            codec_kw["keep_fraction"] = 0.05
+        transport_kw = dict(
+            transfer=str(rng.choice(["dense", "sparse"])),
+            archive=str(rng.choice(["files", "bundle"])),
+            codec=str(rng.choice(["xz", "raw"])),
+            xz_preset=int(rng.choice([1, 6])),
+            prefetch=int(rng.choice([0, 1])))
+        base_c = str(tmp_path / f"bc{trial}") + "/"
+        base_o = str(tmp_path / f"bo{trial}") + "/"
+        var_c = str(tmp_path / f"vc{trial}") + "/"
+        var_o = str(tmp_path / f"vo{trial}") + "/"
+        common_kw = dict(data_dir=data_dir, min_time="plt00040",
+                         max_time="plt00040", min_level=0, max_level=0,
+                         components=["a", "b"], keep=0.999)
+        compress_run(Config(compressed_dir=base_c, **common_kw, **codec_kw))
+        decompress_run(Config(compressed_dir=base_c, out_dir=base_o))
+        compress_run(Config(compressed_dir=var_c, **common_kw, **codec_kw,
+                            **transport_kw))
+        decompress_run(Config(compressed_dir=var_c, out_dir=var_o,
+                              transfer=transport_kw["transfer"],
+                              prefetch=transport_kw["prefetch"]))
+        assert tree_bytes(base_o + "plt00040") == \
+            tree_bytes(var_o + "plt00040"), (
+            f"trial {trial}: {codec_kw} x {transport_kw}")
+
+
 def test_extended_modes_shrink_archive(tmp_path):
     """scales=3 + q16 should compress smooth data much harder than parity
     settings at the same keep."""
