@@ -228,6 +228,47 @@ def test_prefetch_decompress_matches_default(tmp_path):
             tree_bytes(os.path.join(out_b, name))
 
 
+def test_prefetch_decompress_pipelines_multiple_buckets(tmp_path):
+    """With several shape buckets per timestep, prefetch=1 runs bucket
+    i+1's host decode behind bucket i's device inverse — output must stay
+    byte-identical, for dense and sparse transport."""
+    rng = np.random.default_rng(8)
+    boxes = [np.stack([(rng.standard_normal((16, 8, 8)) * 3
+                        ).astype(np.float32)]),
+             np.stack([(rng.standard_normal((8, 16, 8)) * 3
+                        ).astype(np.float32)]),
+             np.stack([(rng.standard_normal((8, 8, 16)) * 3
+                        ).astype(np.float32)])]
+    pf.write_plotfile(str(tmp_path / "data" / "plt00012"),
+                      [boxes], [[(0, 0, 0), (16, 0, 0), (24, 0, 0)]],
+                      [[(16, 8, 8), (8, 16, 8), (8, 8, 16)]],
+                      ["a"], 0.5, [0., 0., 0.], [1., 1., 1.],
+                      (2, 2, 2), (40, 16, 16), [12])
+    comp = str(tmp_path / "comp") + os.sep
+    compress.compress_run(Config(
+        data_dir=str(tmp_path / "data"), min_time="plt00012",
+        max_time="plt00012", min_level=0, max_level=0, components=["a"],
+        keep=0.999, compressed_dir=comp))
+
+    def tree_bytes(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = f.read()
+        return out
+
+    for transfer in ("dense", "sparse"):
+        out_a = str(tmp_path / f"a_{transfer}") + os.sep
+        out_b = str(tmp_path / f"b_{transfer}") + os.sep
+        decompress_run(Config(compressed_dir=comp, out_dir=out_a,
+                              transfer=transfer))
+        decompress_run(Config(compressed_dir=comp, out_dir=out_b,
+                              transfer=transfer, prefetch=1))
+        assert tree_bytes(out_a) == tree_bytes(out_b), transfer
+
+
 def test_compress_peak_rss_bounded_by_window(tmp_path, monkeypatch):
     """The streaming compress loop must never hold more than one timestep's
     boxes: track live LevelBoxes payload bytes via read_level interception."""

@@ -28,6 +28,53 @@ log = logging.getLogger("wavelet_tpu")
 __all__ = ["decompress_run", "iter_decompressed_timesteps"]
 
 
+def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer):
+    """HOST stage of one shape bucket: read + decode + (for sparse) the
+    transport decision.  Returns ``(kind, payload, h2d)`` where kind is
+    "dense" (payload = a filled ShapeBatch) or "sparse" (payload =
+    (shell batch, idx, vals)) — no device work happens here, so a
+    prefetch worker can run it behind the previous bucket's inverse."""
+    if transfer == "sparse":
+        batch = batching.ShapeBatch(shape=dims, data=None,
+                                    items=bucket_items,
+                                    n_valid=len(bucket_items))
+        idx, vals = packer.unpack_sparse(cfg.compressed_dir, batch)
+        dense_nbytes = batching.dense_batch_nbytes(
+            len(bucket_items), dims, pack=eng.pack_factor(dims),
+            pad_multiple=pad)
+        if idx.nbytes + vals.nbytes < dense_nbytes:
+            return "sparse", (batch, idx, vals), idx.nbytes + vals.nbytes
+        # sparse transport must never ship MORE than dense: at high kept
+        # fractions (pairs are 8 B/coefficient vs 4 B dense, padded to a
+        # shared power-of-2 capacity) the pair stream can exceed the dense
+        # rows — scatter the decoded pairs into dense rows on host and
+        # take the dense device path instead (same bytes on the link, no
+        # device scatter)
+        log.info("sparse transfer: kept fraction too high for shape %s "
+                 "(%d pair bytes >= %d dense) — falling back to dense "
+                 "transport", dims, idx.nbytes + vals.nbytes, dense_nbytes)
+        dense = batching.empty_batch(bucket_items, dims,
+                                     pack=eng.pack_factor(dims),
+                                     pad_multiple=pad,
+                                     layout=eng.coeff_layout(dims),
+                                     scales=eng.eff_scales(dims))
+        m = int(np.prod(dims))
+        row = np.zeros(m, np.float32)
+        for i in range(len(bucket_items)):
+            k = idx[i] < m
+            row[:] = 0.0
+            row[idx[i][k]] = vals[i][k]
+            dense.item_write(i, row.reshape(dims))
+        return "dense", dense, dense.data.nbytes
+    batch = batching.empty_batch(bucket_items, dims,
+                                 pack=eng.pack_factor(dims),
+                                 pad_multiple=pad,
+                                 layout=eng.coeff_layout(dims),
+                                 scales=eng.eff_scales(dims))
+    packer.unpack_into(cfg.compressed_dir, batch)
+    return "dense", batch, batch.data.nbytes
+
+
 def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
                          counts, dimensions, transfer="dense"):
     """Decode + inverse-transform every box of timestep ``t``.
@@ -36,6 +83,10 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
     (C, X, Y, Z) float32.  ``transfer="sparse"`` ships only the kept
     (position, value) pairs to the device and scatters there — the mirror
     of the compress-side sparse path, for slow host->device links.
+
+    ``prefetch=1`` additionally pipelines WITHIN the timestep: a single
+    worker runs bucket i+1's host stage (read + decode) behind bucket i's
+    device inverse (one extra bucket of coefficients in memory).
     """
     buckets = {}
     for li in range(num_levels):
@@ -49,58 +100,41 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
     ncomp = len(info.comp_idxs)
     regen = [[None] * counts[t][li] for li in range(num_levels)]
     h2d_bytes = 0
-    for dims, bucket_items in buckets.items():
-        if transfer == "sparse":
-            batch = batching.ShapeBatch(shape=dims, data=None,
-                                        items=bucket_items,
-                                        n_valid=len(bucket_items))
-            idx, vals = packer.unpack_sparse(cfg.compressed_dir, batch)
-            dense_nbytes = batching.dense_batch_nbytes(
-                len(bucket_items), dims, pack=eng.pack_factor(dims),
-                pad_multiple=pad)
-            if idx.nbytes + vals.nbytes >= dense_nbytes:
-                # sparse transport must never ship MORE than dense: at
-                # high kept fractions (pairs are 8 B/coefficient vs 4 B
-                # dense, padded to a shared power-of-2 capacity) the pair
-                # stream can exceed the dense rows — scatter the decoded
-                # pairs into dense rows on host and take the dense device
-                # path instead (same bytes on the link, no device scatter)
-                log.info("sparse transfer: kept fraction too high for "
-                         "shape %s (%d pair bytes >= %d dense) — "
-                         "falling back to dense transport", dims,
-                         idx.nbytes + vals.nbytes, dense_nbytes)
-                dense = batching.empty_batch(bucket_items, dims,
-                                             pack=eng.pack_factor(dims),
-                                             pad_multiple=pad,
-                                             layout=eng.coeff_layout(dims),
-                                             scales=eng.eff_scales(dims))
-                m = int(np.prod(dims))
-                row = np.zeros(m, np.float32)
-                for i in range(len(bucket_items)):
-                    k = idx[i] < m
-                    row[:] = 0.0
-                    row[idx[i][k]] = vals[i][k]
-                    dense.item_write(i, row.reshape(dims))
-                h2d_bytes += dense.data.nbytes
-                out = eng.decompress_shapebatch(dense)
-            else:
-                h2d_bytes += idx.nbytes + vals.nbytes
-                out = eng.decompress_shapebatch_sparse(batch, idx, vals)
+    order = list(buckets.items())
+
+    def host_stage(j):
+        dims, bucket_items = order[j]
+        return _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items,
+                              transfer)
+
+    def device_stage(j, prepared):
+        nonlocal h2d_bytes
+        dims, bucket_items = order[j]
+        kind, payload, h2d = prepared
+        h2d_bytes += h2d
+        if kind == "sparse":
+            batch, idx, vals = payload
+            out = eng.decompress_shapebatch_sparse(batch, idx, vals)
         else:
-            batch = batching.empty_batch(bucket_items, dims,
-                                         pack=eng.pack_factor(dims),
-                                         pad_multiple=pad,
-                                         layout=eng.coeff_layout(dims),
-                                         scales=eng.eff_scales(dims))
-            packer.unpack_into(cfg.compressed_dir, batch)
-            h2d_bytes += batch.data.nbytes
-            out = eng.decompress_shapebatch(batch)
+            out = eng.decompress_shapebatch(payload)
         for i, it in enumerate(bucket_items):
             if regen[it.level][it.box] is None:
                 regen[it.level][it.box] = np.zeros(
                     (ncomp,) + dims, dtype=np.float32)
             regen[it.level][it.box][comp_pos[it.comp_idx]] = \
                 out.item_view(i)
+
+    if cfg.prefetch > 0 and len(order) > 1:
+        with cf.ThreadPoolExecutor(1) as pool:
+            nxt = pool.submit(host_stage, 0)
+            for j in range(len(order)):
+                prepared = nxt.result()
+                if j + 1 < len(order):
+                    nxt = pool.submit(host_stage, j + 1)
+                device_stage(j, prepared)
+    else:
+        for j in range(len(order)):
+            device_stage(j, host_stage(j))
     return regen, h2d_bytes
 
 
