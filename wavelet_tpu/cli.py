@@ -109,6 +109,14 @@ def parse_argv(argv):
         cfg.out_dir = need("out")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
+        # partial retrieval (extension): decompress only selected
+        # timesteps / components / levels from the archive
+        cfg.min_time = kv.get("minfile", "")
+        cfg.max_time = kv.get("maxfile", "")
+        if "components" in kv:
+            cfg.components = kv["components"].split()
+        if "maxlevel" in kv:
+            cfg.levels_upto = int(kv["maxlevel"])
     return mode, cfg
 
 

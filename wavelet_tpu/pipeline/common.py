@@ -49,6 +49,11 @@ class Config:
     keep_sweep: list | None = None    # estimate mode: several keeps in one
                                       #   run (fastestimate shares the
                                       #   forward transform across them)
+    levels_upto: int | None = None    # decompress: partial retrieval —
+                                      #   only archive levels <= this
+                                      #   (None = all; the timestep and
+                                      #   component filters reuse
+                                      #   min_time/max_time/components)
     prefetch: int = 0                 # 1 = overlap next timestep's plotfile
                                       #   read (compress) / this timestep's
                                       #   plotfile write (decompress) with the

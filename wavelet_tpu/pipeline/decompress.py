@@ -75,7 +75,7 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer):
     return "dense", batch, batch.data.nbytes
 
 
-def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
+def _decompress_timestep(cfg, eng, packer, pad, comp_idxs, t, num_levels,
                          counts, dimensions, transfer="dense"):
     """Decode + inverse-transform every box of timestep ``t``.
 
@@ -92,12 +92,12 @@ def _decompress_timestep(cfg, eng, packer, pad, info, t, num_levels,
     for li in range(num_levels):
         for b in range(counts[t][li]):
             dims = tuple(dimensions[t][li][b])
-            for comp_idx in info.comp_idxs:
+            for comp_idx in comp_idxs:
                 buckets.setdefault(dims, []).append(
                     batching.WorkItem(t=t, level=li, comp_idx=comp_idx,
                                       box=b))
-    comp_pos = {c: k for k, c in enumerate(info.comp_idxs)}
-    ncomp = len(info.comp_idxs)
+    comp_pos = {c: k for k, c in enumerate(comp_idxs)}
+    ncomp = len(comp_idxs)
     regen = [[None] * counts[t][li] for li in range(num_levels)]
     h2d_bytes = 0
     order = list(buckets.items())
@@ -146,18 +146,64 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     timesteps (asserted by tests/test_streaming.py).  A ``stats`` dict, if
     given, accumulates ``host_to_device_bytes`` (the actual transport
     bytes, padded arrays included — the number ``transfer=sparse`` is
-    meant to shrink)."""
+    meant to shrink).
+
+    Partial retrieval (extension — the reference always regenerates the
+    whole archive): ``cfg.min_time``/``cfg.max_time`` select timesteps by
+    the same numeric-key rule as compression, ``cfg.components`` a subset
+    of the archived components, ``cfg.levels_upto`` an archive-level
+    prefix.  Only the selected payload files are ever read."""
     info = archive.read_runinfo(cfg.compressed_dir)
-    levels = common.format_levels(info.min_level, info.max_level)
+    full_levels = common.format_levels(info.min_level, info.max_level)
     num_times = len(info.files)
-    num_levels = len(levels)
-    counts = archive.read_boxcounts(cfg.compressed_dir, num_times, num_levels)
+    counts = archive.read_boxcounts(cfg.compressed_dir, num_times,
+                                    len(full_levels))
     locations = archive.read_locdim(cfg.compressed_dir, "locations.raw",
                                     counts)
     dimensions = archive.read_locdim(cfg.compressed_dir, "dimensions.raw",
                                      counts)
     amrex = archive.read_amrexinfo(cfg.compressed_dir)
     meta = archive.read_meta(cfg.compressed_dir)
+
+    # --- selection (defaults = everything, the reference behavior) ------
+    levels = full_levels
+    if cfg.levels_upto is not None:
+        levels = [lv for lv in full_levels if lv <= cfg.levels_upto]
+        if not levels:
+            raise ValueError(
+                f"maxlevel={cfg.levels_upto} selects no archive level "
+                f"(archive has levels {full_levels})")
+    num_levels = len(levels)   # a PREFIX of the archive's level list
+    if cfg.components:
+        missing = [c for c in cfg.components if c not in info.components]
+        if missing:
+            raise ValueError(
+                f"components not in archive: {missing} "
+                f"(archive has {info.components})")
+        chosen = set(cfg.components)
+        sel = [(n, i) for n, i in zip(info.components, info.comp_idxs)
+               if n in chosen]
+        comp_names = [n for n, _ in sel]
+        comp_idxs = [i for _, i in sel]
+    else:
+        comp_names, comp_idxs = list(info.components), list(info.comp_idxs)
+    if cfg.min_time or cfg.max_time:
+        lo = (common.clean_string(cfg.min_time) if cfg.min_time
+              else -(1 << 62))
+        hi = (common.clean_string(cfg.max_time) if cfg.max_time
+              else (1 << 62))
+        sel_times = [t for t, f in enumerate(info.files)
+                     if lo <= common.clean_string(os.path.basename(f)) <= hi]
+        if not sel_times:
+            raise ValueError(
+                f"minfile={cfg.min_time!r} maxfile={cfg.max_time!r} select "
+                f"no archived timestep (archive has {info.files})")
+    else:
+        sel_times = list(range(num_times))
+    # what the caller sees: the selected view of the run
+    sel_info = archive.RunInfo(info.files, info.min_level,
+                               levels[-1], comp_names, comp_idxs)
+
     packer = engine.HostPacker(payload=meta.get("payload", "f32"),
                                codec=meta.get("codec", "xz"),
                                archive_format=meta.get("archive", "files"))
@@ -167,34 +213,33 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     # its own plotfile directory), so each process takes a contiguous slice
     import jax
 
-    t_range = range(num_times)
     if jax.process_count() > 1:
         from wavelet_tpu.runtime import mesh as mesh_lib
 
-        sl = mesh_lib.process_local_slice(num_times)
-        t_range = range(sl.start, sl.stop)
-    for t in t_range:
-        regen, h2d = _decompress_timestep(cfg, eng, packer, pad, info, t,
-                                          num_levels, counts, dimensions,
+        sl = mesh_lib.process_local_slice(len(sel_times))
+        sel_times = sel_times[sl]
+    for t in sel_times:
+        regen, h2d = _decompress_timestep(cfg, eng, packer, pad, comp_idxs,
+                                          t, num_levels, counts, dimensions,
                                           transfer=cfg.transfer)
         if stats is not None:
             stats["host_to_device_bytes"] = (
                 stats.get("host_to_device_bytes", 0) + h2d)
         name = os.path.join(cfg.out_dir, os.path.basename(info.files[t]))
-        yield (t, name, regen, locations[t], dimensions[t], info, amrex)
+        yield (t, name, regen, locations[t][:num_levels],
+               dimensions[t][:num_levels], sel_info, amrex)
 
 
 def decompress_run(cfg: common.Config, mesh=None) -> dict:
     info = archive.read_runinfo(cfg.compressed_dir)
-    levels = common.format_levels(info.min_level, info.max_level)
-    num_times = len(info.files)
-    num_levels = len(levels)
     log.info("Decompressing data between timestep %s and %s, level %s and %s, "
              "for %s components", info.files[0], info.files[-1],
              info.min_level, info.max_level, len(info.components))
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     n_boxes = 0
+    n_times = 0
+    num_levels = 0
     stats: dict = {}
     with debug.phase_timer(
             "decompress",
@@ -207,6 +252,7 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
         for (t, name, regen, locs_t, dims_t, rinfo, amrex) in \
                 iter_decompressed_timesteps(cfg, mesh, stats=stats):
             log.info("%s", name)
+            num_levels = len(locs_t)   # the SELECTED level prefix
             geom = amrex.geomcellinfo[t]
             job = (plotfile.write_plotfile,
                    name,
@@ -226,9 +272,10 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
             else:
                 job[0](*job[1:])
             n_boxes += sum(len(per) for per in regen)
+            n_times += 1
         if pending is not None:
             pending.result()
     log.info("Sucessfully wrote plotfiles.")
-    stats.update({"decompress_seconds": ph.seconds, "times": num_times,
+    stats.update({"decompress_seconds": ph.seconds, "times": n_times,
                   "levels": num_levels, "boxes": n_boxes})
     return stats
