@@ -29,3 +29,15 @@ FIXTURES = "/root/reference/tests"
 
 def fixture(name: str) -> str:
     return os.path.join(FIXTURES, name)
+
+
+def tree_bytes(root):
+    """{relative path: file bytes} of a directory tree — the byte-identity
+    comparator shared by the round-trip tests."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = f.read()
+    return out

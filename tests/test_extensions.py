@@ -109,17 +109,10 @@ def test_random_flavor_matrix_transport_knobs_never_change_bytes(tmp_path):
     per-feature tests don't."""
     import itertools
 
+    from conftest import tree_bytes
+
     rng = np.random.default_rng(99)
     data_dir = _synth(tmp_path)
-
-    def tree_bytes(root):
-        out = {}
-        for dirpath, _dirs, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as f:
-                    out[os.path.relpath(p, root)] = f.read()
-        return out
 
     codec_flavors = list(itertools.product(
         (1, 2), ("f32", "q16"), ("box", "global")))

@@ -82,6 +82,11 @@ def test_level_selection(archive_dir, tmp_path):
                                   levels_upto=0))
     assert stats["levels"] == 1
     assert not os.path.isdir(os.path.join(out, "plt00020", "Level_1"))
+    # the Header must be a CONSISTENT single-level header: exactly one
+    # level-steps token (an unsliced vector would corrupt token-based
+    # AMReX parsers even though our line-based reader tolerates it)
+    h = pf.read_header(os.path.join(out, "plt00020"))
+    assert h.level_steps == [20]
     lv = pf.read_level(os.path.join(out, "plt00020"), 0, [0, 1])
     want = pf.read_level(os.path.join(full_out, "plt00020"), 0, [0, 1])
     for got, ref in zip(lv.boxes, want.boxes):

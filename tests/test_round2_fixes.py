@@ -309,6 +309,13 @@ def test_cli_keep_sweep_parsing():
             'datadir=/d', 'minfile=a1', 'maxfile=a2', 'minlevel=0',
             'maxlevel=0', 'components=x', 'keep=0.99 0.999',
             'compresseddir=/c/', '-c'])
+    # global mode thresholds by keepfraction: a sweep there is a clean
+    # error, not a float() traceback
+    with pytest.raises(SystemExit, match="box threshold mode"):
+        cli.parse_argv([
+            'datadir=/d', 'minfile=a1', 'minlevel=0', 'components=x',
+            'thresholdmode=global', 'keepfraction=0.02',
+            'keep=0.99 0.999', '-estimate'])
 
 
 # ---------------------------------------------------------------------------

@@ -213,14 +213,7 @@ def test_prefetch_decompress_matches_default(tmp_path):
     decompress_run(Config(compressed_dir=comp_dir, out_dir=out_a))
     decompress_run(Config(compressed_dir=comp_dir, out_dir=out_b,
                           prefetch=1))
-    def tree_bytes(root):
-        out = {}
-        for dirpath, _dirs, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as f:
-                    out[os.path.relpath(p, root)] = f.read()
-        return out
+    from conftest import tree_bytes
 
     for t in range(N_TIMES):
         name = f"plt{10 + t:05d}"
@@ -250,14 +243,7 @@ def test_prefetch_decompress_pipelines_multiple_buckets(tmp_path):
         max_time="plt00012", min_level=0, max_level=0, components=["a"],
         keep=0.999, compressed_dir=comp))
 
-    def tree_bytes(root):
-        out = {}
-        for dirpath, _dirs, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                with open(p, "rb") as f:
-                    out[os.path.relpath(p, root)] = f.read()
-        return out
+    from conftest import tree_bytes
 
     for transfer in ("dense", "sparse"):
         out_a = str(tmp_path / f"a_{transfer}") + os.sep

@@ -85,6 +85,10 @@ def parse_argv(argv):
         cfg.threshold_mode = kv.get("thresholdmode", "box")
         if cfg.threshold_mode == "global":
             cfg.keep_fraction = float(need("keepfraction"))
+            if len(kv.get("keep", "0.999").split()) > 1:
+                raise SystemExit("keep sweep requires the box threshold "
+                                 "mode (global mode thresholds by "
+                                 "keepfraction)")
             cfg.keep = float(kv.get("keep", "0.999"))
         else:
             keeps = [float(v) for v in need("keep").split()]

@@ -203,6 +203,11 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     # what the caller sees: the selected view of the run
     sel_info = archive.RunInfo(info.files, info.min_level,
                                levels[-1], comp_names, comp_idxs)
+    if (len(sel_times) < num_times or num_levels < len(full_levels)
+            or len(comp_names) < len(info.components)):
+        log.info("Partial retrieval: %d of %d timesteps, levels %s of %s, "
+                 "%d of %d components", len(sel_times), num_times, levels,
+                 full_levels, len(comp_names), len(info.components))
 
     packer = engine.HostPacker(payload=meta.get("payload", "f32"),
                                codec=meta.get("codec", "xz"),
@@ -264,7 +269,10 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
                    geom[0:3], geom[3:6],
                    amrex.ref_ratios,
                    (amrex.x_dim, amrex.y_dim, amrex.z_dim),
-                   amrex.level_steps[t])
+                   # slice to the selected level prefix: the Header emits
+                   # one level-steps token per entry, and token-based
+                   # AMReX parsers would mis-consume extras as geometry
+                   amrex.level_steps[t][:num_levels])
             if cfg.prefetch > 0:
                 if pending is not None:
                     pending.result()

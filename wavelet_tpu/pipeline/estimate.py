@@ -87,8 +87,8 @@ def _metrics_result(run, cfg, mesh, regen, comp_size, files, levels,
     """Per-component mean RMSE (unweighted over boxes, modes.cpp:269-291),
     adjusted loss, and size percentage (modes.cpp:294-324)."""
     lv = run.levels_data[0][0]
-    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
     if cfg.device_metrics:
+        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
         per_box = [eng.rmse_batch(a, p) for a, p in zip(lv.boxes, regen)]
     else:
         per_box = [metrics.rmse_per_box(a, p)
