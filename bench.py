@@ -80,7 +80,47 @@ def _two_point(many_k, make_x, k1, k2, nbytes, traffic_mult,
                  "reps_dropped_implausible": dropped}
 
 
+def _device_alive(timeout_s: float = 120.0, retries: int = 3) -> bool:
+    """Probe the default backend with a bounded wait: the axon TPU tunnel
+    has multi-hour outages during which ANY device op (including backend
+    enumeration) hangs indefinitely — a bench that hangs records nothing.
+    The probe runs on a daemon thread so a hung init can't block exit."""
+    import threading
+    import time as _time
+
+    ok: list = []
+
+    def probe():
+        import jax
+        import numpy as _np
+
+        ok.append(float(jax.numpy.sum(jax.device_put(_np.ones(4)))))
+
+    for attempt in range(retries):
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if ok:
+            return True
+        if attempt + 1 < retries:
+            _time.sleep(120)
+    return False
+
+
 def main():
+    if not _device_alive():
+        # an explicit failure line beats an indefinite hang: the driver
+        # records the outage instead of nothing, and the artifact can
+        # never be mistaken for a measurement
+        print(json.dumps({
+            "metric": "compress_throughput_per_chip",
+            "value": 0, "unit": "GB/s", "vs_baseline": 0,
+            "extra": {"error": "TPU backend unresponsive (axon tunnel "
+                               "outage); see bench_results/ for the last "
+                               "recorded run"}}))
+        import os
+        os._exit(0)   # a hung device thread must not block exit
+
     import jax
     import jax.numpy as jnp
     from functools import partial
