@@ -133,6 +133,25 @@ def test_selection_errors(archive_dir, tmp_path):
                               levels_upto=-1))
 
 
+def test_compress_refuses_mixed_archive(archive_dir, tmp_path):
+    """Compressing a DIFFERENT selection into a populated archive would
+    clobber the sidecars while stale payloads linger — refused; rerunning
+    the identical selection (resume / multi-process) stays allowed."""
+    comp, _full = archive_dir
+    from wavelet_tpu.io import archive as ar
+
+    info = ar.read_runinfo(comp)
+    data_dir = os.path.dirname(info.files[0])
+    same = dict(data_dir=data_dir, min_time="plt00020",
+                max_time="plt00022", min_level=0, max_level=1,
+                components=["a", "b"], keep=0.999, compressed_dir=comp)
+    # identical selection: benign (resume semantics)
+    compress_run(Config(**same, resume=True))
+    # different selection into the same dir: refused
+    with pytest.raises(ValueError, match="different run's archive"):
+        compress_run(Config(**{**same, "components": ["a"]}))
+
+
 def test_cli_partial_retrieval_keys():
     mode, cfg = cli.parse_argv([
         "compresseddir=/c/", "out=/o/", "minfile=plt00021",

@@ -50,6 +50,24 @@ def write_sidecars_meta(meta: common.RunMeta, min_level, max_level,
     Component names are recorded in Header order (matching comp_idxs)."""
     info = archive.RunInfo(meta.files, min_level, max_level,
                            list(meta.components), meta.comp_idxs)
+    existing = os.path.join(out_dir, "runinfo.raw")
+    if os.path.exists(existing):
+        # mixed-archive guard: re-running the SAME selection (resume,
+        # multi-process sidecar races) writes identical sidecars and is
+        # benign, but a DIFFERENT run into a populated archive would
+        # clobber the sidecars while stale payload files linger — a
+        # corrupt archive that -check can't fully diagnose.  Refuse.
+        try:
+            old = archive.read_runinfo(out_dir)
+        except (ValueError, OSError):
+            old = None   # a corrupt runinfo is overwritten, not protected
+        if old is not None and old != info:
+            raise ValueError(
+                f"{out_dir} already contains a different run's archive "
+                f"(files {old.files[:2]}..., levels {old.min_level}-"
+                f"{old.max_level}, components {old.components}); "
+                "compress into an empty directory, or rerun the same "
+                "selection (resume=1 skips finished items)")
     archive.write_runinfo(info, out_dir)
     archive.write_meta(out_dir)  # defaults; compress_run overwrites
     archive.write_locdim(meta.locations, out_dir, "locations.raw")
