@@ -133,6 +133,38 @@ def test_selection_errors(archive_dir, tmp_path):
                               levels_upto=-1))
 
 
+def test_partial_retrieval_bundle_mode(tmp_path):
+    """Selection works identically on bundle archives (keyed member
+    lookups read only the selected blobs)."""
+    rng = np.random.default_rng(6)
+    data_dir = tmp_path / "data"
+    for t in range(2):
+        boxes = [np.stack([(rng.standard_normal((8, 8, 8)) * (t + 1)
+                            ).astype(np.float32),
+                           (rng.standard_normal((8, 8, 8)) + 2
+                            ).astype(np.float32)])]
+        pf.write_plotfile(str(data_dir / f"plt{30 + t:05d}"), [boxes],
+                          [[(0, 0, 0)]], [[(8, 8, 8)]], ["a", "b"],
+                          0.5 + t, [0., 0., 0.], [1., 1., 1.], (2, 2, 2),
+                          (8, 8, 8), [30 + t])
+    comp = str(tmp_path / "comp") + os.sep
+    compress_run(Config(data_dir=str(data_dir), min_time="plt00030",
+                        max_time="plt00031", min_level=0, max_level=0,
+                        components=["a", "b"], keep=0.999,
+                        compressed_dir=comp, codec="raw",
+                        archive="bundle"))
+    full = str(tmp_path / "full") + os.sep
+    decompress_run(Config(compressed_dir=comp, out_dir=full))
+    out = str(tmp_path / "o") + os.sep
+    stats = decompress_run(Config(compressed_dir=comp, out_dir=out,
+                                  min_time="plt00031", components=["b"]))
+    assert stats["times"] == 1
+    assert sorted(os.listdir(out)) == ["plt00031"]
+    lv = pf.read_level(os.path.join(out, "plt00031"), 0, [0])
+    want = pf.read_level(os.path.join(full, "plt00031"), 0, [1])
+    np.testing.assert_array_equal(lv.boxes[0], want.boxes[0])
+
+
 def test_compress_refuses_mixed_archive(archive_dir, tmp_path):
     """Compressing a DIFFERENT selection into a populated archive would
     clobber the sidecars while stale payloads linger — refused; rerunning
