@@ -190,6 +190,57 @@ def test_process_local_slice_partitions_completely():
             assert covered == list(range(n))
 
 
+def test_two_process_partial_retrieval(tmp_path):
+    """Partial retrieval under multi-process decompress: the process
+    slice applies to the SELECTED timesteps; the union equals a
+    single-process selection run."""
+    import filecmp
+
+    data_dir = _write_data(tmp_path, n_times=3)
+    comp_dir = str(tmp_path / "comp") + os.sep
+    env = dict(os.environ, JAX_PLATFORMS="cpu", WAVELET_TPU_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [PY, "-m", "wavelet_tpu.cli", f"datadir={data_dir}",
+         "minfile=plt00020", "maxfile=plt00022", "minlevel=0",
+         "maxlevel=0", "components=a b", "keep=0.999",
+         f"compresseddir={comp_dir}", "-c"],
+        env=env, cwd=cwd, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-2000:]
+
+    sel = ["minfile=plt00021", "maxfile=plt00022", "components=a"]
+    single = str(tmp_path / "single") + os.sep
+    rr = subprocess.run(
+        [PY, "-m", "wavelet_tpu.cli", f"compresseddir={comp_dir}",
+         f"out={single}", *sel, "-d"],
+        env=env, cwd=cwd, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, timeout=240)
+    assert rr.returncode == 0, rr.stdout.decode(errors="replace")[-2000:]
+
+    multi = str(tmp_path / "multi") + os.sep
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [PY, "-m", "wavelet_tpu.cli", f"compresseddir={comp_dir}",
+         f"out={multi}", *sel, f"coordinator=localhost:{port}",
+         "processes=2", f"processid={pid}", "-d"],
+        env=env, cwd=cwd, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out.decode(errors="replace")[-2000:]
+
+    assert sorted(os.listdir(multi)) == ["plt00021", "plt00022"]
+    for name in ("plt00021", "plt00022"):
+        for root, _d, names in os.walk(os.path.join(single, name)):
+            rel = os.path.relpath(root, single)
+            for n in names:
+                assert filecmp.cmp(os.path.join(root, n),
+                                   os.path.join(multi, rel, n),
+                                   shallow=False), f"{rel}/{n} differs"
+
+
 def test_two_process_decompress_matches_single(tmp_path):
     """Multi-process decompress: each process regenerates its timestep
     slice; the union of outputs is byte-identical to a single-process
