@@ -204,12 +204,29 @@ std::string make_payload(int payload_fmt, const int32_t shape[3],
 // codec 1 = raw payload bytes (extension: no entropy stage, declared in
 // wtc-meta.json; trades size for host-pack speed).  On success *data/*size
 // view either `payload` itself (raw) or `scratch` (xz).
+//
+// Raw members are framed "WTCR" + CRC32(payload) little-endian + payload —
+// xz carries CRC64 in-stream; frameless raw would decode a bit-flipped
+// coefficient silently.  Must stay byte-identical to the Python framer
+// (io/archive.py encode_blob).
+static const uint8_t kRawMagic[4] = {'W', 'T', 'C', 'R'};
+
 bool encode_container(const std::string& payload, int codec, int preset,
                       std::vector<uint8_t>& scratch,
                       const uint8_t** data, size_t* size) {
     if (codec == 1) {
-        *data = reinterpret_cast<const uint8_t*>(payload.data());
-        *size = payload.size();
+        const uint32_t crc = lzma_crc32(
+            reinterpret_cast<const uint8_t*>(payload.data()),
+            payload.size(), 0);
+        scratch.resize(8 + payload.size());
+        std::memcpy(scratch.data(), kRawMagic, 4);
+        scratch[4] = static_cast<uint8_t>(crc);
+        scratch[5] = static_cast<uint8_t>(crc >> 8);
+        scratch[6] = static_cast<uint8_t>(crc >> 16);
+        scratch[7] = static_cast<uint8_t>(crc >> 24);
+        std::memcpy(scratch.data() + 8, payload.data(), payload.size());
+        *data = scratch.data();
+        *size = scratch.size();
         return true;
     }
     scratch.resize(payload.size() + payload.size() / 3 + 256);
@@ -266,7 +283,19 @@ int64_t encode_to_blob(const std::string& payload, int codec, int preset,
 bool decode_container(const uint8_t* blob, size_t blob_size,
                       std::vector<uint8_t>& payload, int codec) {
     if (codec == 1) {
-        payload.assign(blob, blob + blob_size);
+        if (blob_size >= 4 && std::memcmp(blob, kRawMagic, 4) == 0) {
+            if (blob_size < 8) return false;   // truncated frame
+            const uint32_t want =
+                static_cast<uint32_t>(blob[4]) |
+                (static_cast<uint32_t>(blob[5]) << 8) |
+                (static_cast<uint32_t>(blob[6]) << 16) |
+                (static_cast<uint32_t>(blob[7]) << 24);
+            if (lzma_crc32(blob + 8, blob_size - 8, 0) != want)
+                return false;                  // corrupt member
+            payload.assign(blob + 8, blob + blob_size);
+            return true;
+        }
+        payload.assign(blob, blob + blob_size);   // legacy frameless raw
         return true;
     }
     lzma_stream strm = LZMA_STREAM_INIT;
@@ -305,10 +334,8 @@ bool xz_decode_file(const char* path, std::vector<uint8_t>& payload,
     size_t r = blob.empty() ? 0 : std::fread(blob.data(), 1, blob.size(), f);
     std::fclose(f);
     if (r != blob.size()) return false;
-    if (codec == 1) {
-        payload = std::move(blob);
-        return true;
-    }
+    // no raw short-circuit: decode_container owns the raw-frame (CRC)
+    // handling for both the file and in-memory paths
     return decode_container(blob.data(), blob.size(), payload, codec);
 }
 

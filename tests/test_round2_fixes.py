@@ -215,11 +215,20 @@ def test_raw_codec_native_python_identical(tmp_path):
                             for f in sorted(os.listdir(d))}
     if len(outs) == 2:
         assert outs[True] == outs[False]
-    # raw blobs are the bare serialized payload (no xz magic)
+    # raw blobs are the CRC32-framed serialized payload (no xz stream)
     blob = next(iter(outs[False].values()))
     assert not blob.startswith(b"\xfd7zXZ")
-    shape, total, runs, vals = archive.deserialize_payload(blob)
+    assert blob.startswith(b"WTCR")
+    payload = archive.decode_blob(blob, "raw")
+    shape, total, runs, vals = archive.deserialize_payload(payload)
     assert shape == (8, 8, 8) and total == 512
+    # a flipped payload byte must fail the CRC, in BOTH backends
+    bad = bytearray(blob)
+    bad[-1] ^= 0x40
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        archive.decode_blob(bytes(bad), "raw")
+    # legacy frameless raw members (round-2 archives) still decode
+    assert archive.decode_blob(payload, "raw") == payload
 
 
 # ---------------------------------------------------------------------------

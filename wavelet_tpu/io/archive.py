@@ -30,6 +30,7 @@ from __future__ import annotations
 import lzma
 import os
 import struct
+import zlib
 
 import numpy as np
 
@@ -105,18 +106,38 @@ def xz_decompress(blob: bytes) -> bytes:
     return lzma.decompress(blob, format=lzma.FORMAT_XZ)
 
 
+# Raw-container frame: 4-byte magic + CRC32 of the payload.  xz carries
+# CRC64 inside the stream; frameless raw would decode a bit-flipped
+# coefficient silently, so raw members get the same integrity property for
+# 8 bytes.  The magic makes the frame sniffable: legacy frameless blobs
+# (whose first int32 is a box extent, never 0x52434357) still decode.
+_RAW_MAGIC = b"WTCR"
+
+
 def encode_blob(payload: bytes, codec: str = "xz", preset: int = 6) -> bytes:
     """Entropy stage selector: ``xz`` (reference format) or ``raw`` (no
     entropy coding — extension for hosts where xz is the pipeline
-    bottleneck; ~1/5 the host cost for ~6x the bytes at 1% kept)."""
+    bottleneck; ~1/5 the host cost for ~6x the bytes at 1% kept; framed
+    with a CRC32 so corruption never decodes silently)."""
     if codec == "raw":
-        return payload
+        return (_RAW_MAGIC
+                + struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+                + payload)
     return xz_compress(payload, preset)
 
 
 def decode_blob(blob: bytes, codec: str = "xz") -> bytes:
     if codec == "raw":
-        return blob
+        if blob[:4] == _RAW_MAGIC:
+            if len(blob) < 8:
+                raise ValueError("raw container truncated (no CRC)")
+            (want,) = struct.unpack("<I", blob[4:8])
+            payload = blob[8:]
+            if zlib.crc32(payload) & 0xFFFFFFFF != want:
+                raise ValueError(
+                    "raw payload CRC mismatch (corrupt archive member)")
+            return payload
+        return blob   # legacy frameless raw member
     return xz_decompress(blob)
 
 
