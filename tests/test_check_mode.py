@@ -76,3 +76,14 @@ def test_check_reports_sidecar_damage(arch):
     os.truncate(os.path.join(arch, "boxcounts.raw"), 0)
     r = check_run(Config(compressed_dir=arch))
     assert r["errors"] and "sidecar" in r["errors"][0]
+
+
+def test_check_detects_sidecar_bit_flip(arch):
+    """A single flipped byte in locations.raw parses fine (it is just a
+    float) — only the recorded sidecar CRC32 catches it."""
+    p = os.path.join(arch, "locations.raw")
+    data = bytearray(open(p, "rb").read())
+    data[len(data) // 2] ^= 0x01
+    open(p, "wb").write(bytes(data))
+    r = check_run(Config(compressed_dir=arch))
+    assert any("locations.raw: CRC32 mismatch" in e for e in r["errors"])

@@ -206,6 +206,20 @@ def write_meta(path: str, *, threshold_mode: str = "box", keep: float = None,
         meta["keep"] = float(keep)
     if keep_fraction is not None:
         meta["keep_fraction"] = float(keep_fraction)
+    # integrity extension: CRC32 of each metadata sidecar present at write
+    # time — the reference's .raw sidecars carry no checksums, so a bit
+    # flip in locations.raw would silently shift geometry; -check verifies
+    # these when the key exists (hand-assembled/reference archives without
+    # the meta file are unaffected)
+    crcs = {}
+    for name in ("runinfo.raw", "locations.raw", "dimensions.raw",
+                 "boxcounts.raw", "amrexinfo.raw"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                crcs[name] = zlib.crc32(f.read()) & 0xFFFFFFFF
+    if crcs:
+        meta["sidecar_crc32"] = crcs
     _atomic_write_bytes(os.path.join(path, META_NAME),
                         json.dumps(meta).encode())
 

@@ -100,6 +100,22 @@ def check_run(cfg: common.Config) -> dict:
         log.error("sidecar error: %s", e)
         return {"files": 0, "errors": [f"sidecar: {e}"]}
 
+    # sidecar integrity (extension: wtc-meta.json records each .raw
+    # sidecar's CRC32 — the reference layout itself has no checksums, so
+    # this is the only way a bit flip in e.g. locations.raw is caught
+    # rather than silently shifting geometry)
+    import zlib
+
+    for name, want in meta.get("sidecar_crc32", {}).items():
+        p = os.path.join(d, name)
+        if not os.path.exists(p):
+            errors.append(f"{name}: recorded in sidecar_crc32 but missing")
+            continue
+        with open(p, "rb") as f:
+            got = zlib.crc32(f.read()) & 0xFFFFFFFF
+        if got != int(want):
+            errors.append(f"{name}: CRC32 mismatch (sidecar corrupted)")
+
     # sidecar cross-consistency
     if len(amrex.true_times) != len(info.files):
         errors.append(

@@ -69,11 +69,14 @@ def write_sidecars_meta(meta: common.RunMeta, min_level, max_level,
                 "compress into an empty directory, or rerun the same "
                 "selection (resume=1 skips finished items)")
     archive.write_runinfo(info, out_dir)
-    archive.write_meta(out_dir)  # defaults; compress_run overwrites
     archive.write_locdim(meta.locations, out_dir, "locations.raw")
     archive.write_locdim(meta.dimensions, out_dir, "dimensions.raw")
     archive.write_boxcounts(meta.counts, out_dir)
     archive.write_amrexinfo(meta.amrexinfo, out_dir)
+    # meta LAST so its sidecar_crc32 block covers all five .raw files
+    # (compress_run overwrites it with the run's extension settings, which
+    # recomputes the same CRCs)
+    archive.write_meta(out_dir)
 
 
 def write_sidecars(run: common.RunData, min_level, max_level, out_dir: str):
