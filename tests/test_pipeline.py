@@ -179,6 +179,29 @@ def test_cli_main_end_to_end(tmp_path, monkeypatch):
 
 
 @needs_fixtures
+def test_cli_main_keep_sweep_and_partial_retrieval(tmp_path):
+    """CLI e2e for the two retrieval/estimate extensions: a keep sweep
+    through -estimate (fast path) and a filtered -d."""
+    rc = cli.main([f"datadir={FIXTURES}", "minfile=plt00074", "minlevel=0",
+                   "components=temp pressure", "keep=0.99 0.999",
+                   "fastestimate=1", "-estimate"])
+    assert rc == 0
+    comp = str(tmp_path / "c") + os.sep
+    out = str(tmp_path / "o") + os.sep
+    rc = cli.main([f"datadir={FIXTURES}", "minfile=plt00074",
+                   "maxfile=plt00075", "minlevel=0", "maxlevel=1",
+                   "components=temp pressure", "keep=0.999",
+                   f"compresseddir={comp}", "-c"])
+    assert rc == 0
+    rc = cli.main([f"compresseddir={comp}", f"out={out}",
+                   "minfile=plt00075", "components=temp", "maxlevel=0",
+                   "-d"])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["plt00075"]
+    assert not os.path.isdir(os.path.join(out, "plt00075", "Level_1"))
+
+
+@needs_fixtures
 def test_cli_clean_error_for_unknown_component(tmp_path, caplog):
     rc = cli.main([f"datadir={FIXTURES}", "minfile=plt00074",
                    "maxfile=plt00074", "minlevel=0", "maxlevel=0",
