@@ -229,12 +229,35 @@ bool encode_container(const std::string& payload, int codec, int preset,
         *size = scratch.size();
         return true;
     }
+    // the preset word packs (low byte: xz preset, next byte: delta-filter
+    // distance) — see io/archive.py pack_preset; a nonzero delta prepends
+    // xz's delta filter (must stay byte-identical to the Python encoder)
+    const uint32_t p = static_cast<uint32_t>(preset) & 0xFF;
+    const uint32_t delta = (static_cast<uint32_t>(preset) >> 8) & 0xFF;
     scratch.resize(payload.size() + payload.size() / 3 + 256);
     size_t out_pos = 0;
-    lzma_ret ret = lzma_easy_buffer_encode(
-        static_cast<uint32_t>(preset), LZMA_CHECK_CRC64, nullptr,
-        reinterpret_cast<const uint8_t*>(payload.data()), payload.size(),
-        scratch.data(), &out_pos, scratch.size());
+    lzma_ret ret;
+    if (delta) {
+        lzma_options_delta dopt;
+        std::memset(&dopt, 0, sizeof(dopt));
+        dopt.type = LZMA_DELTA_TYPE_BYTE;
+        dopt.dist = delta;
+        lzma_options_lzma lopt;
+        if (lzma_lzma_preset(&lopt, p)) return false;
+        lzma_filter filters[3] = {
+            {LZMA_FILTER_DELTA, &dopt},
+            {LZMA_FILTER_LZMA2, &lopt},
+            {LZMA_VLI_UNKNOWN, nullptr}};
+        ret = lzma_stream_buffer_encode(
+            filters, LZMA_CHECK_CRC64, nullptr,
+            reinterpret_cast<const uint8_t*>(payload.data()),
+            payload.size(), scratch.data(), &out_pos, scratch.size());
+    } else {
+        ret = lzma_easy_buffer_encode(
+            p, LZMA_CHECK_CRC64, nullptr,
+            reinterpret_cast<const uint8_t*>(payload.data()),
+            payload.size(), scratch.data(), &out_pos, scratch.size());
+    }
     if (ret != LZMA_OK) return false;
     *data = scratch.data();
     *size = out_pos;

@@ -231,6 +231,70 @@ def test_raw_codec_native_python_identical(tmp_path):
     assert archive.decode_blob(payload, "raw") == payload
 
 
+def test_xz_delta_filter_end_to_end(tmp_path):
+    """xzdelta=8 (delta filter at the 8-byte pair stride): smaller archives
+    on smooth-field data, byte-identical across backends, and decompression
+    needs NO knob — the xz stream declares its own filter chain."""
+    from wavelet_tpu.pipeline import Config, compress_run, decompress_run
+    from wavelet_tpu.runtime import batching, engine as eng_mod
+
+    from wavelet_tpu.io import plotfile as pf2
+
+    # a substantial smooth box: the delta win comes from correlated float
+    # bit patterns and needs enough kept pairs to beat the filter-chain
+    # header overhead (tiny payloads don't)
+    d = 32
+    smooth_big = np.fromfunction(
+        lambda i, j, k: np.sin(0.1 * i) * np.cos(0.07 * j) + 0.01 * k,
+        (d, d, d)).astype(np.float32)
+    pf2.write_plotfile(str(tmp_path / "bigdata" / "plt00031"),
+                       [[smooth_big[None]]], [[(0, 0, 0)]], [[(d, d, d)]],
+                       ["a"], 0.5, [0., 0., 0.], [1., 1., 1.], (2, 2, 2),
+                       (d, d, d), [31])
+    sizes = {}
+    for name, delta in (("plain", 0), ("delta", 8)):
+        comp = str(tmp_path / name) + "/"
+        compress_run(Config(data_dir=str(tmp_path / "bigdata"),
+                            min_time="plt00031", max_time="plt00031",
+                            min_level=0, max_level=0,
+                            components=["a"], keep=0.9,
+                            compressed_dir=comp, xz_delta=delta))
+        sizes[name] = sum(
+            os.path.getsize(os.path.join(comp, f))
+            for f in os.listdir(comp) if f.endswith(".xz"))
+        out = str(tmp_path / f"out_{name}") + "/"
+        decompress_run(Config(compressed_dir=comp, out_dir=out))
+        assert os.path.isdir(os.path.join(out, "plt00031"))
+    assert sizes["delta"] < 0.7 * sizes["plain"]   # smooth data: delta wins
+
+    # both backends must produce identical delta-filtered bytes
+    rng = np.random.default_rng(2)
+    smooth = np.fromfunction(
+        lambda n, i, j, k: np.sin(0.2 * i) + 0.1 * j * k + 0 * n,
+        (4, 8, 8, 8)).astype(np.float32)
+    items = [batching.WorkItem(t=0, level=0, comp_idx=0, box=b)
+             for b in range(4)]
+    batch = batching.ShapeBatch(shape=(8, 8, 8), data=smooth,
+                                items=items, n_valid=4)
+    t32 = np.full(4, np.float32(0.01))
+    outs = {}
+    for use_native in ((True, False) if native.available() else (False,)):
+        d = tmp_path / ("dn" if use_native else "dp")
+        os.makedirs(d)
+        packer = eng_mod.HostPacker(use_native=use_native, xz_delta=8)
+        packer.pack(str(d), batch, t32)
+        # xz container framing differs slightly between liblzma and the
+        # python module (block-header size fields) for EVERY xz flavor —
+        # the compatibility property is payload equality after a generic
+        # decode, same as the plain-xz backend tests
+        outs[use_native] = {
+            f: archive.xz_decompress(
+                open(os.path.join(d, f), "rb").read())
+            for f in sorted(os.listdir(d))}
+    if len(outs) == 2:
+        assert outs[True] == outs[False]
+
+
 # ---------------------------------------------------------------------------
 # fast in-memory estimate (fastestimate=1): identical numbers, no scratch dir
 # ---------------------------------------------------------------------------

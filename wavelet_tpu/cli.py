@@ -77,6 +77,7 @@ def parse_argv(argv):
         cfg.payload = kv.get("payload", "f32")
         cfg.codec = kv.get("codec", "xz")
         cfg.xz_preset = int(kv.get("xzpreset", "6"))
+        cfg.xz_delta = int(kv.get("xzdelta", "0"))
         cfg.archive = kv.get("archive", "files")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))

@@ -41,6 +41,10 @@ class Config:
     payload: str = "f32"              # "f32" (parity) | "q16" (quantized)
     codec: str = "xz"                 # "xz" (parity) | "raw" (no entropy stage)
     xz_preset: int = 6                # xz preset (6 = reference parity)
+    xz_delta: int = 0                 # xz delta-filter distance (0 = off;
+                                      #   8 aligns with the pair stride —
+                                      #   2.3-3.5x smaller on smooth-field
+                                      #   coefficients; decode is automatic)
     archive: str = "files"            # "files" (parity) | "bundle" (one
                                       #   container per timestep+process)
     transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)

@@ -308,6 +308,7 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
     eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
     packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
                                xz_preset=cfg.xz_preset,
+                               xz_delta=cfg.xz_delta,
                                archive_format=cfg.archive)
     have = (_have_index(cfg.compressed_dir, cfg.archive)
             if cfg.resume else None)
@@ -454,6 +455,7 @@ def compress_run(cfg: common.Config, mesh=None) -> dict:
                            keep=cfg.keep, keep_fraction=cfg.keep_fraction,
                            scales=cfg.scales, payload=cfg.payload,
                            codec=cfg.codec, xz_preset=cfg.xz_preset,
+                           xz_delta=cfg.xz_delta,
                            archive_format=cfg.archive)
 
     with debug.phase_timer(

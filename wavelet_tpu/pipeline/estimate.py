@@ -68,8 +68,9 @@ def _fast_codec_regen(run, cfg, eng, comp_pos, buckets, flats, t32s):
             mask = np.abs(flat[i]) > t32[i]
             runs, vals = rle.rle_encode_mask(mask, flat[i])
             payload = serialize(dims, runs, vals)
-            total_bytes += len(archive.encode_blob(payload, cfg.codec,
-                                                   cfg.xz_preset))
+            total_bytes += len(archive.encode_blob(
+                payload, cfg.codec,
+                archive.pack_preset(cfg.xz_preset, cfg.xz_delta)))
             if cfg.payload == "q16":
                 # the reconstruction must see the quantized values the
                 # disk path would have decoded
@@ -162,6 +163,7 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
     with tempfile.TemporaryDirectory() as scratch:
         packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
                                    xz_preset=cfg.xz_preset,
+                                   xz_delta=cfg.xz_delta,
                                    archive_format=cfg.archive)
         compress.compress_collected(run, cfg.keep, scratch, mesh=mesh,
                                     packer=packer,

@@ -803,7 +803,7 @@ class HostPacker:
     def __init__(self, workers: int | None = None,
                  use_native: bool | None = None, payload: str = "f32",
                  codec: str = "xz", xz_preset: int = 6,
-                 archive_format: str = "files"):
+                 archive_format: str = "files", xz_delta: int = 0):
         self.workers = workers or min(32, (os.cpu_count() or 4))
         if payload not in ("f32", "q16"):
             raise ValueError(f"unknown payload format {payload!r}")
@@ -813,7 +813,10 @@ class HostPacker:
             raise ValueError(f"unknown archive format {archive_format!r}")
         self.payload = payload
         self.codec = codec
-        self.xz_preset = int(xz_preset)
+        # the preset word packs the optional delta-filter distance (high
+        # byte); both encode backends unpack it — decode needs nothing
+        # (the xz stream declares its filter chain)
+        self.xz_preset = archive.pack_preset(xz_preset, xz_delta)
         self.archive_format = archive_format
         self._writers = {}          # (dir, t) -> BundleWriter
         self._bundle_sets = {}      # dir -> BundleSet (read side, lazy)
