@@ -212,6 +212,7 @@ def main():
     }
     results["bundle_vs_files"] = bench_bundle_vs_files()
     results["pipeline_e2e"] = bench_overlapped_pipeline()
+    results["xz_delta"] = bench_xz_delta()
 
     os.makedirs("bench_results", exist_ok=True)
     with open("bench_results/host_codec.json", "w") as f:
@@ -219,6 +220,49 @@ def main():
     print(json.dumps(results["analysis"]))
     print(json.dumps(results["pipeline_e2e"]))
     return 0
+
+
+def bench_xz_delta():
+    """xz6 vs xz6+delta8 size/rate on SMOOTH-field coefficients (where the
+    delta filter's win lives: correlated float bit patterns) and on random
+    values (its documented worst case)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
+    from wavelet_tpu.io import archive
+    from wavelet_tpu.runtime import engine as eng_mod
+
+    d = 64
+    n = 8
+    boxes = np.empty((n, d, d, d), np.float32)
+    for b in range(n):
+        boxes[b] = np.fromfunction(
+            lambda i, j, k: np.sin(0.1 * i + 0.02 * b) * np.cos(0.07 * j)
+            + 0.01 * k, (d, d, d)).astype(np.float32)
+    eng = eng_mod.CodecEngine()
+    flat, t32 = eng.compress_batch_raw(boxes, 0.9)
+    m = flat.shape[1]
+    rng = np.random.default_rng(9)
+    rand_flat, rand_t32 = make_coeffs(n, m, 0.05, seed=9)
+    out = {}
+    for label, (fl, t3) in (("smooth", (flat, t32)),
+                            ("random", (rand_flat, rand_t32))):
+        row = {}
+        for dname, delta in (("xz6", 0), ("xz6_delta8", 8)):
+            preset = archive.pack_preset(6, delta)
+            with tempfile.TemporaryDirectory(dir="/dev/shm") as dd:
+                g, ob, _ = bench_native_pack(
+                    fl.reshape(n, -1), t3, (d, d, d),
+                    os.cpu_count(), dd, codec="xz", preset=preset)
+                row[dname] = {"input_gbps": round(g, 4),
+                              "output_bytes": int(ob)}
+        row["delta_size_ratio"] = round(
+            row["xz6_delta8"]["output_bytes"] / row["xz6"]["output_bytes"],
+            4)
+        out[label] = row
+    return out
 
 
 def bench_bundle_vs_files():
