@@ -1,0 +1,120 @@
+"""Seeded randomized corruption fuzz over the unpack backends.
+
+Both backends must survive arbitrary mutations of archive members —
+reject structurally invalid streams with a clean error (never crash;
+a native segfault would take down the test process) — and AGREE with
+each other: any mutation the python path decodes, the native path must
+decode to the same bytes, and vice versa.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from wavelet_tpu import native
+from wavelet_tpu.core import rle
+from wavelet_tpu.io import archive
+from wavelet_tpu.runtime import batching, engine as eng_mod
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native codec unavailable")
+
+DIMS = (8, 8, 8)
+M = 512
+
+
+def _make_member(codec: str, payload_fmt: str, rng) -> bytes:
+    flat = np.zeros(M, np.float32)
+    idx = rng.choice(M, 40, replace=False)
+    flat[idx] = rng.standard_normal(40).astype(np.float32) * 10
+    mask = flat != 0
+    runs, vals = rle.rle_encode_mask(mask, flat)
+    if payload_fmt == "q16":
+        payload = archive.serialize_payload_q16(DIMS, runs, vals)
+    else:
+        payload = archive.serialize_payload(DIMS, runs, vals)
+    return archive.encode_blob(payload, codec)
+
+
+def _mutate(blob: bytes, rng) -> bytes:
+    b = bytearray(blob)
+    kind = rng.integers(0, 4)
+    if kind == 0 and len(b) > 1:          # truncate
+        return bytes(b[: rng.integers(1, len(b))])
+    if kind == 1:                          # flip random bytes
+        for _ in range(int(rng.integers(1, 6))):
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        return bytes(b)
+    if kind == 2:                          # random garbage of random size
+        return bytes(rng.integers(0, 256, int(rng.integers(1, 512)),
+                                  dtype=np.uint8))
+    # splice: prepend/append random bytes
+    junk = bytes(rng.integers(0, 256, int(rng.integers(1, 64)),
+                              dtype=np.uint8))
+    return junk + bytes(b) if rng.integers(0, 2) else bytes(b) + junk
+
+
+def _native_decode(path: str, codec: str, payload_fmt: str):
+    """-> decoded flat row or None (clean rejection)."""
+    dest = np.zeros(M, np.float32)
+    try:
+        native.unpack_strided([path], dest, 1, M, M,
+                              np.zeros(1, np.int64), n_threads=1,
+                              payload=payload_fmt, codec=codec)
+    except (IOError, OSError, ValueError):
+        return None
+    return dest
+
+
+def _python_decode(blob: bytes, payload_fmt: str, codec: str):
+    try:
+        payload = archive.decode_blob(blob, codec)
+        if payload_fmt == "q16":
+            shape, total, runs, vals = archive.deserialize_payload_q16(
+                payload)
+        else:
+            shape, total, runs, vals = archive.deserialize_payload(payload)
+        if tuple(shape) != DIMS or int(total) != M:
+            return None
+        return rle.rle_decode(runs, vals, total)
+    except (ValueError, OSError, EOFError):
+        return None
+
+
+@pytest.mark.parametrize("codec,payload_fmt", [
+    ("xz", "f32"), ("raw", "f32"), ("xz", "q16"), ("raw", "q16")])
+def test_fuzz_corrupt_members_never_crash_and_backends_agree(
+        tmp_path, codec, payload_fmt):
+    import zlib
+
+    # deterministic per-combination seed (hash() is salted per process)
+    rng = np.random.default_rng(
+        zlib.crc32(f"{codec}/{payload_fmt}".encode()))
+    good = _make_member(codec, payload_fmt, rng)
+    n_agree = 0
+    for trial in range(40):
+        blob = _mutate(good, rng)
+        p = str(tmp_path / f"m{trial}.xz")
+        with open(p, "wb") as f:
+            f.write(blob)
+        nat = _native_decode(p, codec, payload_fmt)
+        py = _python_decode(blob, payload_fmt, codec)
+        if (nat is None) != (py is None):
+            # acceptance must agree: a stream one backend rejects and the
+            # other decodes would mean data that exists only on one path
+            raise AssertionError(
+                f"{codec}/{payload_fmt} trial {trial}: native "
+                f"{'rejected' if nat is None else 'decoded'} but python "
+                f"{'rejected' if py is None else 'decoded'}")
+        if nat is not None:
+            np.testing.assert_array_equal(nat, py)
+            n_agree += 1
+    # sanity: the UNmutated member decodes on both
+    p = str(tmp_path / "good.xz")
+    with open(p, "wb") as f:
+        f.write(good)
+    nat = _native_decode(p, codec, payload_fmt)
+    py = _python_decode(good, payload_fmt, codec)
+    assert nat is not None and py is not None
+    np.testing.assert_array_equal(nat, py)

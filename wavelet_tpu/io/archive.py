@@ -82,6 +82,8 @@ def deserialize_payload(data: bytes):
 
     Malformed headers raise ValueError (a negative pair count would make
     ``np.frombuffer`` silently consume the rest of the buffer)."""
+    if len(data) < 20:
+        raise ValueError(f"payload truncated: {len(data)} bytes (< header)")
     x, y, z, total, n_pairs = struct.unpack_from("<5i", data, 0)
     if n_pairs < 0 or len(data) < 20 + n_pairs * 8:
         raise ValueError(
@@ -125,7 +127,33 @@ def xz_compress(payload: bytes, preset: int = 6) -> bytes:
 
 
 def xz_decompress(blob: bytes) -> bytes:
-    return lzma.decompress(blob, format=lzma.FORMAT_XZ)
+    """Strict multi-stream xz decode, matching liblzma's
+    LZMA_CONCATENATED semantics (the native backend and the reference's
+    decoder, decompressor.cpp:164-234): NUL stream padding in 4-byte
+    multiples is legal between/after streams, any other trailing bytes
+    are an error.  stdlib ``lzma.decompress`` silently IGNORES trailing
+    junk after a valid stream ("Leftover data ... ignore it"), which
+    would make the two backends disagree on corrupt members (found by
+    the unpack fuzzer).  Errors are normalized to ValueError — the
+    family cli.main's clean-error contract catches."""
+    out = []
+    data = bytes(blob)
+    try:
+        while True:
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            out.append(d.decompress(data))
+            if not d.eof:
+                raise ValueError("xz container truncated")
+            rest = d.unused_data
+            stripped = rest.lstrip(b"\x00")
+            if (len(rest) - len(stripped)) % 4:
+                raise ValueError("invalid xz stream padding")
+            if not stripped:
+                break
+            data = stripped
+    except lzma.LZMAError as e:
+        raise ValueError(f"xz container decode failed: {e}") from e
+    return b"".join(out)
 
 
 # Raw-container frame: 4-byte magic + CRC32 of the payload.  xz carries
@@ -193,6 +221,8 @@ def serialize_payload_q16(shape, runs: np.ndarray, vals: np.ndarray) -> bytes:
 
 
 def deserialize_payload_q16(data: bytes):
+    if len(data) < 24:
+        raise ValueError(f"payload truncated: {len(data)} bytes (< header)")
     x, y, z, total, n_pairs, scale = struct.unpack_from("<5if", data, 0)
     if n_pairs < 0 or len(data) < 24 + n_pairs * 6:
         raise ValueError(

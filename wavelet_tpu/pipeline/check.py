@@ -40,7 +40,7 @@ def _check_payload(blob_or_path, dims, meta) -> str | None:
         blob = blob_or_path
     try:
         payload = archive.decode_blob(blob, meta.get("codec", "xz"))
-    except (lzma.LZMAError, OSError) as e:
+    except (ValueError, lzma.LZMAError, OSError) as e:
         return f"container decode failed: {e}"
     q16 = meta.get("payload") == "q16"
     head = 24 if q16 else 20
