@@ -82,6 +82,50 @@ def _python_decode(blob: bytes, payload_fmt: str, codec: str):
         return None
 
 
+def test_fuzz_corrupt_sidecars_raise_cleanly(tmp_path):
+    """Every sidecar reader must turn arbitrary corruption into the
+    ValueError/OSError family cli.main handles — never struct.error,
+    IndexError, or a crash."""
+    from wavelet_tpu.pipeline import Config, compress_run
+
+    rng = np.random.default_rng(123)
+    box = np.fromfunction(lambda i, j, k: np.sin(0.3 * i) + 0.1 * j + k,
+                          (8, 8, 8)).astype(np.float32)
+    from wavelet_tpu.io import plotfile as pf
+    pf.write_plotfile(str(tmp_path / "data" / "plt00080"), [[box[None]]],
+                      [[(0, 0, 0)]], [[(8, 8, 8)]], ["a"], 0.5,
+                      [0., 0., 0.], [1., 1., 1.], (2, 2, 2), (8, 8, 8),
+                      [80])
+    comp = str(tmp_path / "comp") + "/"
+    compress_run(Config(data_dir=str(tmp_path / "data"),
+                        min_time="plt00080", max_time="plt00080",
+                        min_level=0, max_level=0, components=["a"],
+                        keep=0.999, compressed_dir=comp))
+    readers = {
+        "runinfo.raw": lambda: archive.read_runinfo(comp),
+        "boxcounts.raw": lambda: archive.read_boxcounts(comp, 1, 1),
+        "locations.raw": lambda: archive.read_locdim(
+            comp, "locations.raw", [[1]]),
+        "dimensions.raw": lambda: archive.read_locdim(
+            comp, "dimensions.raw", [[1]]),
+        "amrexinfo.raw": lambda: archive.read_amrexinfo(comp),
+    }
+    for name, read in readers.items():
+        p = os.path.join(comp, name)
+        good = open(p, "rb").read()
+        for trial in range(25):
+            with open(p, "wb") as f:
+                f.write(_mutate(good, rng))
+            try:
+                read()
+            except (ValueError, OSError, EOFError):
+                pass   # the clean-error family
+            # any other exception type fails the test by propagating
+        with open(p, "wb") as f:
+            f.write(good)
+        read()   # restored sidecar reads fine again
+
+
 @pytest.mark.parametrize("codec,payload_fmt", [
     ("xz", "f32"), ("raw", "f32"), ("xz", "q16"), ("raw", "q16")])
 def test_fuzz_corrupt_members_never_crash_and_backends_agree(

@@ -479,7 +479,14 @@ def read_boxcounts(path: str, num_times: int, num_levels: int,
         raise ValueError(
             f"truncated or corrupt {name}: expected {num_times}x{num_levels} "
             f"counts, file has {len(raw)}")
-    counts = raw[: num_times * num_levels].astype(np.int64)
+    used = raw[: num_times * num_levels]
+    # counts are float-stored (reference quirk §4.2): a corrupt NaN/inf/
+    # huge float would cast to an undefined int64 silently; float32 holds
+    # integers exactly only below 2^24, so anything above it is corrupt
+    # regardless
+    if not np.isfinite(used).all() or (np.abs(used) >= 2**24).any():
+        raise ValueError(f"corrupt {name}: non-finite or absurd box count")
+    counts = used.astype(np.int64)
     if (counts < 0).any():
         raise ValueError(f"corrupt {name}: negative box count")
     return counts.reshape(num_times, num_levels).tolist()
