@@ -231,7 +231,10 @@ bool encode_container(const std::string& payload, int codec, int preset,
     }
     // the preset word packs (low byte: xz preset, next byte: delta-filter
     // distance) — see io/archive.py pack_preset; a nonzero delta prepends
-    // xz's delta filter (must stay byte-identical to the Python encoder)
+    // xz's delta filter.  NOTE: container framing legitimately differs
+    // from the Python encoder (liblzma writes block-header size fields
+    // the python module omits, for EVERY xz flavor) — the invariant is
+    // payload identity after a generic decode, not container bytes.
     const uint32_t p = static_cast<uint32_t>(preset) & 0xFF;
     const uint32_t delta = (static_cast<uint32_t>(preset) >> 8) & 0xFF;
     scratch.resize(payload.size() + payload.size() / 3 + 256);

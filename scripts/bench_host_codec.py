@@ -244,15 +244,15 @@ def bench_xz_delta():
     eng = eng_mod.CodecEngine()
     flat, t32 = eng.compress_batch_raw(boxes, 0.9)
     m = flat.shape[1]
-    rng = np.random.default_rng(9)
     rand_flat, rand_t32 = make_coeffs(n, m, 0.05, seed=9)
     out = {}
     for label, (fl, t3) in (("smooth", (flat, t32)),
                             ("random", (rand_flat, rand_t32))):
         row = {}
+        shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
         for dname, delta in (("xz6", 0), ("xz6_delta8", 8)):
             preset = archive.pack_preset(6, delta)
-            with tempfile.TemporaryDirectory(dir="/dev/shm") as dd:
+            with tempfile.TemporaryDirectory(dir=shm) as dd:
                 g, ob, _ = bench_native_pack(
                     fl.reshape(n, -1), t3, (d, d, d),
                     os.cpu_count(), dd, codec="xz", preset=preset)

@@ -15,7 +15,6 @@ import pytest
 from wavelet_tpu import native
 from wavelet_tpu.core import rle
 from wavelet_tpu.io import archive
-from wavelet_tpu.runtime import batching, engine as eng_mod
 
 pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native codec unavailable")

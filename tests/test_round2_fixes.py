@@ -268,7 +268,6 @@ def test_xz_delta_filter_end_to_end(tmp_path):
     assert sizes["delta"] < 0.7 * sizes["plain"]   # smooth data: delta wins
 
     # both backends must produce identical delta-filtered bytes
-    rng = np.random.default_rng(2)
     smooth = np.fromfunction(
         lambda n, i, j, k: np.sin(0.2 * i) + 0.1 * j * k + 0 * n,
         (4, 8, 8, 8)).astype(np.float32)

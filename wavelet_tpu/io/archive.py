@@ -96,8 +96,19 @@ def deserialize_payload(data: bytes):
 def pack_preset(preset: int, delta: int = 0) -> int:
     """Pack (xz preset, delta-filter distance) into the single preset word
     every encode path (Python and the native ABI) already threads through:
-    low byte = preset, next byte = delta distance (0 = no delta filter)."""
-    return (int(preset) & 0xFF) | ((int(delta) & 0xFF) << 8)
+    low byte = preset, next byte = delta distance (0 = no delta filter).
+
+    Validated here so a typo can never silently encode a different
+    setting (masking alone would turn e.g. xzdelta=-8 into distance 248).
+    Distance 256 — legal in raw xz — is unsupported by the one-byte
+    packing; payload strides here are 6 or 8 bytes, so nothing loses."""
+    preset, delta = int(preset), int(delta)
+    if not 0 <= preset <= 9:
+        raise ValueError(f"xz preset must be 0-9, got {preset}")
+    if not 0 <= delta <= 255:
+        raise ValueError(
+            f"xz delta distance must be 0-255 (0 = off), got {delta}")
+    return preset | (delta << 8)
 
 
 def xz_compress(payload: bytes, preset: int = 6) -> bytes:
@@ -452,6 +463,13 @@ def read_locdim(path: str, name: str, box_counts):
         raise ValueError(
             f"truncated or corrupt {name}: boxcounts.raw implies "
             f"{need} float32 entries, file has {len(raw)}")
+    used = raw[:need]
+    # same float-stored-int hazard as boxcounts (quirk §4.2): a corrupt
+    # inf raises OverflowError from int() — outside the clean-error
+    # family — and values past 2^24 aren't integer-exact float32 anyway
+    if need and (not np.isfinite(used).all()
+                 or (np.abs(used) >= 2**24).any()):
+        raise ValueError(f"corrupt {name}: non-finite or absurd entry")
     out, k = [], 0
     for per_lev_counts in box_counts:
         t_list = []
