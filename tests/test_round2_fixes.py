@@ -361,6 +361,29 @@ def test_estimate_keep_sweep_matches_individual_runs(tmp_path, fast):
         assert got == single
 
 
+@pytest.mark.parametrize("fast", [False, True], ids=["scratch", "fast"])
+def test_estimate_keepfraction_sweep_matches_individual_runs(tmp_path,
+                                                             fast):
+    """Global-mode sweep: one invocation over several keep fractions must
+    match individual runs (the fast path shares the forward + histogram,
+    which are fraction-independent)."""
+    from wavelet_tpu.pipeline import Config, estimate_run
+
+    data_dir = _codec_synth(tmp_path)
+    fracs = [0.02, 0.1]
+    base = dict(data_dir=data_dir, min_time="plt00030", max_time="plt00030",
+                min_level=0, max_level=0, components=["a", "b"],
+                keep=0.999, threshold_mode="global", fast_estimate=fast)
+    swept = estimate_run(Config(keep_fraction=fracs[0],
+                                keep_fraction_sweep=fracs, **base))
+    assert set(swept["keep_fraction_sweep"]) == {repr(f) for f in fracs}
+    for f in fracs:
+        single = estimate_run(Config(keep_fraction=f, **base))
+        got = swept["keep_fraction_sweep"][repr(f)]
+        assert got["components"] == single["components"]
+        assert got["compressed_size_pct"] == single["compressed_size_pct"]
+
+
 def test_cli_keep_sweep_parsing():
     from wavelet_tpu import cli
 
@@ -388,6 +411,17 @@ def test_cli_keep_sweep_parsing():
             'datadir=/d', 'minfile=a1', 'minlevel=0', 'components=x',
             'thresholdmode=global', 'keepfraction=0.02',
             'keep=0.99 0.999', '-estimate'])
+    # ...but a KEEPFRACTION sweep is the global-mode equivalent
+    _m, cfg2 = cli.parse_argv([
+        'datadir=/d', 'minfile=a1', 'minlevel=0', 'components=x',
+        'thresholdmode=global', 'keepfraction=0.02 0.1', '-estimate'])
+    assert cfg2.keep_fraction_sweep == [0.02, 0.1]
+    assert cfg2.keep_fraction == 0.02
+    with pytest.raises(SystemExit, match="only valid with -estimate"):
+        cli.parse_argv([
+            'datadir=/d', 'minfile=a1', 'maxfile=a2', 'minlevel=0',
+            'maxlevel=0', 'components=x', 'thresholdmode=global',
+            'keepfraction=0.02 0.1', 'compresseddir=/c/', '-c'])
 
 
 # ---------------------------------------------------------------------------

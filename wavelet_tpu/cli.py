@@ -85,7 +85,16 @@ def parse_argv(argv):
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")
         if cfg.threshold_mode == "global":
-            cfg.keep_fraction = float(need("keepfraction"))
+            fracs = [float(v) for v in need("keepfraction").split()]
+            if not fracs:
+                raise SystemExit("Missing keepfraction!")
+            if len(fracs) > 1:
+                if mode != "estimate":
+                    raise SystemExit(
+                        "keepfraction sweep (several values) is only "
+                        "valid with -estimate")
+                cfg.keep_fraction_sweep = fracs
+            cfg.keep_fraction = fracs[0]
             if len(kv.get("keep", "0.999").split()) > 1:
                 raise SystemExit("keep sweep requires the box threshold "
                                  "mode (global mode thresholds by "

@@ -53,6 +53,9 @@ class Config:
     keep_sweep: list | None = None    # estimate mode: several keeps in one
                                       #   run (fastestimate shares the
                                       #   forward transform across them)
+    keep_fraction_sweep: list | None = None  # estimate+global: several
+                                      #   keepfractions in one run (the
+                                      #   histogram is fraction-independent)
     levels_upto: int | None = None    # decompress: partial retrieval —
                                       #   only archive levels <= this
                                       #   (None = all; the timestep and

@@ -120,21 +120,33 @@ def _fast_estimate(run, cfg, mesh, files, levels) -> dict:
     eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
     _lv, comp_pos, buckets, stacked = _fast_buckets(run)
     if cfg.threshold_mode == "global":
+        # ONE forward + histogram serves any number of keep fractions
+        # (the fixed-bin histogram is fraction-independent)
         hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
         flats = {}
         for dims, data in stacked.items():
             flat, h = eng.forward_hist_batch(data)
             flats[dims] = flat
             hist += h
-        tval = thr.threshold_from_histogram(hist, cfg.keep_fraction)
-        t32s = {dims: np.full(len(buckets[dims]), tval, np.float32)
-                for dims in buckets}
-        regen, comp_size = _fast_codec_regen(run, cfg, eng, comp_pos,
-                                             buckets, flats, t32s)
-        log.info("Compression complete.")
-        log.info("Decompression complete.")
-        return _metrics_result(run, cfg, mesh, regen, comp_size, files,
-                               levels, cfg.keep)
+        fracs = cfg.keep_fraction_sweep or [cfg.keep_fraction]
+        sweep = {}
+        for frac in fracs:
+            tval = thr.threshold_from_histogram(hist, frac)
+            t32s = {dims: np.full(len(buckets[dims]), tval, np.float32)
+                    for dims in buckets}
+            regen, comp_size = _fast_codec_regen(run, cfg, eng, comp_pos,
+                                                 buckets, flats, t32s)
+            log.info("Compression complete.")
+            log.info("Decompression complete.")
+            log.info("keep_fraction = %s (threshold %s):", frac, tval)
+            r = _metrics_result(run, cfg, mesh, regen, comp_size, files,
+                                levels, cfg.keep)
+            r["keep_fraction"] = float(frac)
+            r["global_threshold"] = float(tval)
+            sweep[repr(frac)] = r
+        if len(fracs) == 1:
+            return sweep[repr(fracs[0])]
+        return {"keep_fraction_sweep": sweep}
     # box mode: ONE forward per bucket; each keep derives its thresholds
     # from the keep-independent signed absmax
     flats, signeds = {}, {}
@@ -208,8 +220,22 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
     if len(keeps) > 1 and cfg.threshold_mode == "global":
         raise ValueError("keep sweep requires the box threshold mode "
                          "(global mode thresholds by keepfraction)")
+    fracs = cfg.keep_fraction_sweep or []
+    if len(fracs) > 1 and cfg.threshold_mode != "global":
+        raise ValueError("keepfraction sweep requires "
+                         "thresholdmode=global")
     if cfg.fast_estimate:
         return _fast_estimate(run, cfg, mesh, files, levels)
+    if len(fracs) > 1:
+        sweep = {}
+        for frac in fracs:
+            log.info("keep_fraction = %s:", frac)
+            c2 = dataclasses.replace(cfg, keep_fraction=frac,
+                                     keep_fraction_sweep=None)
+            r = _estimate_scratch(run, c2, mesh, files, levels)
+            r["keep_fraction"] = float(frac)
+            sweep[repr(frac)] = r
+        return {"keep_fraction_sweep": sweep}
     if len(keeps) == 1:
         return _estimate_scratch(run, cfg, mesh, files, levels)
     sweep = {}
