@@ -81,6 +81,50 @@ def _python_decode(blob: bytes, payload_fmt: str, codec: str):
         return None
 
 
+def test_fuzz_corrupt_bundle_container_raises_cleanly(tmp_path):
+    """Random mutations of a .wtb bundle container: index parsing and
+    member reads must raise only the clean-error family, never crash or
+    return silently wrong bytes for a VALID key lookup."""
+    from wavelet_tpu.io import bundle as bundle_mod
+
+    rng = np.random.default_rng(77)
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    w = bundle_mod.BundleWriter(os.path.join(d, bundle_mod.bundle_name(0, 0)))
+    blobs = {}
+    for b in range(4):
+        blob = _make_member("raw", "f32", rng)
+        w.add(0, 0, 0, b, blob)
+        blobs[b] = blob
+    w.close()
+    path = os.path.join(d, bundle_mod.bundle_name(0, 0))
+    good = open(path, "rb").read()
+    for trial in range(60):
+        with open(path, "wb") as f:
+            f.write(_mutate(good, rng))
+        try:
+            bs = bundle_mod.BundleSet(d)
+            for b in range(4):
+                if (0, 0, 0, b) in bs:
+                    got = bs.blob(0, 0, 0, b)
+                    # a successfully-located member must round the CRC
+                    # frame: either identical bytes or a clean rejection
+                    # at decode time
+                    try:
+                        archive.decode_blob(got, "raw")
+                    except ValueError:
+                        pass
+            bs.close()
+        except (ValueError, OSError, EOFError, KeyError):
+            pass
+    with open(path, "wb") as f:
+        f.write(good)
+    bs = bundle_mod.BundleSet(d)
+    for b in range(4):
+        assert bs.blob(0, 0, 0, b) == blobs[b]
+    bs.close()
+
+
 def test_fuzz_corrupt_sidecars_raise_cleanly(tmp_path):
     """Every sidecar reader must turn arbitrary corruption into the
     ValueError/OSError family cli.main handles — never struct.error,
