@@ -119,7 +119,8 @@ def test_random_flavor_matrix_transport_knobs_never_change_bytes(tmp_path):
     rng.shuffle(codec_flavors)
     for trial, (scales, payload, tmode) in enumerate(codec_flavors[:4]):
         codec_kw = dict(scales=scales, payload=payload,
-                        threshold_mode=tmode)
+                        threshold_mode=tmode,
+                        xz_delta=int(rng.choice([0, 8])))
         if tmode == "global":
             codec_kw["keep_fraction"] = 0.05
         transport_kw = dict(
