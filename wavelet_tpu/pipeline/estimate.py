@@ -177,11 +177,11 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
                                    xz_preset=cfg.xz_preset,
                                    xz_delta=cfg.xz_delta,
                                    archive_format=cfg.archive)
-        compress.compress_collected(run, cfg.keep, scratch, mesh=mesh,
-                                    packer=packer,
-                                    threshold_mode=cfg.threshold_mode,
-                                    keep_fraction=cfg.keep_fraction,
-                                    scales=cfg.scales, payload=cfg.payload)
+        cstats = compress.compress_collected(
+            run, cfg.keep, scratch, mesh=mesh, packer=packer,
+            threshold_mode=cfg.threshold_mode,
+            keep_fraction=cfg.keep_fraction,
+            scales=cfg.scales, payload=cfg.payload)
         log.info("Compression complete.")
         eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
         lv = run.levels_data[0][0]
@@ -206,8 +206,14 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
                 regen[it.box][comp_pos[it.comp_idx]] = out.item_view(i)
         log.info("Decompression complete.")
         comp_size = metrics.dir_size(scratch)
-        return _metrics_result(run, cfg, mesh, regen, comp_size, files,
-                               levels, cfg.keep)
+        result = _metrics_result(run, cfg, mesh, regen, comp_size, files,
+                                 levels, cfg.keep)
+        if cfg.threshold_mode == "global":
+            # same result schema as the fast path's global rows
+            result["keep_fraction"] = float(cfg.keep_fraction)
+            result["global_threshold"] = float(
+                cstats.get("global_threshold"))
+        return result
 
 
 def estimate_run(cfg: common.Config, mesh=None) -> dict:
@@ -226,21 +232,27 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
                          "thresholdmode=global")
     if cfg.fast_estimate:
         return _fast_estimate(run, cfg, mesh, files, levels)
-    if len(fracs) > 1:
+
+    def scratch_sweep(values, field):
+        """One _estimate_scratch per value, substituted into ``field`` —
+        a single-element sweep is honored the same way the fast path
+        honors it (not silently ignored)."""
         sweep = {}
-        for frac in fracs:
-            log.info("keep_fraction = %s:", frac)
-            c2 = dataclasses.replace(cfg, keep_fraction=frac,
-                                     keep_fraction_sweep=None)
-            r = _estimate_scratch(run, c2, mesh, files, levels)
-            r["keep_fraction"] = float(frac)
-            sweep[repr(frac)] = r
+        for v in values:
+            log.info("%s = %s:", field, v)
+            c2 = dataclasses.replace(cfg, keep_sweep=None,
+                                     keep_fraction_sweep=None,
+                                     **{field: v})
+            sweep[repr(v)] = _estimate_scratch(run, c2, mesh, files,
+                                               levels)
+        return sweep
+
+    if fracs:
+        sweep = scratch_sweep(fracs, "keep_fraction")
+        if len(fracs) == 1:
+            return sweep[repr(fracs[0])]
         return {"keep_fraction_sweep": sweep}
     if len(keeps) == 1:
-        return _estimate_scratch(run, cfg, mesh, files, levels)
-    sweep = {}
-    for keep in keeps:
-        log.info("keep = %s:", keep)
-        c2 = dataclasses.replace(cfg, keep=keep, keep_sweep=None)
-        sweep[repr(keep)] = _estimate_scratch(run, c2, mesh, files, levels)
-    return {"keep_sweep": sweep}
+        c2 = dataclasses.replace(cfg, keep=keeps[0], keep_sweep=None)
+        return _estimate_scratch(run, c2, mesh, files, levels)
+    return {"keep_sweep": scratch_sweep(keeps, "keep")}
