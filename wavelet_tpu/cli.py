@@ -123,6 +123,14 @@ def parse_argv(argv):
         cfg.out_dir = need("out")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
+        cfg.preview = int(kv.get("preview", "0"))
+        if cfg.preview < 0:
+            raise SystemExit(f"preview={cfg.preview} must be >= 0")
+        if cfg.preview and cfg.transfer == "sparse":
+            # preview ships only the tiny low-band corner already; the
+            # sparse pair transport has nothing left to save there
+            raise SystemExit("preview mode uses the dense transfer "
+                             "(drop transfer=sparse)")
         # partial retrieval (extension): decompress only selected
         # timesteps / components / levels from the archive
         cfg.min_time = kv.get("minfile", "")

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["haar3d_forward", "haar3d_inverse", "forward_flat",
-           "inverse_from_flat", "haar3d_forward_multi", "haar3d_inverse_multi"]
+           "inverse_from_flat", "haar3d_forward_multi", "haar3d_inverse_multi",
+           "haar3d_lowpass"]
 
 
 def _fwd_last(x: jax.Array) -> jax.Array:
@@ -115,6 +116,29 @@ def haar3d_inverse_multi(c: jax.Array, scales: int) -> jax.Array:
         sub = haar3d_inverse(c[..., :cx, :cy, :cz])
         c = c.at[..., :cx, :cy, :cz].set(sub)
     return c
+
+
+def _low_last(x: jax.Array) -> jax.Array:
+    """The low (pairwise-mean) half of a forward pass along the last axis;
+    requires an even length."""
+    h = x.shape[-1] // 2
+    v = x.reshape(x.shape[:-1] + (h, 2))
+    return (v[..., 0] + v[..., 1]) * jnp.asarray(0.5, x.dtype)
+
+
+def haar3d_lowpass(x: jax.Array, depth: int) -> jax.Array:
+    """``depth`` rounds of low-pass only: the LLL corner block that
+    :func:`haar3d_forward_multi` would produce, without computing any detail
+    band.  Same per-axis order (Z, Y, X per scale) and arithmetic as the
+    forward, so the result is bitwise what the pyramid stores in its corner.
+    Trailing dims must be divisible by ``2**depth``; output is
+    ``[..., X >> depth, Y >> depth, Z >> depth]``.
+    """
+    for _ in range(depth):
+        x = _along(_low_last, x, -1)   # Z
+        x = _along(_low_last, x, -2)   # Y
+        x = _along(_low_last, x, -3)   # X
+    return x
 
 
 def forward_flat(x: jax.Array) -> jax.Array:

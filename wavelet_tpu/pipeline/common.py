@@ -61,6 +61,10 @@ class Config:
                                       #   (None = all; the timestep and
                                       #   component filters reuse
                                       #   min_time/max_time/components)
+    preview: int = 0                  # decompress: regenerate the low-band
+                                      #   approximation at 1/2**preview
+                                      #   resolution per axis (0 = full
+                                      #   resolution, the reference behavior)
     prefetch: int = 0                 # 1 = overlap next timestep's plotfile
                                       #   read (compress) / this timestep's
                                       #   plotfile write (decompress) with the

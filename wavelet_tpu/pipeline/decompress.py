@@ -28,12 +28,21 @@ log = logging.getLogger("wavelet_tpu")
 __all__ = ["decompress_run", "iter_decompressed_timesteps"]
 
 
-def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer):
+def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
+                   preview=0):
     """HOST stage of one shape bucket: read + decode + (for sparse) the
     transport decision.  Returns ``(kind, payload, h2d)`` where kind is
-    "dense" (payload = a filled ShapeBatch) or "sparse" (payload =
-    (shell batch, idx, vals)) — no device work happens here, so a
-    prefetch worker can run it behind the previous bucket's inverse."""
+    "dense" (payload = a filled ShapeBatch), "sparse" (payload =
+    (shell batch, idx, vals)) or "preview" (payload = a LOGICAL-order
+    coefficient batch; h2d is decided by the device stage) — no device
+    work happens here, so a prefetch worker can run it behind the
+    previous bucket's inverse."""
+    if preview:
+        batch = batching.empty_batch(bucket_items, dims, pack=1,
+                                     pad_multiple=pad, layout="halves",
+                                     scales=eng.eff_scales(dims))
+        packer.unpack_into(cfg.compressed_dir, batch)
+        return "preview", batch, 0
     if transfer == "sparse":
         batch = batching.ShapeBatch(shape=dims, data=None,
                                     items=bucket_items,
@@ -76,13 +85,15 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer):
 
 
 def _decompress_timestep(cfg, eng, packer, pad, comp_idxs, t, num_levels,
-                         counts, dimensions, transfer="dense"):
+                         counts, dimensions, transfer="dense", preview=0):
     """Decode + inverse-transform every box of timestep ``t``.
 
     Returns ``(regen, h2d_bytes)`` with ``regen``: [lev][box] ->
     (C, X, Y, Z) float32.  ``transfer="sparse"`` ships only the kept
     (position, value) pairs to the device and scatters there — the mirror
     of the compress-side sparse path, for slow host->device links.
+    ``preview=p`` regenerates the low-band approximation instead — regen
+    boxes are (C, X>>p, Y>>p, Z>>p) (engine.preview_shapebatch).
 
     ``prefetch=1`` additionally pipelines WITHIN the timestep: a single
     worker runs bucket i+1's host stage (read + decode) behind bucket i's
@@ -105,24 +116,30 @@ def _decompress_timestep(cfg, eng, packer, pad, comp_idxs, t, num_levels,
     def host_stage(j):
         dims, bucket_items = order[j]
         return _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items,
-                              transfer)
+                              transfer, preview)
 
     def device_stage(j, prepared):
         nonlocal h2d_bytes
         dims, bucket_items = order[j]
         kind, payload, h2d = prepared
-        h2d_bytes += h2d
-        if kind == "sparse":
-            batch, idx, vals = payload
-            out = eng.decompress_shapebatch_sparse(batch, idx, vals)
+        if kind == "preview":
+            arr, h2d = eng.preview_shapebatch(payload, preview)
+            out_dims = tuple(arr.shape[1:])
+            item = arr.__getitem__
         else:
-            out = eng.decompress_shapebatch(payload)
+            if kind == "sparse":
+                batch, idx, vals = payload
+                out = eng.decompress_shapebatch_sparse(batch, idx, vals)
+            else:
+                out = eng.decompress_shapebatch(payload)
+            out_dims = dims
+            item = out.item_view
+        h2d_bytes += h2d
         for i, it in enumerate(bucket_items):
             if regen[it.level][it.box] is None:
                 regen[it.level][it.box] = np.zeros(
-                    (ncomp,) + dims, dtype=np.float32)
-            regen[it.level][it.box][comp_pos[it.comp_idx]] = \
-                out.item_view(i)
+                    (ncomp,) + out_dims, dtype=np.float32)
+            regen[it.level][it.box][comp_pos[it.comp_idx]] = item(i)
 
     if cfg.prefetch > 0 and len(order) > 1:
         with cf.ThreadPoolExecutor(1) as pool:
@@ -152,7 +169,15 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     whole archive): ``cfg.min_time``/``cfg.max_time`` select timesteps by
     the same numeric-key rule as compression, ``cfg.components`` a subset
     of the archived components, ``cfg.levels_upto`` an archive-level
-    prefix.  Only the selected payload files are ever read."""
+    prefix.  Only the selected payload files are ever read.
+
+    Preview mode (extension): ``cfg.preview = p`` regenerates the wavelet
+    low band instead of full resolution — plotfiles come out at
+    ``1/2**p`` cells per axis on the same physical domain (cells grow
+    ``2**p``x), each value the 2**p-cube block mean the Haar low-pass
+    encodes.  For ``p <= scales`` this needs only the stored pyramid
+    corner (8**-p of the coefficients cross the host->device link);
+    composes with partial retrieval."""
     info = archive.read_runinfo(cfg.compressed_dir)
     full_levels = common.format_levels(info.min_level, info.max_level)
     num_times = len(info.files)
@@ -209,6 +234,34 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
                  "%d of %d components", len(sel_times), num_times, levels,
                  full_levels, len(comp_names), len(info.components))
 
+    # --- preview mode (extension): low-band regeneration at 1/2**p -------
+    preview = cfg.preview
+    if preview:
+        f = 1 << preview
+        base = (amrex.x_dim, amrex.y_dim, amrex.z_dim)
+        if any(d % f for d in base):
+            raise ValueError(
+                f"preview={preview} requires domain dims divisible by {f}; "
+                f"archive domain is {base}")
+        for t in sel_times:
+            for li in range(num_levels):
+                for b in range(counts[t][li]):
+                    loc = locations[t][li][b]
+                    dd = dimensions[t][li][b]
+                    if any(v % f for v in loc) or any(v % f for v in dd):
+                        raise ValueError(
+                            f"preview={preview} requires box locations and "
+                            f"dims divisible by {f}; timestep {t} level "
+                            f"{li} box {b} has loc={loc} dims={dd}")
+        # same physical domain over 2**p-coarser index space: cells grow
+        # 2**p per axis, geometry (geomcellinfo), times and steps unchanged
+        amrex = archive.AMReXInfo(
+            amrex.geomcellinfo, amrex.ref_ratios, amrex.true_times,
+            amrex.level_steps, amrex.x_dim >> preview,
+            amrex.y_dim >> preview, amrex.z_dim >> preview)
+        log.info("Preview mode: regenerating the wavelet low band at "
+                 "1/%d resolution per axis", f)
+
     packer = engine.HostPacker(payload=meta.get("payload", "f32"),
                                codec=meta.get("codec", "xz"),
                                archive_format=meta.get("archive", "files"))
@@ -226,13 +279,23 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     for t in sel_times:
         regen, h2d = _decompress_timestep(cfg, eng, packer, pad, comp_idxs,
                                           t, num_levels, counts, dimensions,
-                                          transfer=cfg.transfer)
+                                          transfer=cfg.transfer,
+                                          preview=preview)
         if stats is not None:
             stats["host_to_device_bytes"] = (
                 stats.get("host_to_device_bytes", 0) + h2d)
         name = os.path.join(cfg.out_dir, os.path.basename(info.files[t]))
-        yield (t, name, regen, locations[t][:num_levels],
-               dimensions[t][:num_levels], sel_info, amrex)
+        if preview:
+            locs_t = [[tuple(v >> preview for v in loc)
+                       for loc in locations[t][li]]
+                      for li in range(num_levels)]
+            dims_t = [[tuple(v >> preview for v in dd)
+                       for dd in dimensions[t][li]]
+                      for li in range(num_levels)]
+        else:
+            locs_t = locations[t][:num_levels]
+            dims_t = dimensions[t][:num_levels]
+        yield (t, name, regen, locs_t, dims_t, sel_info, amrex)
 
 
 def decompress_run(cfg: common.Config, mesh=None) -> dict:

@@ -137,6 +137,9 @@ _fwd_multi_jit = jax.jit(haar.haar3d_forward_multi, static_argnums=1,
                          donate_argnums=0)
 _inv_multi_jit = jax.jit(haar.haar3d_inverse_multi, static_argnums=1,
                          donate_argnums=0)
+# no donation: the lowpass output is 8**depth x smaller than its input, so
+# the buffer could never be reused in place (donating only produces warnings)
+_lowpass_jit = jax.jit(haar.haar3d_lowpass, static_argnums=1)
 
 
 @functools.partial(jax.jit, static_argnames=("pack", "z"))
@@ -644,6 +647,44 @@ class CodecEngine:
             out = _inverse_jit(dev.reshape(n, -1),
                                tuple(int(d) for d in coeff_batch.shape))
         return dataclasses.replace(coeff_batch, data=np.asarray(out))
+
+    def preview_shapebatch(self, batch: ShapeBatch, depth: int):
+        """Low-band (LLL) preview at 1/2**depth resolution per axis.
+
+        Extension — the reference can only regenerate full resolution
+        (decompressor.cpp inverts every band unconditionally).  ``batch``
+        holds LOGICAL-order coefficient rows (layout "halves", pack=1,
+        as :func:`HostPacker.unpack_into` fills them).  Returns
+        ``(array [N, X>>depth, Y>>depth, Z>>depth], h2d_bytes)``.
+
+        When ``depth <= eff_scales`` the preview is a pure corner slice of
+        the stored pyramid plus the remaining inverse scales — only the
+        corner (8**-depth of the coefficients) ever crosses the
+        host->device link, and at ``depth == eff_scales`` no device work
+        happens at all.  Deeper previews reconstruct fully and re-lowpass
+        (``haar.haar3d_lowpass``) on device.
+        """
+        dims = tuple(int(d) for d in batch.shape)
+        if any(d % (1 << depth) for d in dims):
+            raise ValueError(
+                f"preview={depth} requires box dims divisible by "
+                f"{1 << depth}; got {dims}")
+        s_box = self.eff_scales(dims)
+        cx, cy, cz = (d >> depth for d in dims)
+        if depth <= s_box:
+            corner = np.ascontiguousarray(batch.data[:, :cx, :cy, :cz])
+            rem = s_box - depth
+            if rem == 0:
+                return corner, 0
+            out = _inv_multi_jit(self._put(jnp.asarray(corner)), rem)
+            return np.asarray(out), corner.nbytes
+        dev = self._put(jnp.asarray(batch.data))
+        h2d = batch.data.nbytes
+        if s_box > 1:
+            full = _inv_multi_jit(dev, s_box)
+        else:
+            full = _inverse_jit(dev.reshape(dev.shape[0], -1), dims)
+        return np.asarray(_lowpass_jit(full, depth)), h2d
 
     def decompress_shapebatch_sparse(self, batch: ShapeBatch,
                                      idx: np.ndarray,
