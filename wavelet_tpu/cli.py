@@ -35,10 +35,34 @@ def _kv(args):
     return out
 
 
+_USAGE = """wavelet_tpu — TPU-native wavelet compression for AMReX plotfiles
+
+Modes (one required):
+  -c         compress     datadir= minfile= maxfile= minlevel= maxlevel=
+                          components="..." keep= compresseddir=
+  -d         decompress   compresseddir= out=
+                          [minfile=/maxfile=/components=/maxlevel= partial
+                           retrieval] [preview=p low-band at 1/2^p res]
+  -estimate  quality/size estimate (compress keys; maxfile/maxlevel optional)
+  -check     archive integrity validation        compresseddir=
+  -info      archive summary (no decode)         compresseddir=
+
+Extension keys (reference-compatible defaults):
+  thresholdmode=box|global  keepfraction=F   scales=S      payload=f32|q16
+  codec=xz|raw  xzpreset=N  xzdelta=D        archive=files|bundle
+  transfer=dense|sparse     prefetch=0|1     resume=1      fastestimate=1
+  devices=N  coordinator=host:port processes=N processid=I  profile=DIR
+
+Sweeps (-estimate only): keep="k1 k2 ..." or keepfraction="f1 f2 ..."
+"""
+
+
 def parse_argv(argv):
-    """-> (mode, Config) ; mode in {'c', 'd', 'estimate'}."""
+    """-> (mode, Config) ; mode in {'c', 'd', 'estimate', 'check', 'info'}."""
     flags = {a for a in argv if a.startswith("-")}
     kv = _kv(argv)
+    if "-h" in flags or "--help" in flags:
+        raise SystemExit(_USAGE)
     if "-c" in flags:
         mode = "c"
     elif "-estimate" in flags:
@@ -47,10 +71,13 @@ def parse_argv(argv):
         mode = "d"
     elif "-check" in flags:
         mode = "check"
+    elif "-info" in flags:
+        mode = "info"
     else:
         raise SystemExit("Specify a mode: -c for compression, -d for "
-                         "decompression, -estimate for estimate mode, or "
-                         "-check for archive validation!")
+                         "decompression, -estimate for estimate mode, "
+                         "-check for archive validation, or -info for an "
+                         "archive summary! (-h for usage)")
 
     def need(key):
         if key not in kv:
@@ -116,7 +143,7 @@ def parse_argv(argv):
             cfg.compressed_dir = need("compresseddir")
         else:
             cfg.compressed_dir = kv.get("compresseddir", "")
-    elif mode == "check":
+    elif mode in ("check", "info"):
         cfg.compressed_dir = need("compresseddir")
     else:
         cfg.compressed_dir = need("compresseddir")
@@ -178,6 +205,10 @@ def main(argv=None):
 
                 if check_run(cfg)["errors"]:
                     return 1
+            elif mode == "info":
+                from wavelet_tpu.pipeline.check import info_run
+
+                info_run(cfg)
             else:
                 decompress_run(cfg, mesh=mesh)
     except (KeyError, ValueError, OSError) as e:

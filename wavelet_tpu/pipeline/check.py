@@ -1,12 +1,15 @@
-"""Archive integrity check (``-check`` mode; no reference analogue).
+"""Archive inspection: ``-check`` (integrity) and ``-info`` (summary).
 
-Walks a compressed archive WITHOUT decompressing boxes to full data:
-validates the five sidecars' mutual consistency, then every payload's
-container, header, and RLE stream (decodable, shape agrees with
-``dimensions.raw``, total count matches, runs non-negative and
-in-bounds).  The operational tool for pod-scale archives: a damaged or
-partially-written archive is diagnosed file-by-file in one pass instead
-of failing mid-decompression.
+Neither has a reference analogue.  ``-check`` walks a compressed archive
+WITHOUT decompressing boxes to full data: validates the five sidecars'
+mutual consistency, then every payload's container, header, and RLE
+stream (decodable, shape agrees with ``dimensions.raw``, total count
+matches, runs non-negative and in-bounds).  The operational tool for
+pod-scale archives: a damaged or partially-written archive is diagnosed
+file-by-file in one pass instead of failing mid-decompression.
+``-info`` prints what an archive CONTAINS (timesteps, levels, components,
+flavor, sizes, compression ratio) from sidecar metadata alone — no
+payload is ever decoded.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from wavelet_tpu.pipeline import common
 
 log = logging.getLogger("wavelet_tpu")
 
-__all__ = ["check_run"]
+__all__ = ["check_run", "info_run"]
 
 
 def _check_payload(blob_or_path, dims, meta) -> str | None:
@@ -77,6 +80,114 @@ def _check_payload(blob_or_path, dims, meta) -> str | None:
         if pos[-1] >= total:
             return f"RLE positions overflow total ({int(pos[-1])} >= {total})"
     return None
+
+
+def info_run(cfg: common.Config) -> dict:
+    """Summarize ``cfg.compressed_dir`` from sidecars + wtc-meta.json only.
+
+    Logs a human-readable report and returns the same facts as a dict:
+    what's archived (timesteps, levels, components with their Header
+    indices), the codec flavor, payload/sidecar bytes on disk, the raw
+    float32 equivalent (sum of box volumes x components x 4 B — what the
+    reference's estimate mode calls the data size, modes.cpp:294-324),
+    and the resulting size percentage.
+    """
+    d = cfg.compressed_dir
+    info = archive.read_runinfo(d)
+    levels = common.format_levels(info.min_level, info.max_level)
+    counts = archive.read_boxcounts(d, len(info.files), len(levels))
+    dimensions = archive.read_locdim(d, "dimensions.raw", counts)
+    amrex = archive.read_amrexinfo(d)
+    meta = archive.read_meta(d)
+
+    bundled = meta.get("archive") == "bundle"
+    bundle_set = None
+    if bundled:
+        from wavelet_tpu.io import bundle as bundle_mod
+
+        bundle_set = bundle_mod.BundleSet(d)
+
+    n_members = 0
+    missing = 0
+    payload_bytes = 0
+    raw_bytes = 0
+    per_time = []
+    ncomp = len(info.comp_idxs)
+    for t in range(len(info.files)):
+        t_members = 0
+        t_payload = 0
+        t_raw = 0
+        t_boxes = 0
+        for li in range(len(levels)):
+            for b in range(counts[t][li]):
+                vol = int(np.prod(dimensions[t][li][b]))
+                t_raw += vol * 4 * ncomp
+                t_boxes += 1
+                for comp_idx in info.comp_idxs:
+                    if bundled:
+                        loc = bundle_set.locate(t, li, comp_idx, b)
+                        if loc is None:
+                            missing += 1
+                            continue
+                        t_payload += loc[2]
+                    else:
+                        p = os.path.join(
+                            d, archive.payload_filename(t, li, comp_idx, b))
+                        if not os.path.exists(p):
+                            missing += 1
+                            continue
+                        t_payload += os.path.getsize(p)
+                    t_members += 1
+        n_members += t_members
+        payload_bytes += t_payload
+        raw_bytes += t_raw
+        per_time.append({"file": os.path.basename(info.files[t]),
+                         "time": float(amrex.true_times[t]),
+                         "boxes": t_boxes, "members": t_members,
+                         "payload_bytes": t_payload, "raw_bytes": t_raw})
+
+    sidecar_bytes = sum(
+        os.path.getsize(os.path.join(d, n))
+        for n in ("runinfo.raw", "locations.raw", "dimensions.raw",
+                  "boxcounts.raw", "amrexinfo.raw")
+        if os.path.exists(os.path.join(d, n)))
+    if bundled:
+        # container framing (member headers + index) counts as archive cost
+        from wavelet_tpu.io import bundle as bundle_mod
+
+        container_bytes = sum(
+            os.path.getsize(os.path.join(d, n))
+            for n in bundle_mod.list_bundles(d))
+    else:
+        container_bytes = payload_bytes
+    total_bytes = sidecar_bytes + max(container_bytes, payload_bytes)
+    size_pct = 100.0 * total_bytes / raw_bytes if raw_bytes else 0.0
+
+    flavor = {k: meta.get(k) for k in
+              ("codec", "payload", "archive", "scales", "threshold_mode",
+               "xz_preset", "xz_delta") if meta.get(k) is not None}
+    log.info("Archive: %s", d)
+    log.info("Flavor: %s", " ".join(f"{k}={v}" for k, v in flavor.items()))
+    log.info("Timesteps: %d (%s .. %s), levels %d-%d, components %s "
+             "(header idxs %s)", len(info.files),
+             os.path.basename(info.files[0]),
+             os.path.basename(info.files[-1]), info.min_level,
+             info.max_level, info.components, info.comp_idxs)
+    for row in per_time:
+        log.info("  %-12s t=%-12g boxes=%-5d members=%-6d payload=%d B",
+                 row["file"], row["time"], row["boxes"], row["members"],
+                 row["payload_bytes"])
+    log.info("Payload members: %d (%d missing); payload %d B + sidecars "
+             "%d B = %d B archived for %d B raw float32 (%.4f %%)",
+             n_members, missing, payload_bytes, sidecar_bytes, total_bytes,
+             raw_bytes, size_pct)
+    return {"dir": d, "flavor": flavor, "times": len(info.files),
+            "levels": levels, "components": list(info.components),
+            "comp_idxs": list(info.comp_idxs), "members": n_members,
+            "missing": missing, "payload_bytes": payload_bytes,
+            "sidecar_bytes": sidecar_bytes, "total_bytes": total_bytes,
+            "raw_bytes": raw_bytes, "size_pct": size_pct,
+            "per_time": per_time}
 
 
 def check_run(cfg: common.Config) -> dict:
