@@ -119,3 +119,20 @@ def test_read_write_read_roundtrip(tmp_path):
     for a, b in zip(levels[0].boxes, again.boxes):
         np.testing.assert_array_equal(a, b)
     assert again.locations == levels[0].locations
+
+
+@needs_fixtures
+def test_big_endian_fab_rejected(tmp_path):
+    """A foreign byte-order FAB raises a clean error instead of decoding
+    garbage (VisMF::Read byte-swaps; no supported platform writes one)."""
+    import shutil
+
+    dst = tmp_path / "plt00074"
+    shutil.copytree(PLT74, dst)
+    fab = dst / "Level_0" / "Cell_D_00000"
+    raw = fab.read_bytes()
+    le, be = b"(8, (8 7 6 5 4 3 2 1))", b"(8, (1 2 3 4 5 6 7 8))"
+    assert le in raw
+    fab.write_bytes(raw.replace(le, be, 1))
+    with pytest.raises(ValueError, match="byte order"):
+        pf.read_level(str(dst), 0, [0, 1])

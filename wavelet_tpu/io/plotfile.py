@@ -206,11 +206,23 @@ def _read_fab(f, offset: int):
     if m is None:
         raise ValueError(f"bad FAB header at offset {offset}: {head[:80]!r}")
     nbytes = int(m.group(1))
+    # byte-order descriptor (AMReX FPC convention: "1 2 .. n" is big-endian,
+    # the reversed list little-endian).  VisMF::Read byte-swaps foreign
+    # orders; such files don't occur on any platform AMReX currently
+    # targets, so reject them cleanly rather than decode garbage.
+    order = tuple(int(t) for t in m.group(4).split())
+    if order != tuple(range(nbytes, 0, -1)):
+        raise ValueError(
+            f"unsupported FAB byte order {order} at offset {offset}: only "
+            "little-endian IEEE plotfiles are supported")
     lo = tuple(int(m.group(k)) for k in (5, 6, 7))
     hi = tuple(int(m.group(k)) for k in (8, 9, 10))
     ncomp = int(m.group(14))
     nx, ny, nz = (h - l + 1 for l, h in zip(lo, hi))
     count = ncomp * nx * ny * nz
+    if nbytes not in (8, 4):
+        raise ValueError(
+            f"unsupported FAB real width {nbytes} B at offset {offset}")
     dtype = {8: "<f8", 4: "<f4"}[nbytes]
     data = np.fromfile(f, dtype=dtype, count=count)
     if data.size != count:
