@@ -25,3 +25,22 @@ XLA collectives, and keeps all transform math on device.
 """
 
 __version__ = "0.1.0"
+
+# Public programmatic API (api.py) — resolved lazily so that
+# ``import wavelet_tpu`` stays free of jax/pipeline imports until a mode
+# function or Config is actually touched.
+_API_NAMES = ("compress", "decompress", "estimate", "check", "info")
+
+
+def __getattr__(name):
+    if name in _API_NAMES:
+        from wavelet_tpu import api
+        return getattr(api, name)
+    if name == "Config":
+        from wavelet_tpu.pipeline.common import Config
+        return Config
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API_NAMES) + ["Config"])
