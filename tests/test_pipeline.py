@@ -140,6 +140,11 @@ def test_cli_parse_reference_grammar():
         cli.parse_argv(['datadir=/data', '-c'])
     with pytest.raises(SystemExit):
         cli.parse_argv(['datadir=/data'])
+    mode, cfg = cli.parse_argv(['compresseddir=/in', 'out=/r',
+                                'outprec=f32', '-d'])
+    assert cfg.out_precision == "f32"
+    with pytest.raises(SystemExit):
+        cli.parse_argv(['compresseddir=/in', 'out=/r', 'outprec=f16', '-d'])
 
 
 def test_clean_string_reference_case():

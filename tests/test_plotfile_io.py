@@ -136,3 +136,33 @@ def test_big_endian_fab_rejected(tmp_path):
     fab.write_bytes(raw.replace(le, be, 1))
     with pytest.raises(ValueError, match="byte order"):
         pf.read_level(str(dst), 0, [0, 1])
+
+
+@needs_fixtures
+def test_write_plotfile_f32_precision(tmp_path):
+    """outprec=f32: single-precision FABs read back value-identical (the
+    data is float32 end to end) at half the Cell_D bytes."""
+    levels = [pf.read_level(PLT74, l, [0, 1]) for l in range(2)]
+    h = pf.read_header(PLT74)
+
+    def write(out, precision):
+        pf.write_plotfile(str(out), [lv.boxes for lv in levels],
+                          [lv.locations for lv in levels],
+                          [lv.dimensions for lv in levels],
+                          h.component_names, h.time, h.prob_lo, h.prob_hi,
+                          (2, 2, 2), h.domain_dims(0), h.level_steps,
+                          precision=precision)
+
+    write(tmp_path / "p64", "f64")
+    write(tmp_path / "p32", "f32")
+    for lvl in range(2):
+        a = pf.read_level(str(tmp_path / "p64"), lvl, [0, 1])
+        b = pf.read_level(str(tmp_path / "p32"), lvl, [0, 1])
+        for x, y in zip(a.boxes, b.boxes):
+            np.testing.assert_array_equal(x, y)
+        d64 = os.path.getsize(tmp_path / "p64" / f"Level_{lvl}" / "Cell_D_00000")
+        d32 = os.path.getsize(tmp_path / "p32" / f"Level_{lvl}" / "Cell_D_00000")
+        assert d32 < 0.6 * d64
+
+    with pytest.raises(ValueError, match="precision"):
+        write(tmp_path / "bad", "f16")

@@ -43,6 +43,7 @@ Modes (one required):
   -d         decompress   compresseddir= out=
                           [minfile=/maxfile=/components=/maxlevel= partial
                            retrieval] [preview=p low-band at 1/2^p res]
+                          [outprec=f64|f32 FAB real width of the output]
   -estimate  quality/size estimate (compress keys; maxfile/maxlevel optional)
   -check     archive integrity validation        compresseddir=
   -info      archive summary (no decode)         compresseddir=
@@ -150,6 +151,10 @@ def parse_argv(argv):
         cfg.out_dir = need("out")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
+        cfg.out_precision = kv.get("outprec", "f64")
+        if cfg.out_precision not in ("f64", "f32"):
+            raise SystemExit(
+                f"Unknown outprec={cfg.out_precision!r} (f64|f32)")
         cfg.preview = int(kv.get("preview", "0"))
         if cfg.preview < 0:
             raise SystemExit(f"preview={cfg.preview} must be >= 0")

@@ -170,6 +170,11 @@ _FAB_HEADER_RE = re.compile(
 # IEEE little-endian double descriptor as AMReX writes it on x86
 _IEEE_F64_LE = "((8, (64 11 52 0 1 12 0 1023)),(8, (8 7 6 5 4 3 2 1)))"
 _IEEE_F32_LE_BITS = "(32 8 23 0 1 9 0 127)"
+# single-precision FAB descriptor (AMReX built with BL_USE_FLOAT); the
+# ``outprec=f32`` extension writes these — half the bytes, zero value loss
+# (the codec's payload is float32 already)
+_IEEE_F32_LE = f"((4, {_IEEE_F32_LE_BITS}),(4, (4 3 2 1)))"
+_FAB_DESC = {"f64": (_IEEE_F64_LE, np.float64), "f32": (_IEEE_F32_LE, np.float32)}
 
 
 def _parse_cell_h(path: str):
@@ -288,15 +293,20 @@ def read_level(plotfile_dir: str, level: int, comp_idxs) -> LevelBoxes:
 # Writing (byte-identical with amrex::WriteMultiLevelPlotfile output)
 # ---------------------------------------------------------------------------
 
-def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions, ncomp):
+def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions, ncomp,
+                       precision: str = "f64"):
     """Write ``Cell_H`` + ``Cell_D_00000`` for one level.
 
-    ``boxes[b]`` is ``(C, X, Y, Z)`` float32; written as doubles (the
-    reference stores into ``amrex::Real`` MultiFabs, ``writeplotfile.cpp:103``)
-    into a single FAB file, matching single-rank AMReX VisMF output.
-    An empty box list (a refinement level with no grids at this timestep)
-    writes a valid zero-box header.
+    ``boxes[b]`` is ``(C, X, Y, Z)`` float32; by default written as doubles
+    (the reference stores into ``amrex::Real`` MultiFabs,
+    ``writeplotfile.cpp:103``) into a single FAB file, matching single-rank
+    AMReX VisMF output.  ``precision="f32"`` writes single-precision FABs
+    instead (the BL_USE_FLOAT flavor every AMReX reader also parses) —
+    half the bytes and no value change, since the codec is float32 end to
+    end.  An empty box list (a refinement level with no grids at this
+    timestep) writes a valid zero-box header.
     """
+    desc, dtype = _FAB_DESC[precision]
     os.makedirs(lvl_dir, exist_ok=True)
     offsets = []
     mins, maxs = [], []
@@ -306,9 +316,9 @@ def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions, ncomp):
             lo = tuple(int(v) for v in loc)
             hi = tuple(l + d - 1 for l, d in zip(lo, dims))
             offsets.append(f.tell())
-            head = f"FAB {_IEEE_F64_LE}{_fmt_box(lo, hi)} {ncomp}\n"
+            head = f"FAB {desc}{_fmt_box(lo, hi)} {ncomp}\n"
             f.write(head.encode())
-            data64 = arr.astype(np.float64)            # (C, X, Y, Z)
+            data64 = arr.astype(dtype)                 # (C, X, Y, Z)
             f.write(np.ascontiguousarray(data64.transpose(0, 3, 2, 1)).tobytes())
             flat = data64.reshape(ncomp, -1)
             mins.append(flat.min(axis=1))
@@ -346,15 +356,21 @@ def write_plotfile(out_dir: str,
                    prob_lo, prob_hi,
                    ref_ratios,        # per-dim int triple, e.g. (2, 2, 2)
                    base_dims,         # level-0 domain dims (xDim, yDim, zDim)
-                   level_steps):      # per level int
+                   level_steps,       # per level int
+                   precision: str = "f64"):  # FAB real width: f64 | f32
     """Write a complete plotfile directory, byte-identical to the reference's
     ``write_plotfiles`` (``writeplotfile.cpp:118-231``) which calls
     ``amrex::WriteMultiLevelPlotfile``.
 
     Geometry reconstruction mirrors the reference: level-l index domain is
     ``base_dims * ref_ratio**l`` (``writeplotfile.cpp:163-169``), cartesian
-    coords, non-periodic.
+    coords, non-periodic.  ``precision="f32"`` (the ``outprec=f32``
+    extension) emits single-precision FABs: half the output bytes, values
+    identical (the codec payload is float32).
     """
+    if precision not in _FAB_DESC:
+        raise ValueError(f"unsupported output precision {precision!r} "
+                         "(f64|f32)")
     n_levels = len(level_boxes)
     ncomp = len(comp_names)
     os.makedirs(out_dir, exist_ok=True)
@@ -363,7 +379,8 @@ def write_plotfile(out_dir: str,
     for lvl in range(n_levels):
         _write_level_vismf(os.path.join(out_dir, f"Level_{lvl}"),
                            level_boxes[lvl], level_locations[lvl],
-                           level_dimensions[lvl], ncomp)
+                           level_dimensions[lvl], ncomp,
+                           precision=precision)
 
     # --- Header ---
     prob_lo = [float(v) for v in prob_lo]

@@ -65,6 +65,11 @@ class Config:
                                       #   approximation at 1/2**preview
                                       #   resolution per axis (0 = full
                                       #   resolution, the reference behavior)
+    out_precision: str = "f64"        # decompress: FAB real width of the
+                                      #   regenerated plotfiles — "f64"
+                                      #   (reference parity, byte-identical)
+                                      #   | "f32" (half the bytes; values
+                                      #   identical, the codec is f32)
     prefetch: int = 0                 # 1 = overlap next timestep's plotfile
                                       #   read (compress) / this timestep's
                                       #   plotfile write (decompress) with the

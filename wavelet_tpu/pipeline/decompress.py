@@ -335,7 +335,8 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
                    # slice to the selected level prefix: the Header emits
                    # one level-steps token per entry, and token-based
                    # AMReX parsers would mis-consume extras as geometry
-                   amrex.level_steps[t][:num_levels])
+                   amrex.level_steps[t][:num_levels],
+                   cfg.out_precision)
             if cfg.prefetch > 0:
                 if pending is not None:
                     pending.result()
