@@ -216,7 +216,7 @@ def _read_fab(f, offset: int):
     # orders; such files don't occur on any platform AMReX currently
     # targets, so reject them cleanly rather than decode garbage.
     order = tuple(int(t) for t in m.group(4).split())
-    if order != tuple(range(nbytes, 0, -1)):
+    if int(m.group(3)) != nbytes or order != tuple(range(nbytes, 0, -1)):
         raise ValueError(
             f"unsupported FAB byte order {order} at offset {offset}: only "
             "little-endian IEEE plotfiles are supported")
@@ -318,9 +318,9 @@ def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions, ncomp,
             offsets.append(f.tell())
             head = f"FAB {desc}{_fmt_box(lo, hi)} {ncomp}\n"
             f.write(head.encode())
-            data64 = arr.astype(dtype)                 # (C, X, Y, Z)
-            f.write(np.ascontiguousarray(data64.transpose(0, 3, 2, 1)).tobytes())
-            flat = data64.reshape(ncomp, -1)
+            data = arr.astype(dtype)                   # (C, X, Y, Z)
+            f.write(np.ascontiguousarray(data.transpose(0, 3, 2, 1)).tobytes())
+            flat = data.reshape(ncomp, -1)
             mins.append(flat.min(axis=1))
             maxs.append(flat.max(axis=1))
     out = []
