@@ -47,6 +47,11 @@ def main():
         ("cube64", (64, 64, 64), 16),
         ("fixture16x32x64", (16, 32, 64), 4),
         ("tiny8x4x2", (8, 4, 2), 8),
+        # large AMR boxes (round-3: the whole-box gate is lifted for the
+        # interleaved stencils; only those run here — the halves kernels
+        # stream whole boxes and stay VMEM-bounded at 4 MiB)
+        ("cube128", (128, 128, 128), 4),
+        ("cube256", (256, 256, 256), 2),
     ]
     for name, dims, n in cases:
         x, y, z = dims
@@ -55,27 +60,29 @@ def main():
         ref_r = np.asarray(haar.haar3d_inverse(jnp.asarray(ref_c)))
         flat = ref_c.reshape(n, -1)
 
-        # halves kernels (plain + packed)
-        try:
-            c, mx, mn = hp.fused_forward(jnp.asarray(boxes))
-            ok = (np.array_equal(np.asarray(c).view(np.int32),
-                                 ref_c.view(np.int32))
-                  and np.array_equal(np.asarray(mx), flat.max(axis=1))
-                  and np.array_equal(np.asarray(mn), flat.min(axis=1)))
-            out = np.asarray(hp.fused_inverse(c))
-            ok = ok and np.array_equal(out.view(np.int32),
-                                       ref_r.view(np.int32))
-        except Exception as e:  # noqa: BLE001
-            print(f"  halves/{name}: {e}")
-            ok = False
-        failures += not check(f"halves {name}", ok)
+        halves_ok = int(np.prod(dims)) * 4 <= (4 << 20)
+        # halves kernels (plain + packed) — whole-box VMEM bound
+        if halves_ok:
+            try:
+                c, mx, mn = hp.fused_forward(jnp.asarray(boxes))
+                ok = (np.array_equal(np.asarray(c).view(np.int32),
+                                     ref_c.view(np.int32))
+                      and np.array_equal(np.asarray(mx), flat.max(axis=1))
+                      and np.array_equal(np.asarray(mn), flat.min(axis=1)))
+                out = np.asarray(hp.fused_inverse(c))
+                ok = ok and np.array_equal(out.view(np.int32),
+                                           ref_r.view(np.int32))
+            except Exception as e:  # noqa: BLE001
+                print(f"  halves/{name}: {e}")
+                ok = False
+            failures += not check(f"halves {name}", ok)
 
         from wavelet_tpu.runtime.batching import cap_pack
 
         P = cap_pack(hp.lane_pack_factor(dims), n, z)
         while P > 1 and n % P:
             P //= 2
-        if P > 1:
+        if P > 1 and halves_ok:
             packed = np.ascontiguousarray(
                 boxes.reshape(n // P, P, x, y, z).transpose(0, 2, 3, 1, 4)
                 .reshape(n // P, x, y, P * z))

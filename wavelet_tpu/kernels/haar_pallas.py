@@ -646,22 +646,25 @@ def fused_inverse_interleaved(packed: jax.Array, n_seg: int = 1,
     return _inv_interleaved_call(packed, n_seg, scales, interpret=True)
 
 
-def interleaved_pack_factor(dims, target_lanes: int = 1024) -> int:
+def interleaved_pack_factor(dims, target_lanes: int = 1024,
+                            scales: int = 1) -> int:
     """Boxes per packed row for the interleaved layout: fill up to
     ``target_lanes`` lanes (wide rows -> >= 4 KiB contiguous HBM runs,
     the DMA-efficient regime) with P = target/Z whole Z-extents.
 
-    P is additionally capped so a two-X-row block (the minimum legal
-    interleaved block, see :func:`_x_block`) stays within the 1 MiB block
-    target — otherwise wide rows on large (Y, Z) boxes would force
-    VMEM-oversized blocks."""
+    P is additionally capped so the MINIMUM legal interleaved block
+    (``2**scales`` X rows, see :func:`_x_block`) stays within the 1 MiB
+    block target — otherwise wide rows on large (Y, Z) boxes would force
+    VMEM-oversized blocks.  The kernels stream these blocks, so box sizes
+    are otherwise unbounded (unlike the whole-box halves kernels)."""
     x, y, z = (int(d) for d in dims)
-    if z <= 0 or z % 2 or not interleaved_ok(dims):
+    if z <= 0 or z % 2 or not interleaved_ok(dims, scales):
         return 1
     if z >= target_lanes:
         return 1
     p = target_lanes // z
-    max_p = max(1, (1 << 20) // (2 * y * z * 4))
+    q = 1 << max(1, int(scales))
+    max_p = max(1, (1 << 20) // (q * y * z * 4))
     return max(1, min(p, max_p))
 
 

@@ -318,12 +318,19 @@ class CodecEngine:
         """Layout the engine's coefficient batches use for this box shape."""
         if (self.layout == "interleaved" and self.use_pallas
                 and haar_pallas.interleaved_ok(dims, self.eff_scales(dims))
-                and self._pallas_ok(dims)):
+                and self._interleaved_block_ok(dims)):
             return "interleaved"
         return "halves"
 
-    # one box must fit VMEM alongside the double-buffered pipeline
+    # one box must fit VMEM alongside the double-buffered pipeline — the
+    # bound for the HALVES kernels, which stream whole boxes per grid step
     _PALLAS_MAX_BLOCK_BYTES = 4 << 20
+    # the interleaved stencils stream 2**scales-row blocks instead, so
+    # their bound is per BLOCK, independent of box size: probe7 measured
+    # >= 4 MiB stencil blocks fail Mosaic scoped-vmem (intermediates are
+    # ~4-6x block bytes vs 16 MiB VMEM); 2 MiB compiles and runs at the
+    # ~325 GB/s in-place ceiling (bench_results/kernel_probe7.json)
+    _MAX_STENCIL_BLOCK_BYTES = 2 << 20
 
     def _put(self, x):
         return mesh_lib.shard_batch(x, self.mesh)
@@ -389,12 +396,29 @@ class CodecEngine:
 
     def _pallas_ok(self, dims) -> bool:
         """Whether the single-scale halves kernels may run for this shape
-        (also the box-size bound shared by the interleaved path)."""
+        (whole-box VMEM bound — those kernels stream one box per step)."""
         return (self.use_pallas
                 and int(np.prod(dims)) * 4 <= self._PALLAS_MAX_BLOCK_BYTES)
 
     def _halves_ok(self, dims) -> bool:
         return self.scales == 1 and self._pallas_ok(dims)
+
+    def _interleaved_block_ok(self, dims) -> bool:
+        """Whether the interleaved stencil kernels may run for this shape.
+
+        They block over X rows (haar_pallas._x_block picks xb within a
+        1 MiB target), so the box itself can be ANY size — a 128^3 or
+        256^3 AMR box streams through just like a 64^3 one (the reference
+        has no box-size ceiling either, compressor.cpp:85-185).  The only
+        hard requirement is that the MINIMUM legal block — 2**scales rows
+        at the packed lane width — fits the stencil VMEM budget; past
+        that (e.g. a 1024^3 monolith at 4 MiB/row) the jnp or sharded
+        giant-box path takes over."""
+        x, y, z = (int(d) for d in dims)
+        eff = self.eff_scales(dims)
+        pack = haar_pallas.interleaved_pack_factor(dims, scales=eff)
+        q = 1 << eff
+        return q * y * (pack * z) * 4 <= self._MAX_STENCIL_BLOCK_BYTES
 
     def forward_signed_batch(self, data: np.ndarray):
         """-> (coeffs f32 [N, XYZ], signed absmax f32 [N]): the transform
@@ -433,7 +457,8 @@ class CodecEngine:
         """Lane-pack factor the engine wants for boxes of this shape (feeds
         batching.plan_batches): >1 only on the fused-Pallas paths."""
         if self.coeff_layout(dims) == "interleaved":
-            return haar_pallas.interleaved_pack_factor(dims)
+            return haar_pallas.interleaved_pack_factor(
+                dims, scales=self.eff_scales(dims))
         if self._halves_ok(dims):
             return haar_pallas.lane_pack_factor(dims)
         return 1
