@@ -118,32 +118,109 @@ class PlotfileHeader:
         return idxs
 
 
+class _LineCursor:
+    """Line-oriented parser with the same clean-error contract as
+    ``archive._Reader``: truncated or malformed input raises a descriptive
+    ``ValueError`` naming the file and line, never ``StopIteration`` /
+    ``IndexError`` / a bare ``int()`` traceback.  Plotfiles are the one
+    input surface fed by *foreign* files in every real run, so they get
+    the strictest treatment (format spec: ``preprocess.cpp:135-258``)."""
+
+    def __init__(self, lines, name: str):
+        self.lines = lines
+        self.i = 0
+        self.name = name
+
+    def line(self, what: str) -> str:
+        if self.i >= len(self.lines):
+            raise ValueError(
+                f"truncated or corrupt {self.name}: expected {what} at line "
+                f"{self.i + 1}, file has only {len(self.lines)} lines")
+        s = self.lines[self.i]
+        self.i += 1
+        return s
+
+    def _conv(self, tok: str, conv, what: str):
+        try:
+            return conv(tok)
+        except (ValueError, OverflowError):
+            raise ValueError(
+                f"corrupt {self.name}: expected {what} at line {self.i}, "
+                f"got {tok!r}") from None
+
+    def int(self, what: str) -> int:
+        return self._conv(self.line(what).strip(), int, what + " (an integer)")
+
+    def ints(self, what: str) -> list:
+        return [self._conv(t, int, what + " (integers)")
+                for t in self.line(what).split()]
+
+    def floats(self, what: str) -> list:
+        vals = [self._conv(t, float, what + " (numbers)")
+                for t in self.line(what).split()]
+        for v in vals:
+            if not np.isfinite(v):
+                raise ValueError(f"corrupt {self.name}: non-finite {what} "
+                                 f"at line {self.i}")
+        return vals
+
+
 def read_header(plotfile_dir: str) -> PlotfileHeader:
-    """Parse ``<plotfile_dir>/Header`` (same fields as ``preprocess.cpp:135-258``)."""
+    """Parse ``<plotfile_dir>/Header`` (same fields as ``preprocess.cpp:135-258``).
+
+    Any truncation or malformed field raises a descriptive ``ValueError``
+    (cli.main's clean-error contract); the reference by contrast crashes or
+    mis-reads on corrupt Headers (raw ``stringstream`` extraction)."""
     path = os.path.join(plotfile_dir, "Header")
     with open(path, "r") as f:
         lines = f.read().split("\n")
-    it = iter(lines)
+    cur = _LineCursor(lines, f"plotfile Header {path}")
     h = PlotfileHeader()
-    h.magic = next(it).strip()
-    h.n_comp = int(next(it))
-    h.component_names = [next(it).strip() for _ in range(h.n_comp)]
-    h.spacedim = int(next(it))
+    h.magic = cur.line("format magic").strip()
+    h.n_comp = cur.int("component count")
+    if not 0 < h.n_comp <= 100000:
+        raise ValueError(f"corrupt plotfile Header {path}: implausible "
+                         f"component count {h.n_comp}")
+    h.component_names = [cur.line("a component name").strip()
+                         for _ in range(h.n_comp)]
+    h.spacedim = cur.int("space dimension")
     if h.spacedim != 3:
         raise ValueError(f"only 3D plotfiles supported (got {h.spacedim}D); "
                          "the reference asserts the same (preprocess.cpp:176-179)")
-    h.time_str = next(it).strip()
-    h.time = float(h.time_str)
-    h.finest_level = int(next(it))
-    h.prob_lo = [float(v) for v in next(it).split()]
-    h.prob_hi = [float(v) for v in next(it).split()]
-    h.ref_ratio = [int(v) for v in next(it).split()]  # finest_level entries
-    dom_line = next(it)
+    h.time_str = cur.line("time").strip()
+    try:
+        h.time = float(h.time_str)
+    except ValueError:
+        raise ValueError(f"corrupt plotfile Header {path}: bad time "
+                         f"{h.time_str!r}") from None
+    h.finest_level = cur.int("finest level")
+    if not 0 <= h.finest_level <= 64:
+        raise ValueError(f"corrupt plotfile Header {path}: implausible "
+                         f"finest level {h.finest_level}")
+    h.prob_lo = cur.floats("prob_lo")
+    h.prob_hi = cur.floats("prob_hi")
+    if len(h.prob_lo) != 3 or len(h.prob_hi) != 3:
+        raise ValueError(f"corrupt plotfile Header {path}: prob_lo/prob_hi "
+                         "must each have 3 entries")
+    h.ref_ratio = cur.ints("refinement ratios")  # finest_level entries
+    if len(h.ref_ratio) < h.finest_level:
+        raise ValueError(
+            f"corrupt plotfile Header {path}: {len(h.ref_ratio)} refinement "
+            f"ratios for {h.finest_level} level boundaries")
+    dom_line = cur.line("problem domain boxes")
     h.prob_domain = []
     for m in _BOX_RE.finditer(dom_line):
         g = [int(v) for v in m.groups()]
         h.prob_domain.append(((g[0], g[1], g[2]), (g[3], g[4], g[5])))
-    h.level_steps = [int(v) for v in next(it).split()]
+    if len(h.prob_domain) < h.n_levels:
+        raise ValueError(
+            f"corrupt plotfile Header {path}: domain line has "
+            f"{len(h.prob_domain)} boxes for {h.n_levels} levels")
+    for lo, hi in h.prob_domain:
+        if any(b < a for a, b in zip(lo, hi)):
+            raise ValueError(f"corrupt plotfile Header {path}: inverted "
+                             f"domain box {lo}..{hi}")
+    h.level_steps = cur.ints("level steps")
     return h
 
 
@@ -178,27 +255,66 @@ _FAB_DESC = {"f64": (_IEEE_F64_LE, np.float64), "f32": (_IEEE_F32_LE, np.float32
 
 
 def _parse_cell_h(path: str):
-    """Parse a VisMF ``Cell_H``: box list + FabOnDisk entries (+ min/max, ignored)."""
+    """Parse a VisMF ``Cell_H``: box list + FabOnDisk entries (+ min/max,
+    ignored).  Corrupt or truncated headers raise descriptive ``ValueError``
+    (same contract as ``archive._Reader``), never ``AssertionError`` /
+    ``IndexError``."""
     with open(path, "r") as f:
         lines = [ln.rstrip("\n") for ln in f]
-    i = 0
-    version = int(lines[i]); i += 1
-    how = int(lines[i]); i += 1
-    ncomp = int(lines[i]); i += 1
-    ngrow_tok = lines[i]; i += 1
-    # ngrow may be "0" or an IntVect "(0,0,0)" in newer formats
+    cur = _LineCursor(lines, f"VisMF header {path}")
+    version = cur.int("VisMF version")
+    how = cur.int("VisMF ordering")
+    ncomp = cur.int("component count")
+    if not 0 < ncomp <= 100000:
+        raise ValueError(f"corrupt VisMF header {path}: implausible "
+                         f"component count {ncomp}")
+    cur.line("ngrow")  # may be "0" or an IntVect "(0,0,0)" in newer formats
     boxes = []
-    nbox = int(lines[i].lstrip("(").split()[0]); i += 1
+    nbox_line = cur.line("box-array size").lstrip("(").split()
+    try:
+        nbox = int(nbox_line[0])
+    except (IndexError, ValueError):
+        raise ValueError(f"corrupt VisMF header {path}: bad box-array size "
+                         f"line at line {cur.i}") from None
+    if not 0 <= nbox <= 10**7:
+        raise ValueError(f"corrupt VisMF header {path}: implausible box "
+                         f"count {nbox}")
     for _ in range(nbox):
-        lo, hi = _parse_box(lines[i]); i += 1
+        try:
+            lo, hi = _parse_box(cur.line("a box"))
+        except ValueError as e:
+            raise ValueError(f"corrupt VisMF header {path}: {e} at line "
+                             f"{cur.i}") from None
+        if any(b < a for a, b in zip(lo, hi)):
+            raise ValueError(f"corrupt VisMF header {path}: inverted box "
+                             f"{lo}..{hi} at line {cur.i}")
         boxes.append((lo, hi))
-    assert lines[i].startswith(")"); i += 1
-    nfabs = int(lines[i]); i += 1
+    if not cur.line("box-array close paren").startswith(")"):
+        raise ValueError(f"corrupt VisMF header {path}: box array not "
+                         f"closed at line {cur.i}")
+    nfabs = cur.int("FAB count")
+    if nfabs != nbox:
+        raise ValueError(f"corrupt VisMF header {path}: {nfabs} FabOnDisk "
+                         f"entries for {nbox} boxes")
     fabs = []
     for _ in range(nfabs):
-        parts = lines[i].split(); i += 1
-        assert parts[0] == "FabOnDisk:"
-        fabs.append((parts[1], int(parts[2])))
+        parts = cur.line("a FabOnDisk entry").split()
+        if len(parts) != 3 or parts[0] != "FabOnDisk:":
+            raise ValueError(f"corrupt VisMF header {path}: bad FabOnDisk "
+                             f"line at line {cur.i}")
+        try:
+            offset = int(parts[2])
+        except ValueError:
+            raise ValueError(f"corrupt VisMF header {path}: bad FAB offset "
+                             f"{parts[2]!r} at line {cur.i}") from None
+        if offset < 0:
+            raise ValueError(f"corrupt VisMF header {path}: negative FAB "
+                             f"offset at line {cur.i}")
+        if os.path.basename(parts[1]) != parts[1] or not parts[1]:
+            # a FAB name with path separators could escape the level dir
+            raise ValueError(f"corrupt VisMF header {path}: FAB file name "
+                             f"{parts[1]!r} is not a plain file name")
+        fabs.append((parts[1], offset))
     return {"version": version, "how": how, "ncomp": ncomp, "boxes": boxes,
             "fabs": fabs}
 
@@ -206,7 +322,7 @@ def _parse_cell_h(path: str):
 def _read_fab(f, offset: int):
     """Read one FAB at ``offset``: returns (ncomp, nx, ny, nz, data[C,Z,Y,X] f64)."""
     f.seek(offset)
-    head = f.readline()
+    head = f.readline(4096)
     m = _FAB_HEADER_RE.match(head)
     if m is None:
         raise ValueError(f"bad FAB header at offset {offset}: {head[:80]!r}")
@@ -224,14 +340,24 @@ def _read_fab(f, offset: int):
     hi = tuple(int(m.group(k)) for k in (8, 9, 10))
     ncomp = int(m.group(14))
     nx, ny, nz = (h - l + 1 for l, h in zip(lo, hi))
+    if min(nx, ny, nz) <= 0 or ncomp <= 0:
+        raise ValueError(f"corrupt FAB header at offset {offset}: "
+                         f"box {lo}..{hi} x {ncomp} components")
     count = ncomp * nx * ny * nz
     if nbytes not in (8, 4):
         raise ValueError(
             f"unsupported FAB real width {nbytes} B at offset {offset}")
+    # bound the allocation by what the file can actually hold — a corrupt
+    # header must not make us try to materialize terabytes
+    avail = (os.fstat(f.fileno()).st_size - f.tell()) // nbytes
+    if count > avail:
+        raise ValueError(
+            f"truncated or corrupt FAB at offset {offset}: header claims "
+            f"{count} values, file has room for {max(avail, 0)}")
     dtype = {8: "<f8", 4: "<f4"}[nbytes]
     data = np.fromfile(f, dtype=dtype, count=count)
     if data.size != count:
-        raise IOError(f"short FAB read at offset {offset}")
+        raise ValueError(f"short FAB read at offset {offset}")
     return lo, hi, ncomp, data.reshape(ncomp, nz, ny, nx)
 
 
@@ -272,7 +398,15 @@ def read_level(plotfile_dir: str, level: int, comp_idxs) -> LevelBoxes:
             if fname not in open_files:
                 open_files[fname] = open(os.path.join(lvl_dir, fname), "rb")
             flo, fhi, ncomp, data = _read_fab(open_files[fname], offset)
-            assert flo == lo and fhi == hi, "Cell_H box list disagrees with FAB"
+            if flo != lo or fhi != hi:
+                raise ValueError(
+                    f"corrupt plotfile level {lvl_dir}: Cell_H box "
+                    f"{lo}..{hi} disagrees with FAB header {flo}..{fhi} "
+                    f"in {fname} at offset {offset}")
+            if comp_idxs and max(comp_idxs) >= ncomp:
+                raise ValueError(
+                    f"corrupt plotfile level {lvl_dir}: FAB in {fname} has "
+                    f"{ncomp} components, need index {max(comp_idxs)}")
             # select components, narrow to f32, transpose to (C, X, Y, Z)
             sel = data[comp_idxs].astype(np.float32)
             arr = np.ascontiguousarray(sel.transpose(0, 3, 2, 1))
