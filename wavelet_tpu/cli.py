@@ -52,6 +52,8 @@ Extension keys (reference-compatible defaults):
   thresholdmode=box|global  keepfraction=F   scales=S      payload=f32|q16
   codec=xz|raw  xzpreset=N  xzdelta=D        archive=files|bundle
   transfer=dense|sparse     prefetch=0|1     resume=1      fastestimate=1
+  giantbox=BYTES (boxes >= this shard WITHIN the box over the mesh;
+                  default 1 GiB — needs devices=N > 1)
   devices=N  coordinator=host:port processes=N processid=I  profile=DIR
 
 Sweeps (-estimate only): keep="k1 k2 ..." or keepfraction="f1 f2 ..."
@@ -109,6 +111,11 @@ def parse_argv(argv):
         cfg.archive = kv.get("archive", "files")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
+        if "giantbox" in kv:
+            cfg.giant_box_bytes = int(kv["giantbox"])
+            if cfg.giant_box_bytes <= 0:
+                raise SystemExit(f"giantbox={kv['giantbox']} must be a "
+                                 "positive byte count")
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")
@@ -151,6 +158,11 @@ def parse_argv(argv):
         cfg.out_dir = need("out")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
+        if "giantbox" in kv:
+            cfg.giant_box_bytes = int(kv["giantbox"])
+            if cfg.giant_box_bytes <= 0:
+                raise SystemExit(f"giantbox={kv['giantbox']} must be a "
+                                 "positive byte count")
         cfg.out_precision = kv.get("outprec", "f64")
         if cfg.out_precision not in ("f64", "f32"):
             raise SystemExit(

@@ -70,6 +70,12 @@ class Config:
                                       #   (reference parity, byte-identical)
                                       #   | "f32" (half the bytes; values
                                       #   identical, the codec is f32)
+    giant_box_bytes: int | None = None  # route boxes >= this many bytes
+                                      #   through the X-sharded giant-box
+                                      #   transform (needs a multi-device
+                                      #   mesh; None = 1 GiB default, see
+                                      #   engine.CodecEngine.giant_ok).
+                                      #   CLI key: giantbox=BYTES
     prefetch: int = 0                 # 1 = overlap next timestep's plotfile
                                       #   read (compress) / this timestep's
                                       #   plotfile write (decompress) with the

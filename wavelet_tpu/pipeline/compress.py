@@ -123,7 +123,14 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
     with cf.ThreadPoolExecutor(1) as pack_pool:
         pending = None
         for batch in batches:
-            if transfer == "sparse":
+            if transfer == "sparse" and eng.giant_ok(batch.shape):
+                # giant boxes shard WITHIN the box; their coefficients are
+                # already fetched whole by the sharded transform, so the
+                # sparse d2h saving cannot apply — take the dense pack
+                coeffs, t32 = eng.compress_shapebatch(batch, keep)
+                d2h_bytes += coeffs.data.nbytes
+                job = (packer.pack, out_dir, coeffs, t32)
+            elif transfer == "sparse":
                 # sparsification on device: only kept (index, value) pairs
                 # cross the device->host link
                 sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
@@ -170,7 +177,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
                        scales: int = 1,
                        payload: str = "f32",
                        transfer: str = "dense",
-                       archive_format: str = "files") -> dict:
+                       archive_format: str = "files",
+                       giant_box_bytes: int | None = None) -> dict:
     """Device codec + host pack for already-collected data. Returns stats.
 
     ``threshold_mode``:
@@ -182,7 +190,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
       fixed-bin histograms (all-reduce-friendly).  The archive format is
       unchanged, so either mode decompresses identically.
     """
-    eng = engine.CodecEngine(mesh=mesh, scales=scales)
+    eng = engine.CodecEngine(mesh=mesh, scales=scales,
+                             giant_box_bytes=giant_box_bytes)
     packer = packer or engine.HostPacker(payload=payload,
                                          archive_format=archive_format)
     pad = mesh.size if mesh is not None else 1
@@ -212,7 +221,8 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
             log.info("Resume: skipping %d already-compressed items", skipped)
         items = kept_items
     batches = batching.plan_batches(items, pad_multiple=pad,
-                                    pack_fn=eng.pack_factor)
+                                    pack_fn=eng.pack_factor,
+                                    pad_fn=eng.pad_multiple_for)
     if threshold_mode == "global":
         if keep_fraction is None:
             raise ValueError("global threshold mode requires keep_fraction")
@@ -305,7 +315,8 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
     host RSS is bounded by the largest single timestep."""
     import jax
 
-    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
+                             giant_box_bytes=cfg.giant_box_bytes)
     packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
                                xz_preset=cfg.xz_preset,
                                xz_delta=cfg.xz_delta,
@@ -341,7 +352,8 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             n_skip = len(items) - len(kept)
             items = kept
         return batching.plan_batches(items, pad_multiple=pad,
-                                     pack_fn=eng.pack_factor), n_skip
+                                     pack_fn=eng.pack_factor,
+                                     pad_fn=eng.pad_multiple_for), n_skip
 
     n_files = 0
     in_bytes = 0

@@ -37,12 +37,17 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
     coefficient batch; h2d is decided by the device stage) — no device
     work happens here, so a prefetch worker can run it behind the
     previous bucket's inverse."""
+    pad = eng.pad_multiple_for(dims) if pad > 1 else pad
     if preview:
         batch = batching.empty_batch(bucket_items, dims, pack=1,
                                      pad_multiple=pad, layout="halves",
                                      scales=eng.eff_scales(dims))
         packer.unpack_into(cfg.compressed_dir, batch)
         return "preview", batch, 0
+    if transfer == "sparse" and eng.giant_ok(dims):
+        # giant boxes shard within the box; the pair transport's h2d
+        # saving does not compose with the per-box sharded inverse
+        transfer = "dense"
     if transfer == "sparse":
         batch = batching.ShapeBatch(shape=dims, data=None,
                                     items=bucket_items,
@@ -265,7 +270,8 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     packer = engine.HostPacker(payload=meta.get("payload", "f32"),
                                codec=meta.get("codec", "xz"),
                                archive_format=meta.get("archive", "files"))
-    eng = engine.CodecEngine(mesh=mesh, scales=meta.get("scales", 1))
+    eng = engine.CodecEngine(mesh=mesh, scales=meta.get("scales", 1),
+                             giant_box_bytes=cfg.giant_box_bytes)
     pad = mesh.size if mesh is not None else 1
     # multi-host fan-out: timesteps are independent units (each regenerates
     # its own plotfile directory), so each process takes a contiguous slice

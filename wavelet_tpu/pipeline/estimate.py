@@ -89,7 +89,8 @@ def _metrics_result(run, cfg, mesh, regen, comp_size, files, levels,
     adjusted loss, and size percentage (modes.cpp:294-324)."""
     lv = run.levels_data[0][0]
     if cfg.device_metrics:
-        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
+                             giant_box_bytes=cfg.giant_box_bytes)
         per_box = [eng.rmse_batch(a, p) for a, p in zip(lv.boxes, regen)]
     else:
         per_box = [metrics.rmse_per_box(a, p)
@@ -117,7 +118,8 @@ def _fast_estimate(run, cfg, mesh, files, levels) -> dict:
     """fastestimate=1: no scratch archive at all (metrics identical)."""
     from wavelet_tpu.core import threshold as thr
 
-    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+    eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
+                             giant_box_bytes=cfg.giant_box_bytes)
     _lv, comp_pos, buckets, stacked = _fast_buckets(run)
     if cfg.threshold_mode == "global":
         # ONE forward + histogram serves any number of keep fractions
@@ -183,7 +185,8 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
             keep_fraction=cfg.keep_fraction,
             scales=cfg.scales, payload=cfg.payload)
         log.info("Compression complete.")
-        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales)
+        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
+                             giant_box_bytes=cfg.giant_box_bytes)
         lv = run.levels_data[0][0]
         buckets = {}
         for b in range(len(lv.boxes)):

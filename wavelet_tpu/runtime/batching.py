@@ -173,7 +173,7 @@ def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,
 
 
 def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,
-                 pack_fn=None):
+                 pack_fn=None, pad_fn=None):
     """Group ``entries`` = iterable of (WorkItem, array[X,Y,Z] f32) into
     :class:`ShapeBatch` es.
 
@@ -182,7 +182,9 @@ def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,
     TPU kernels); omitted/1 keeps the plain layout.  Batches are split so
     none exceeds ``max_batch_bytes``; N pads to a multiple of
     ``P * pad_multiple`` so the packed leading axis shards evenly over the
-    mesh.
+    mesh.  ``pad_fn(shape) -> int`` overrides ``pad_multiple`` per shape
+    (``engine.pad_multiple_for``: giant shapes shard within the box, so
+    their batches must not pad phantom giant boxes onto the leading axis).
     """
     buckets = {}
     for item, arr in entries:
@@ -192,9 +194,10 @@ def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,
     batches = []
     for shape in sorted(buckets, key=lambda s: (-int(np.prod(s)), s)):
         pairs = buckets[shape]
+        pad_m = int(pad_fn(shape)) if pad_fn is not None else pad_multiple
         pack = int(pack_fn(shape)) if pack_fn is not None else 1
         pack = cap_pack(pack, len(pairs), shape[-1])
-        quantum = pack * pad_multiple
+        quantum = pack * pad_m
         per_item = int(np.prod(shape)) * 4
         chunk = max(quantum, (max_batch_bytes // max(per_item, 1)) or 1)
         chunk = pad_to_multiple(chunk, quantum) or quantum

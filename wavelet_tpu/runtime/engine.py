@@ -268,9 +268,19 @@ class CodecEngine:
     """
 
     def __init__(self, mesh=None, use_pallas: bool | None = None,
-                 scales: int = 1, layout: str | None = None):
+                 scales: int = 1, layout: str | None = None,
+                 giant_box_bytes: int | None = None):
         self.mesh = mesh
         self.scales = int(scales)
+        # boxes at or above this many bytes route through the X-sharded
+        # giant-box transform when a multi-device mesh is present (the
+        # single-chip batch path would need the whole box plus its
+        # coefficients on one chip).  CLI key: giantbox=BYTES.
+        if giant_box_bytes is None:
+            giant_box_bytes = int(os.environ.get("WAVELET_TPU_GIANTBOX",
+                                                 1 << 30))
+        self.giant_box_bytes = int(giant_box_bytes)
+        self._giant_fns: dict = {}
         if use_pallas is None:
             use_pallas = haar_pallas.supported()
             if os.environ.get("WAVELET_TPU_FORCE_PALLAS") == "1":
@@ -316,11 +326,68 @@ class CodecEngine:
 
     def coeff_layout(self, dims) -> str:
         """Layout the engine's coefficient batches use for this box shape."""
+        if self.giant_ok(dims):
+            # the X-sharded giant-box transform emits interleaved-layout
+            # coefficients (zero-collective pyramid; distributed.py)
+            return "interleaved"
         if (self.layout == "interleaved" and self.use_pallas
                 and haar_pallas.interleaved_ok(dims, self.eff_scales(dims))
                 and self._interleaved_block_ok(dims)):
             return "interleaved"
         return "halves"
+
+    def giant_ok(self, dims) -> bool:
+        """Whether boxes of this shape route through the X-sharded
+        giant-box transform (``distributed.make_sharded_box_*_interleaved``,
+        the BASELINE.json config-5 'block-boundary halos' capability): a
+        single box too large for one chip's working set is laid out
+        ``[X, Y, Z]`` with X sharded over the mesh, every pyramid pair
+        shard-local (zero collectives).  Requires a multi-device mesh and
+        X divisible by ``mesh.size * 2**scales`` (each shard's extent must
+        hold whole pairs at every scale)."""
+        if self.mesh is None or self.mesh.size <= 1:
+            return False
+        if int(np.prod(dims)) * 4 < self.giant_box_bytes:
+            return False
+        eff = self.eff_scales(dims)
+        return (haar_pallas.interleaved_ok(dims, eff)
+                and int(dims[0]) % (self.mesh.size * (1 << eff)) == 0)
+
+    def pad_multiple_for(self, dims) -> int:
+        """Batch-axis padding quantum for this shape (feeds plan_batches):
+        mesh-data-parallel shapes pad to the device count so the leading
+        axis shards evenly; giant shapes shard WITHIN the box, so their
+        batches must not be padded with phantom giant boxes."""
+        if self.mesh is None:
+            return 1
+        return 1 if self.giant_ok(dims) else self.mesh.size
+
+    def _giant(self, kind: str, eff: int):
+        """Cached sharded-box jits: 'fwd' / 'inv' (zero-collective
+        interleaved transforms over the mesh) and 'maxmin' (sharded
+        extrema; XLA inserts the ICI all-reduce)."""
+        key = (kind, eff)
+        fn = self._giant_fns.get(key)
+        if fn is None:
+            from wavelet_tpu.runtime import distributed
+
+            if kind == "fwd":
+                fn = distributed.make_sharded_box_forward_interleaved(
+                    self.mesh, eff)
+            elif kind == "inv":
+                fn = distributed.make_sharded_box_inverse_interleaved(
+                    self.mesh, eff)
+            else:
+                fn = jax.jit(lambda c: (jnp.max(c), jnp.min(c)))
+            self._giant_fns[key] = fn
+        return fn
+
+    def _put_giant(self, arr: np.ndarray):
+        """One giant box [X, Y, Z] onto the mesh, X sharded."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(self.mesh, PartitionSpec(mesh_lib.DATA_AXIS))
+        return jax.device_put(arr, sh)
 
     # one box must fit VMEM alongside the double-buffered pipeline — the
     # bound for the HALVES kernels, which stream whole boxes per grid step
@@ -456,6 +523,8 @@ class CodecEngine:
     def pack_factor(self, dims) -> int:
         """Lane-pack factor the engine wants for boxes of this shape (feeds
         batching.plan_batches): >1 only on the fused-Pallas paths."""
+        if self.giant_ok(dims):
+            return 1   # giant boxes shard within the box, one per row
         if self.coeff_layout(dims) == "interleaved":
             return haar_pallas.interleaved_pack_factor(
                 dims, scales=self.eff_scales(dims))
@@ -463,9 +532,46 @@ class CodecEngine:
             return haar_pallas.lane_pack_factor(dims)
         return 1
 
+    def _compress_giant(self, batch: ShapeBatch, keep: float):
+        """Giant-box compress: each item is one box X-sharded over the
+        mesh, transformed with the zero-collective interleaved pyramid
+        (distributed.make_sharded_box_forward_interleaved).  Coefficients,
+        layout, tie resolution and thresholds are identical to the
+        single-device interleaved path, so archive bytes match an
+        unsharded run bit for bit (tests/test_giant_box.py)."""
+        eff = self.eff_scales(batch.shape)
+        fwd = self._giant("fwd", eff)
+        maxmin = self._giant("maxmin", eff)
+        n = batch.data.shape[0]
+        coeffs = np.empty_like(batch.data)
+        maxs = np.empty(n, np.float32)
+        mins = np.empty(n, np.float32)
+        for i in range(n):
+            c = fwd(self._put_giant(batch.data[i]))
+            mx, mn = maxmin(c)
+            coeffs[i] = np.asarray(c)
+            maxs[i], mins[i] = np.asarray(mx), np.asarray(mn)
+        cb = dataclasses.replace(batch, data=coeffs, pack=1,
+                                 layout="interleaved", scales=eff)
+        signed = resolve_signed_absmax(
+            maxs, mins, row_getter=lambda i: cb.item_view(i).reshape(-1))
+        return cb, threshold.exact_threshold32(signed, keep)
+
+    def _decompress_giant(self, coeff_batch: ShapeBatch) -> ShapeBatch:
+        """Inverse of :meth:`_compress_giant`: per item, interleaved
+        coefficients X-sharded onto the mesh, zero-collective inverse."""
+        eff = self.eff_scales(coeff_batch.shape)
+        inv = self._giant("inv", eff)
+        out = np.empty_like(coeff_batch.data)
+        for i in range(coeff_batch.data.shape[0]):
+            out[i] = np.asarray(inv(self._put_giant(coeff_batch.data[i])))
+        return dataclasses.replace(coeff_batch, data=out, layout="halves")
+
     def compress_shapebatch(self, batch: ShapeBatch, keep: float):
         """-> (coeff ShapeBatch — same geometry, data = coefficients,
         and t32 f32 per item incl. padding slots)."""
+        if self.giant_ok(batch.shape):
+            return self._compress_giant(batch, keep)
         dev = self._put(jnp.asarray(batch.data))
         eff = self.eff_scales(batch.shape)
         use_interleaved = self.coeff_layout(batch.shape) == "interleaved"
@@ -613,6 +719,17 @@ class CodecEngine:
 
     def forward_hist_shapebatch(self, batch: ShapeBatch):
         """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
+        if self.giant_ok(batch.shape):
+            eff = self.eff_scales(batch.shape)
+            fwd = self._giant("fwd", eff)
+            coeffs = np.empty_like(batch.data)
+            hist = np.zeros(threshold.EXP_HIST_BINS, np.int64)
+            for i in range(batch.data.shape[0]):
+                c = fwd(self._put_giant(batch.data[i]))
+                hist += np.asarray(_fwd_hist_only(c[None]), dtype=np.int64)
+                coeffs[i] = np.asarray(c)
+            return dataclasses.replace(batch, data=coeffs, pack=1,
+                                       layout="interleaved", scales=eff), hist
         if self.coeff_layout(batch.shape) == "interleaved":
             dev = self._put(jnp.asarray(batch.data))
             # no per-box extrema needed for the histogram pass: the
@@ -655,6 +772,9 @@ class CodecEngine:
     def decompress_shapebatch(self, coeff_batch: ShapeBatch) -> ShapeBatch:
         """coefficients -> reconstructed boxes, same geometry (natural
         spatial layout regardless of the coefficient layout)."""
+        if (self.giant_ok(coeff_batch.shape)
+                and coeff_batch.layout == "interleaved"):
+            return self._decompress_giant(coeff_batch)
         dev = self._put(jnp.asarray(coeff_batch.data))
         if coeff_batch.layout == "interleaved":
             out = self._kernel("inv_interleaved", coeff_batch.pack,
