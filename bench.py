@@ -255,6 +255,87 @@ def main():
             sp_ifwd = {"error": str(e)[:200]}
             dt_ifwd = dt_iinv = None
 
+    # --- large AMR boxes (VERDICT r3 item 1): the lifted whole-box gate
+    # must show up as measured throughput — fused interleaved at 128^3 vs
+    # the jnp multi-pass fallback those boxes used to take (TPU only)
+    large = None
+    if on_tpu:
+        try:
+            dL, nL = 128, 32                       # 256 MiB per rep
+            packL = hp.interleaved_pack_factor((dL, dL, dL))
+            lshape = (nL // packL, dL, dL, packL * dL)
+            lbytes = nL * dL ** 3 * 4
+
+            @partial(jax.jit, static_argnums=1)
+            def lfwd_many(v, k):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, u: hp.fused_forward_interleaved(
+                        u, packL)[0], v)
+
+            @partial(jax.jit, static_argnums=1)
+            def ljnp_many(v, k):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, u: haar.haar3d_forward(u), v)
+
+            lmake = make_x_shape(lshape)
+            jmake = make_x_shape((nL, dL, dL, dL))
+            _ = np.asarray(lfwd_many(lmake(), 2).ravel()[0])
+            _ = np.asarray(ljnp_many(jmake(), 2).ravel()[0])
+            dt_lf, sp_lf = _two_point(lfwd_many, lmake, K1, K2,
+                                      lbytes if on_tpu else 0, 2.0)
+            # the jnp fallback makes ~3 passes (one per axis), ~6x traffic
+            dt_lj, sp_lj = _two_point(ljnp_many, jmake, K1, K2,
+                                      lbytes if on_tpu else 0, 6.0)
+            lgb = lbytes / 1e9
+            large = {
+                "block_shape": [nL, dL, dL, dL],
+                "pack": packL,
+                "fused_interleaved_gbps": round(lgb / dt_lf, 3),
+                "fused_spread": {k: sp_lf[k] for k in
+                                 ("reps_used", "reps_dropped_implausible")},
+                "jnp_fallback_gbps": round(lgb / dt_lj, 3),
+                "fused_vs_jnp": round(dt_lj / dt_lf, 3),
+            }
+        except Exception as e:  # noqa: BLE001
+            large = {"error": str(e)[:200]}
+
+    # --- sparse compact step (VERDICT r3 item 5): the argsort-based
+    # on-device sparsification, measured at its production cap regime
+    compact = None
+    if on_tpu:
+        try:
+            from wavelet_tpu.runtime.engine import _compact_step
+
+            m = d ** 3
+            cap = int(np.ceil(0.02 * m / 128) * 128)   # post-adaptive cap
+            t32c = jax.device_put(
+                jnp.full((n,), 2.0, jnp.float32), dev)   # ~1% kept
+
+            @partial(jax.jit, static_argnums=1)
+            def compact_many(v, k):
+                def body(i, u):
+                    cnt, idxs, vals = _compact_step(u, t32c, cap)
+                    # thread every output back into the carry so no row of
+                    # the argsort can be dead-code-eliminated
+                    return u + (jnp.sum(vals) + jnp.sum(cnt).astype(
+                        jnp.float32) + jnp.sum(idxs).astype(
+                        jnp.float32)) * jnp.float32(1e-30)
+                return jax.lax.fori_loop(0, k, body, v)
+
+            cmake = make_x_shape((n, m))
+            _ = np.asarray(compact_many(cmake(), 2).ravel()[0])
+            dt_c, sp_c = _two_point(compact_many, cmake, K1, K2,
+                                    nbytes, 2.0)
+            compact = {
+                "gbps": round(nbytes / 1e9 / dt_c, 3),
+                "cap_fraction": cap / m,
+                "reps_used": sp_c["reps_used"],
+                "reps_dropped_implausible":
+                    sp_c["reps_dropped_implausible"],
+            }
+        except Exception as e:  # noqa: BLE001
+            compact = {"error": str(e)[:200]}
+
     gb = nbytes / 1e9
     best_fwd = dt_fwd
     best_inv = dt_inv
@@ -289,13 +370,49 @@ def main():
         (recon.astype(np.float64) - orig_np.astype(np.float64)) ** 2)))
     kept_frac = float(mask.mean())
 
+    # the end-to-end rows (VERDICT r3 item 3) are recorded by
+    # scripts/bench_e2e.py (full pipeline on a >= 1 GiB tmpfs dataset with
+    # link-time decomposition — this rig's axon tunnel moves ~0.03-0.05
+    # GB/s per direction, so e2e wall here is ~75-98% tunnel); the bench
+    # embeds that artifact's summary so BOTH numbers appear side by side
+    # and the device-stage headline can't be mistaken for the e2e target.
+    e2e = None
+    try:
+        with open("bench_results/e2e_compress.json") as f:
+            ed = json.load(f)
+        pick = ed.get("cube128", ed.get("cube64", {}))
+        coll = pick.get("collected", {})
+        e2e = {
+            "artifact": "bench_results/e2e_compress.json",
+            "semantics": ed.get("semantics"),
+            "e2e_measured_gbps_this_rig": coll.get("e2e_measured_gbps"),
+            "link_share_of_wall": coll.get("link_share_of_wall"),
+            "e2e_link_normalized_gbps": coll.get(
+                "e2e_link_normalized_gbps"),
+            "reconciliation": coll.get("reconciliation"),
+            "projected_colocated_gbps": coll.get(
+                "projected_colocated_gbps"),
+        }
+    except (OSError, ValueError):
+        pass
+
     baseline = 10.0  # GB/s/chip north star (BASELINE.json)
     print(json.dumps({
-        "metric": "compress_throughput_per_chip",
+        # renamed from compress_throughput_per_chip (round <= 2): this is
+        # the DEVICE-STAGE rate (fused forward + threshold masking), not
+        # the end-to-end figure the 10 GB/s baseline targets — see
+        # extra.e2e for the end-to-end rows and their decomposition
+        "metric": "device_compress_throughput_per_chip",
         "value": round(compress_gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(compress_gbps / baseline, 3),
         "extra": {
+            "vs_baseline_note": ("baseline 10 GB/s is an END-TO-END "
+                                 "target; this headline is the device "
+                                 "stage alone — e2e rows in extra.e2e"),
+            "e2e": e2e,
+            "large_box_128": large,
+            "sparse_compact_stage": compact,
             "platform": platform,
             "block_shape": [n, d, d, d],
             "bytes": nbytes,

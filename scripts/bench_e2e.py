@@ -1,0 +1,262 @@
+"""One defensible END-TO-END compress GB/s/chip measurement (VERDICT r2 #3).
+
+Measures the full pipeline — plotfile read -> device codec -> d2h ->
+native pack (codec=raw) -> bundle write — on a tmpfs dataset >= 1 GiB at
+64^3 and 128^3 box sizes, against the BASELINE.json north star whose
+"compress time" semantics follow the reference (modes.cpp:97-109: the
+timed region starts AFTER the data is in memory; the reference reads
+everything in its preprocess phase).  Two variants per config:
+
+- ``collected``: ``compress_collected`` on in-memory boxes — exactly the
+  reference's compress-time window (read excluded);
+- ``streaming``: ``compress_run`` through the real CLI path with
+  ``prefetch=1`` (read included, overlapped).
+
+This rig tunnels to its one v5e chip through axon at ~0.03-0.05 GB/s per
+direction (measured below, interleaved in time with the pipeline runs) —
+two to three orders of magnitude below a co-located PCIe/DMA host link —
+so the raw wall number is ~95+% tunnel time.  The artifact therefore
+records THREE numbers per row, most defensible first:
+
+1. ``e2e_measured_gbps``: input bytes / wall seconds.  A true
+   measurement; on this rig it is a measurement OF THE TUNNEL.
+2. ``e2e_link_normalized_gbps``: input / (wall - transferred_bytes/bw),
+   with an uncertainty band propagated from the link-bandwidth spread.
+   When the link share of the wall exceeds ~80%, the subtraction is
+   ill-conditioned and the band is reported wide — the artifact says so
+   rather than publishing a point value as fact.
+3. ``reconciliation``: predicted wall from independently measured stage
+   rates (link bytes/bw + device stage at the bench.py rate + host pack
+   at the host_codec.json rate + per-dispatch latency x dispatch count)
+   vs the measured wall.  Agreement within ~20% is the evidence that the
+   stage rates — and therefore the min(device, host_pack) co-located
+   projection — describe this pipeline, not a model of it.
+
+Usage: nohup /opt/venv/bin/python scripts/bench_e2e.py &
+Writes bench_results/e2e_compress.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wavelet_tpu.runtime import debug
+
+debug.enable_compilation_cache()
+
+OUT = "bench_results/e2e_compress.json"
+SHM = "/dev/shm/wtc_e2e"
+
+
+def smooth_spiky_boxes(n_boxes: int, dim: int, seed: int):
+    """~1%-kept boxes (the sparse design regime real AMR fields sit in,
+    cf. measure_baseline.spiky_plotfile): smooth low-amplitude background
+    + sparse strong positive spikes."""
+    rng = np.random.default_rng(seed)
+    out = np.empty((n_boxes, dim, dim, dim), np.float32)
+    ax = np.arange(dim, dtype=np.float32)
+    base = (np.sin(0.11 * ax)[:, None, None]
+            + np.cos(0.07 * ax)[None, :, None] * np.sin(0.05 * ax)[None, None, :])
+    for b in range(n_boxes):
+        a = base * 1e-3 + rng.standard_normal((dim, dim, dim)).astype(np.float32) * 1e-3
+        mask = rng.random((dim, dim, dim)) < 0.00125
+        a[mask] = np.abs(rng.standard_normal(int(mask.sum()))).astype(np.float32) * 100
+        a.flat[0] = 1000.0
+        out[b] = a
+    return out
+
+
+def write_dataset(root: str, name: str, boxes: np.ndarray, dim: int):
+    from wavelet_tpu.io import plotfile as pf
+
+    n = boxes.shape[0]
+    locs = [(b * dim, 0, 0) for b in range(n)]
+    dims = [(dim, dim, dim)] * n
+    pf.write_plotfile(os.path.join(root, name), [[bx[None] for bx in boxes]],
+                      [locs], [dims], ["f"], 0.25, [0., 0., 0.],
+                      [1., 1., 1.], (2, 2, 2), (n * dim, dim, dim), [60])
+
+
+def measure_link(dev, mib: int = 128, reps: int = 3):
+    """Tunnel bandwidths + per-dispatch latency, fresh buffers every rep
+    (the axon layer caches repeated identical executions)."""
+    import jax
+    import jax.numpy as jnp
+
+    h2d, d2h = [], []
+    nbytes = mib << 20
+    for rep in range(reps):
+        arr = np.random.default_rng(1000 + rep).standard_normal(
+            nbytes // 4).astype(np.float32)
+        t0 = time.perf_counter()
+        y = jax.device_put(arr, dev)
+        y.block_until_ready()
+        h2d.append(nbytes / (time.perf_counter() - t0))
+        z = jnp.sin(y)        # fresh device-side content for the fetch
+        z.block_until_ready()
+        t0 = time.perf_counter()
+        _ = np.asarray(z)
+        d2h.append(nbytes / (time.perf_counter() - t0))
+    f = jax.jit(lambda v: v + 1.0)
+    lat = []
+    for i in range(6):
+        x = jax.device_put(np.float32(i), dev)
+        t0 = time.perf_counter()
+        _ = np.asarray(f(x))
+        lat.append(time.perf_counter() - t0)
+    lat = sorted(lat)[1:-1]   # drop warmup/outlier ends
+    stat = lambda v: {"median": float(np.median(v)), "min": float(min(v)),
+                      "max": float(max(v))}
+    return {"h2d_bps": stat(h2d), "d2h_bps": stat(d2h),
+            "dispatch_s": stat(lat), "probe_mib": mib, "reps": reps}
+
+
+def run_config(label: str, dim: int, n_boxes: int, n_times: int,
+               link_before: dict, results: dict):
+    import shutil
+
+    from wavelet_tpu.pipeline import Config, common, compress_run
+    from wavelet_tpu.pipeline import compress as compress_mod
+    from wavelet_tpu.runtime import engine
+
+    root = os.path.join(SHM, label)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    # distinct data per variant: the axon layer can serve repeated
+    # identical (executable, input) device executions from a cache
+    for t in range(n_times):
+        write_dataset(os.path.join(root, "data_c"), f"plt{600 + t:05d}",
+                      smooth_spiky_boxes(n_boxes, dim, seed=10 * t + 1), dim)
+        write_dataset(os.path.join(root, "data_s"), f"plt{600 + t:05d}",
+                      smooth_spiky_boxes(n_boxes, dim, seed=10 * t + 2), dim)
+    input_bytes = n_times * n_boxes * dim ** 3 * 4
+    row = {"dim": dim, "boxes_per_timestep": n_boxes, "timesteps": n_times,
+           "input_bytes": input_bytes, "codec": "raw", "archive": "bundle",
+           "keep": 0.999}
+
+    # --- collected variant: reference compress-time semantics ------------
+    t0 = time.perf_counter()
+    run = common.collect_run(
+        [os.path.join(root, "data_c", f"plt{600 + t:05d}")
+         for t in range(n_times)], ["f"], [0])
+    read_s = time.perf_counter() - t0
+    packer = engine.HostPacker(payload="f32", codec="raw",
+                               archive_format="bundle")
+    os.makedirs(os.path.join(root, "arch_c"), exist_ok=True)
+    t0 = time.perf_counter()
+    stats = compress_mod.compress_collected(
+        run, 0.999, os.path.join(root, "arch_c") + os.sep, packer=packer)
+    wall_c = time.perf_counter() - t0
+    del run
+    row["read_standalone"] = {"seconds": round(read_s, 3),
+                              "gbps": round(input_bytes / 1e9 / read_s, 3)}
+    row["collected"] = {"wall_seconds": round(wall_c, 3), **stats}
+
+    # --- streaming variant: the real CLI path, read included -------------
+    cfg = Config(data_dir=os.path.join(root, "data_s"),
+                 min_time=f"plt{600:05d}", max_time=f"plt{600 + n_times - 1:05d}",
+                 min_level=0, max_level=0, components=["f"], keep=0.999,
+                 compressed_dir=os.path.join(root, "arch_s") + os.sep,
+                 codec="raw", archive="bundle", prefetch=1)
+    t0 = time.perf_counter()
+    sstats = compress_run(cfg)
+    wall_s = time.perf_counter() - t0
+    row["streaming"] = {"wall_seconds": round(wall_s, 3), **sstats}
+
+    # --- link measured again AFTER (tunnel state drifts) -----------------
+    import jax
+
+    link_after = measure_link(jax.devices()[0])
+    row["link_before"] = link_before
+    row["link_after"] = link_after
+
+    # --- normalization + reconciliation ----------------------------------
+    host_pack_gbps = 12.9        # bench_results/host_codec.json, raw 4 thr
+    device_gbps = results.get("device_stage_gbps", 164.0)
+    for variant, wall, st in (("collected", wall_c, stats),
+                              ("streaming", wall_s, sstats)):
+        v = row[variant]
+        d2h = st.get("device_to_host_bytes", input_bytes)
+        v["e2e_measured_gbps"] = round(input_bytes / 1e9 / wall, 4)
+        lt = {}
+        for tag, link in (("before", link_before), ("after", link_after)):
+            lt[tag] = (input_bytes / link["h2d_bps"]["median"]
+                       + d2h / link["d2h_bps"]["median"])
+        link_s = float(np.mean([lt["before"], lt["after"]]))
+        link_lo = min(input_bytes / lb["h2d_bps"]["max"]
+                      + d2h / lb["d2h_bps"]["max"]
+                      for lb in (link_before, link_after))
+        link_hi = max(input_bytes / lb["h2d_bps"]["min"]
+                      + d2h / lb["d2h_bps"]["min"]
+                      for lb in (link_before, link_after))
+        resid = wall - link_s
+        v["link_seconds_est"] = {"mean": round(link_s, 2),
+                                 "lo": round(link_lo, 2),
+                                 "hi": round(link_hi, 2)}
+        v["link_share_of_wall"] = round(link_s / wall, 3)
+        norm = (input_bytes / 1e9 / resid) if resid > 0 else None
+        # propagate the bandwidth spread through the subtraction
+        lo = (input_bytes / 1e9 / (wall - link_lo)) if wall > link_lo else None
+        hi = (input_bytes / 1e9 / (wall - link_hi)) if wall > link_hi else None
+        v["e2e_link_normalized_gbps"] = {
+            "point": round(norm, 3) if norm else None,
+            "band_lo": round(lo, 3) if lo else None,
+            "band_hi": round(hi, 3) if hi else None,
+            "caveat": ("ill-conditioned: link is {:.0%} of wall; the band, "
+                       "not the point, is the claim".format(link_s / wall)
+                       if link_s / wall > 0.8 else "ok"),
+        }
+        # predicted wall from independently measured stage rates
+        pack_s = input_bytes / 1e9 / host_pack_gbps
+        dev_s = input_bytes / 1e9 / device_gbps
+        disp = link_after["dispatch_s"]["median"]
+        n_disp = 6 * n_times     # ~put+fwd+maxmin fetches per batch
+        pred = link_s + max(pack_s, dev_s) + n_disp * disp
+        if variant == "streaming":
+            pred += 0.0          # read overlaps pack/link under prefetch=1
+        v["reconciliation"] = {
+            "predicted_wall_s": round(pred, 2),
+            "measured_wall_s": round(wall, 2),
+            "agreement": round(pred / wall, 3),
+            "model": ("link(mean of before/after bw) + max(host_pack@"
+                      f"{host_pack_gbps} GB/s, device@{device_gbps} GB/s)"
+                      f" + {n_disp} dispatches"),
+        }
+        v["projected_colocated_gbps"] = round(
+            min(device_gbps, host_pack_gbps), 2)
+    results[label] = row
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    results = {
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "north_star": "BASELINE.json: 10 GB/s/chip end-to-end compress",
+        "semantics": ("reference compress-time window = modes.cpp:97-109 "
+                      "(data already in memory) -> the 'collected' rows; "
+                      "'streaming' rows include plotfile read (prefetch=1)"),
+        "device_stage_gbps": 164.0,   # BENCH_r02 headline (fwd+mask)
+        "host_pack_gbps_4thr": 12.9,  # bench_results/host_codec.json raw
+    }
+    import jax
+
+    dev = jax.devices()[0]
+    results["platform"] = dev.platform
+    link0 = measure_link(dev)
+    # >= 1 GiB per config (VERDICT item 3)
+    run_config("cube64", 64, 512, 2, link0, results)    # 2 x 512 MiB
+    link1 = measure_link(dev)
+    run_config("cube128", 128, 64, 2, link1, results)   # 2 x 512 MiB
+    os.makedirs("bench_results", exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(json.dumps(results, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()
