@@ -32,6 +32,32 @@ def test_compact_step_matches_mask():
         np.testing.assert_array_equal(vals[i, :k], flat[i][want_idx[:k]])
 
 
+def test_compact_step_chunked_path_matches_oracle():
+    """Rows long enough for the chunked compaction (m % 512 == 0,
+    m >= 2048 — probes 8/8b: 3.81 vs 2.70 GB/s over the whole-row argsort)
+    must produce the identical kept (index, value) stream, including a
+    clustered row (every kept element inside one chunk — the regime real
+    AMR coefficients sit in), an empty row, a dense-overflow row, and a
+    row whose kept elements straddle chunk boundaries."""
+    m, cap = 4096, 256
+    flat = np.zeros((4, m), np.float32)
+    rng = np.random.default_rng(7)
+    flat[0, 512:600] = rng.standard_normal(88).astype(np.float32) * 10
+    # row 1 empty (nothing above threshold)
+    flat[2] = rng.standard_normal(m).astype(np.float32) * 10  # overflow
+    pos = rng.choice(m, 150, replace=False)
+    flat[3, pos] = rng.standard_normal(150).astype(np.float32) * 10
+    t32 = np.full(4, np.float32(1.0))
+    counts, idxs, vals = (np.asarray(v) for v in engine._compact_step(
+        jnp.asarray(flat), jnp.asarray(t32), cap))
+    for i in range(4):
+        want = np.flatnonzero(np.abs(flat[i]) > 1.0)
+        assert counts[i] == len(want)
+        k = min(len(want), cap)
+        np.testing.assert_array_equal(idxs[i, :k], want[:k])
+        np.testing.assert_array_equal(vals[i, :k], flat[i][want[:k]])
+
+
 def test_compact_step_overflow_detected():
     flat = np.ones((2, 64), np.float32)
     t32 = np.zeros(2, np.float32)
