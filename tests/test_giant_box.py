@@ -138,6 +138,20 @@ def _dir_bytes(d):
     return out
 
 
+def test_giant_estimate_matches_unsharded(tmp_path, mesh8):
+    """-estimate with the giant path active reports the same RMSE/loss/size
+    as the unsharded run (same coefficients -> same metrics)."""
+    from wavelet_tpu.pipeline import Config, estimate_run
+
+    data = _write_giant_plotfile(str(tmp_path / "data"), 64)
+    base = dict(data_dir=data, min_time="plt00500", max_time="plt00500",
+                min_level=0, max_level=0, components=["f"], keep=0.999)
+    giant = estimate_run(Config(**base, giant_box_bytes=1 << 17), mesh=mesh8)
+    plain = estimate_run(Config(**base))
+    assert giant["components"]["f"] == plain["components"]["f"]
+    assert giant["compressed_size_pct"] == plain["compressed_size_pct"]
+
+
 def test_giant_cli_512_cube_byte_identical(tmp_path, mesh8):
     """The judge's round-2 done-criterion: CLI compress + decompress of a
     synthetic single-box 512^3 dataset on the 8-way CPU mesh; the sharded

@@ -183,7 +183,8 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
             run, cfg.keep, scratch, mesh=mesh, packer=packer,
             threshold_mode=cfg.threshold_mode,
             keep_fraction=cfg.keep_fraction,
-            scales=cfg.scales, payload=cfg.payload)
+            scales=cfg.scales, payload=cfg.payload,
+            giant_box_bytes=cfg.giant_box_bytes)
         log.info("Compression complete.")
         eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
                              giant_box_bytes=cfg.giant_box_bytes)
