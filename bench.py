@@ -308,8 +308,12 @@ def main():
 
             m = d ** 3
             cap = int(np.ceil(0.02 * m / 128) * 128)   # post-adaptive cap
+            # P(|N(0,1)| > 2.6) ~= 0.93%: the ~1% kept fraction real AMR
+            # data sits in, UNDER the 2% cap (a threshold of 2.0 would
+            # keep ~4.6% — past the cap, the regime production abandons
+            # for the dense-fetch fallback)
             t32c = jax.device_put(
-                jnp.full((n,), 2.0, jnp.float32), dev)   # ~1% kept
+                jnp.full((n,), 2.6, jnp.float32), dev)
 
             @partial(jax.jit, static_argnums=1)
             def compact_many(v, k):

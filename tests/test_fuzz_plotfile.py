@@ -134,6 +134,12 @@ def test_nonuniform_ref_ratio_rejected(good_plotfile, tmp_path):
     # selections that stay within a uniform range still work
     meta = common.collect_run_meta([good_plotfile], ["temp"], [0, 1])
     assert meta.amrexinfo.ref_ratios == [2, 2, 2]
+    # a single-level selection spans no boundary: never rejected
+    meta = common.collect_run_meta([good_plotfile], ["temp"], [2])
+    assert len(meta.counts[0]) == 1
+    # a multi-level selection above level 0 uses the ratio it spans
+    meta = common.collect_run_meta([good_plotfile], ["temp"], [1, 2])
+    assert meta.amrexinfo.ref_ratios == [4, 4, 4]
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,15 @@ def parse_argv(argv):
             raise SystemExit(f"Unknown transfer={t!r} (dense|sparse)")
         return t
 
+    def giantbox_key():
+        if "giantbox" not in kv:
+            return None
+        v = int(kv["giantbox"])
+        if v <= 0:
+            raise SystemExit(f"giantbox={kv['giantbox']} must be a "
+                             "positive byte count")
+        return v
+
     cfg = Config()
     if mode in ("c", "estimate"):
         cfg.data_dir = need("datadir")
@@ -111,11 +120,7 @@ def parse_argv(argv):
         cfg.archive = kv.get("archive", "files")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
-        if "giantbox" in kv:
-            cfg.giant_box_bytes = int(kv["giantbox"])
-            if cfg.giant_box_bytes <= 0:
-                raise SystemExit(f"giantbox={kv['giantbox']} must be a "
-                                 "positive byte count")
+        cfg.giant_box_bytes = giantbox_key()
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")
@@ -158,11 +163,7 @@ def parse_argv(argv):
         cfg.out_dir = need("out")
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
-        if "giantbox" in kv:
-            cfg.giant_box_bytes = int(kv["giantbox"])
-            if cfg.giant_box_bytes <= 0:
-                raise SystemExit(f"giantbox={kv['giantbox']} must be a "
-                                 "positive byte count")
+        cfg.giant_box_bytes = giantbox_key()
         cfg.out_precision = kv.get("outprec", "f64")
         if cfg.out_precision not in ("f64", "f32"):
             raise SystemExit(

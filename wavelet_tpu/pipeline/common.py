@@ -163,19 +163,24 @@ def collect_run_meta(files, components, levels) -> RunMeta:
             comp_idxs = h.component_indices(components)
             names_ordered = [h.component_names[i] for i in comp_idxs]
             # the archive stores ONE per-axis ratio triple; a Header whose
-            # boundaries refine at different ratios (line "2 4") cannot be
-            # represented and would silently regenerate a wrong Header, so
-            # reject it.  (The reference is equally limited but silent:
-            # preprocess.cpp:212-224 reads only ratio[0].)  Only boundaries
-            # the selection actually spans matter.
-            used = h.ref_ratio[: max(levels)] if levels else []
+            # SELECTED level range refines at different ratios (line "2 4"
+            # with levels 0-2 selected) cannot be represented and would
+            # silently regenerate a wrong Header, so reject it.  (The
+            # reference is equally limited but silent:
+            # preprocess.cpp:212-224 reads only ratio[0].)  Only the
+            # boundaries the selection actually spans matter — levels
+            # [lo..hi] span boundaries lo..hi-1; a single-level selection
+            # spans none and any ratio line is fine.
+            used = (h.ref_ratio[min(levels):max(levels)] if levels else [])
             if len(set(used)) > 1:
                 raise ValueError(
                     f"plotfile {f} refines with non-uniform ratios "
                     f"{h.ref_ratio[:h.finest_level]} across the selected "
                     f"levels; the archive format stores a single ratio — "
-                    "restrict maxlevel to a uniformly-refined range")
-            r = h.ref_ratio[0] if h.ref_ratio else 2
+                    "restrict minlevel/maxlevel to a uniformly-refined "
+                    "range")
+            r = (used[0] if used
+                 else (h.ref_ratio[0] if h.ref_ratio else 2))
             ref_ratios = [r, r, r]
             base_dims = h.domain_dims(0)
         geom.append(list(h.prob_lo) + list(h.prob_hi))

@@ -123,14 +123,7 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
     with cf.ThreadPoolExecutor(1) as pack_pool:
         pending = None
         for batch in batches:
-            if transfer == "sparse" and eng.giant_ok(batch.shape):
-                # giant boxes shard WITHIN the box; their coefficients are
-                # already fetched whole by the sharded transform, so the
-                # sparse d2h saving cannot apply — take the dense pack
-                coeffs, t32 = eng.compress_shapebatch(batch, keep)
-                d2h_bytes += coeffs.data.nbytes
-                job = (packer.pack, out_dir, coeffs, t32)
-            elif transfer == "sparse":
+            if eng.transfer_mode(batch.shape, transfer) == "sparse":
                 # sparsification on device: only kept (index, value) pairs
                 # cross the device->host link
                 sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)

@@ -44,10 +44,7 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
                                      scales=eng.eff_scales(dims))
         packer.unpack_into(cfg.compressed_dir, batch)
         return "preview", batch, 0
-    if transfer == "sparse" and eng.giant_ok(dims):
-        # giant boxes shard within the box; the pair transport's h2d
-        # saving does not compose with the per-box sharded inverse
-        transfer = "dense"
+    transfer = eng.transfer_mode(dims, transfer)
     if transfer == "sparse":
         batch = batching.ShapeBatch(shape=dims, data=None,
                                     items=bucket_items,

@@ -235,7 +235,21 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
         raise ValueError("keepfraction sweep requires "
                          "thresholdmode=global")
     if cfg.fast_estimate:
-        return _fast_estimate(run, cfg, mesh, files, levels)
+        # the fast path stacks plain arrays (no ShapeBatch routing), so it
+        # cannot take the giant-box sharded transform — a box that NEEDS
+        # sharding (too large for one chip) must use the scratch path,
+        # whose compress_collected/decompress_shapebatch machinery does
+        eng_gate = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
+                                      giant_box_bytes=cfg.giant_box_bytes)
+        lv = run.levels_data[0][0]
+        giant_dims = {tuple(d) for d in lv.dimensions
+                      if eng_gate.giant_ok(tuple(d))}
+        if giant_dims:
+            log.info("fastestimate: boxes %s exceed giantbox — using the "
+                     "scratch estimate path (it shards within the box)",
+                     sorted(giant_dims))
+        else:
+            return _fast_estimate(run, cfg, mesh, files, levels)
 
     def scratch_sweep(values, field):
         """One _estimate_scratch per value, substituted into ``field`` —

@@ -391,6 +391,16 @@ class CodecEngine:
         return (haar_pallas.interleaved_ok(dims, eff)
                 and int(dims[0]) % (self.mesh.size * (1 << eff)) == 0)
 
+    def transfer_mode(self, dims, transfer: str) -> str:
+        """Effective transport for this shape — the ONE place the
+        giant/sparse interaction is decided: giant boxes shard WITHIN the
+        box and their coefficients are fetched whole by the sharded
+        transform, so the sparse pair transport cannot save anything and
+        every pipeline must take the dense pack for them."""
+        if transfer == "sparse" and self.giant_ok(dims):
+            return "dense"
+        return transfer
+
     def pad_multiple_for(self, dims) -> int:
         """Batch-axis padding quantum for this shape (feeds plan_batches):
         mesh-data-parallel shapes pad to the device count so the leading
