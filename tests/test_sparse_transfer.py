@@ -32,6 +32,58 @@ def test_compact_step_matches_mask():
         np.testing.assert_array_equal(vals[i, :k], flat[i][want_idx[:k]])
 
 
+def test_transfer_auto_picks_by_link_and_bytes_match(tmp_path, monkeypatch):
+    """transfer=auto resolves to sparse on a slow link and dense on a fast
+    one (engine.transfer_mode breakeven), and either resolution produces
+    archives byte-identical to an explicit transfer=dense run."""
+    import os
+
+    from wavelet_tpu.io import plotfile as pf
+    from wavelet_tpu.pipeline import Config, compress_run
+
+    rng = np.random.default_rng(21)
+    box = (rng.standard_normal((16, 16, 16)) * 1e-3).astype(np.float32)
+    box[rng.random((16, 16, 16)) < 0.01] = 50.0
+    box.flat[0] = 100.0
+    pf.write_plotfile(str(tmp_path / "data" / "plt00090"), [[box[None]]],
+                      [[(0, 0, 0)]], [[(16, 16, 16)]], ["f"], 0.5,
+                      [0., 0., 0.], [1., 1., 1.], (2, 2, 2), (16, 16, 16),
+                      [90])
+
+    def run(transfer, out):
+        compress_run(Config(
+            data_dir=str(tmp_path / "data"), min_time="plt00090",
+            max_time="plt00090", min_level=0, max_level=0,
+            components=["f"], keep=0.999, transfer=transfer,
+            compressed_dir=str(tmp_path / out) + os.sep))
+        return {n: open(os.path.join(tmp_path, out, n), "rb").read()
+                for n in os.listdir(tmp_path / out)}
+
+    e = engine.CodecEngine()
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps", 0.05)
+    assert e.transfer_mode((16, 16, 16), "auto") == "sparse"
+    slow = run("auto", "auto_slow")
+    sparse = run("sparse", "sparse")
+    assert slow == sparse          # auto on a slow link IS transfer=sparse
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps", 20.0)
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"
+    fast = run("auto", "auto_fast")
+    dense = run("dense", "dense")
+    assert fast == dense           # auto on a fast link IS transfer=dense
+    # and the decoded payloads agree across transports (the container
+    # bytes may differ between the native and python xz encoders)
+    from wavelet_tpu.io import archive
+    for k in dense:
+        if k.endswith(".xz"):
+            a = archive.deserialize_payload(archive.decode_blob(
+                dense[k], "xz"))
+            b = archive.deserialize_payload(archive.decode_blob(
+                sparse[k], "xz"))
+            assert a[0] == b[0] and a[1] == b[1]
+            np.testing.assert_array_equal(a[2], b[2])
+            np.testing.assert_array_equal(a[3], b[3])
+
+
 def test_compact_step_chunked_path_matches_oracle():
     """Rows long enough for the chunked compaction (m % 512 == 0,
     m >= 2048 — probes 8/8b: 3.81 vs 2.70 GB/s over the whole-row argsort)

@@ -51,7 +51,7 @@ Modes (one required):
 Extension keys (reference-compatible defaults):
   thresholdmode=box|global  keepfraction=F   scales=S      payload=f32|q16
   codec=xz|raw  xzpreset=N  xzdelta=D        archive=files|bundle
-  transfer=dense|sparse     prefetch=0|1     resume=1      fastestimate=1
+  transfer=dense|sparse|auto  prefetch=0|1   resume=1      fastestimate=1
   giantbox=BYTES (boxes >= this shard WITHIN the box over the mesh;
                   default 1 GiB — needs devices=N > 1)
   devices=N  coordinator=host:port processes=N processid=I  profile=DIR
@@ -89,9 +89,9 @@ def parse_argv(argv):
 
     def transfer_key():
         t = kv.get("transfer", "dense")
-        if t not in ("dense", "sparse"):
+        if t not in ("dense", "sparse", "auto"):
             # a typo'd transport would otherwise silently run dense
-            raise SystemExit(f"Unknown transfer={t!r} (dense|sparse)")
+            raise SystemExit(f"Unknown transfer={t!r} (dense|sparse|auto)")
         return t
 
     def giantbox_key():

@@ -47,7 +47,11 @@ class Config:
                                       #   coefficients; decode is automatic)
     archive: str = "files"            # "files" (parity) | "bundle" (one
                                       #   container per timestep+process)
-    transfer: str = "dense"           # "dense" | "sparse" (on-device compaction)
+    transfer: str = "dense"           # "dense" | "sparse" (on-device
+                                      #   compaction) | "auto" (sparse iff
+                                      #   the measured d2h link is slower
+                                      #   than the compact stage breakeven,
+                                      #   engine.transfer_mode)
     device_metrics: bool = False      # estimate RMSE on device (f32 fast path)
     fast_estimate: bool = False       # in-memory estimate (no scratch dir)
     keep_sweep: list | None = None    # estimate mode: several keeps in one

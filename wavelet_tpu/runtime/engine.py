@@ -11,6 +11,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import dataclasses
 import functools
+import logging
 import os
 
 import jax
@@ -25,6 +26,8 @@ from wavelet_tpu.runtime import mesh as mesh_lib
 from wavelet_tpu.runtime import batching
 from wavelet_tpu.runtime.batching import ShapeBatch
 from wavelet_tpu import native
+
+log = logging.getLogger("wavelet_tpu")
 
 __all__ = ["CodecEngine", "HostPacker", "resolve_signed_absmax"]
 
@@ -391,12 +394,47 @@ class CodecEngine:
         return (haar_pallas.interleaved_ok(dims, eff)
                 and int(dims[0]) % (self.mesh.size * (1 << eff)) == 0)
 
+    # transfer=auto breakeven: the compact step runs at ~3.8 GB/s
+    # (bench_results/kernel_probe8b.json) and shrinks the shipped bytes to
+    # ~2% at realistic kept fractions, so per input byte dense costs 1/B
+    # link seconds vs sparse 1/3.8 (compact) + 0.02/B — sparse wins iff
+    # the link moves below ~3.7 GB/s (every tunneled/disaggregated
+    # topology; co-located PCIe/DMA hosts stay dense)
+    _AUTO_SPARSE_BELOW_GBPS = 3.7
+    _measured_link_gbps: float | None = None   # per-process, class-level
+
+    @classmethod
+    def _link_d2h_gbps(cls) -> float:
+        """One-time device->host bandwidth measurement (fresh buffer —
+        repeated identical executions can be served from a cache on
+        tunneled rigs)."""
+        if cls._measured_link_gbps is None:
+            import time
+
+            probe = np.random.default_rng(0).standard_normal(
+                (2 << 20,)).astype(np.float32)           # 8 MiB
+            dev = jax.device_put(probe)
+            dev.block_until_ready()
+            t0 = time.perf_counter()
+            _ = np.asarray(dev)
+            cls._measured_link_gbps = probe.nbytes / 1e9 / max(
+                time.perf_counter() - t0, 1e-9)
+            log.info("transfer=auto: measured d2h link %.3f GB/s -> %s "
+                     "transport", cls._measured_link_gbps,
+                     "sparse" if cls._measured_link_gbps
+                     < cls._AUTO_SPARSE_BELOW_GBPS else "dense")
+        return cls._measured_link_gbps
+
     def transfer_mode(self, dims, transfer: str) -> str:
-        """Effective transport for this shape — the ONE place the
-        giant/sparse interaction is decided: giant boxes shard WITHIN the
-        box and their coefficients are fetched whole by the sharded
-        transform, so the sparse pair transport cannot save anything and
-        every pipeline must take the dense pack for them."""
+        """Effective transport for this shape — the ONE place transport is
+        decided: ``auto`` picks sparse exactly when the measured link is
+        slower than the compact stage's breakeven, and giant boxes always
+        take dense (they shard WITHIN the box; the sharded transform
+        fetches their coefficients whole, so pairs cannot save anything)."""
+        if transfer == "auto":
+            transfer = ("sparse"
+                        if self._link_d2h_gbps() < self._AUTO_SPARSE_BELOW_GBPS
+                        else "dense")
         if transfer == "sparse" and self.giant_ok(dims):
             return "dense"
         return transfer
