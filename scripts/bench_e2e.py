@@ -168,6 +168,20 @@ def run_config(label: str, dim: int, n_boxes: int, n_times: int,
     wall_s = time.perf_counter() - t0
     row["streaming"] = {"wall_seconds": round(wall_s, 3), **sstats}
 
+    # --- decompress e2e: archive -> device inverse -> plotfile write -----
+    from wavelet_tpu.pipeline import decompress_run
+
+    t0 = time.perf_counter()
+    dstats = decompress_run(Config(
+        compressed_dir=os.path.join(root, "arch_s") + os.sep,
+        out_dir=os.path.join(root, "regen") + os.sep, prefetch=1,
+        out_precision="f32"))
+    dwall = time.perf_counter() - t0
+    row["decompress_streaming"] = {
+        "wall_seconds": round(dwall, 3),
+        "e2e_measured_gbps": round(input_bytes / 1e9 / dwall, 4),
+        "outprec": "f32", **dstats}
+
     # --- link measured again AFTER (tunnel state drifts) -----------------
     import jax
 
@@ -178,20 +192,29 @@ def run_config(label: str, dim: int, n_boxes: int, n_times: int,
     # --- normalization + reconciliation ----------------------------------
     host_pack_gbps = 12.9        # bench_results/host_codec.json, raw 4 thr
     device_gbps = results.get("device_stage_gbps", 164.0)
+    # decompress moves BOTH directions: decoded coefficients h2d, then the
+    # reconstructed boxes d2h before the plotfile write
+    dlink = (dstats.get("host_to_device_bytes") or input_bytes,
+             input_bytes)
     for variant, wall, st in (("collected", wall_c, stats),
-                              ("streaming", wall_s, sstats)):
+                              ("streaming", wall_s, sstats),
+                              ("decompress_streaming", dwall, dstats)):
         v = row[variant]
-        d2h = st.get("device_to_host_bytes", input_bytes)
+        if variant == "decompress_streaming":
+            h2d_b, d2h = dlink
+        else:
+            h2d_b = input_bytes
+            d2h = st.get("device_to_host_bytes", input_bytes)
         v["e2e_measured_gbps"] = round(input_bytes / 1e9 / wall, 4)
         lt = {}
         for tag, link in (("before", link_before), ("after", link_after)):
-            lt[tag] = (input_bytes / link["h2d_bps"]["median"]
+            lt[tag] = (h2d_b / link["h2d_bps"]["median"]
                        + d2h / link["d2h_bps"]["median"])
         link_s = float(np.mean([lt["before"], lt["after"]]))
-        link_lo = min(input_bytes / lb["h2d_bps"]["max"]
+        link_lo = min(h2d_b / lb["h2d_bps"]["max"]
                       + d2h / lb["d2h_bps"]["max"]
                       for lb in (link_before, link_after))
-        link_hi = max(input_bytes / lb["h2d_bps"]["min"]
+        link_hi = max(h2d_b / lb["h2d_bps"]["min"]
                       + d2h / lb["d2h_bps"]["min"]
                       for lb in (link_before, link_after))
         resid = wall - link_s
@@ -227,8 +250,14 @@ def run_config(label: str, dim: int, n_boxes: int, n_times: int,
                       f"{host_pack_gbps} GB/s, device@{device_gbps} GB/s)"
                       f" + {n_disp} dispatches"),
         }
-        v["projected_colocated_gbps"] = round(
-            min(device_gbps, host_pack_gbps), 2)
+        if variant == "decompress_streaming":
+            # the decompress host stage is the raw unpack + plotfile write,
+            # not the pack — no standalone co-located projection claimed
+            # here (host_codec.json carries the unpack rates)
+            v.pop("reconciliation")
+        else:
+            v["projected_colocated_gbps"] = round(
+                min(device_gbps, host_pack_gbps), 2)
     results[label] = row
     shutil.rmtree(root, ignore_errors=True)
 
