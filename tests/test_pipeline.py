@@ -145,6 +145,20 @@ def test_cli_parse_reference_grammar():
     assert cfg.out_precision == "f32"
     with pytest.raises(SystemExit):
         cli.parse_argv(['compresseddir=/in', 'out=/r', 'outprec=f16', '-d'])
+    # giantbox: positive byte count, both modes; auto transfer accepted
+    _m, cfg = cli.parse_argv([
+        'datadir=/d', 'minfile=a1', 'maxfile=a1', 'minlevel=0',
+        'maxlevel=0', 'components=f', 'keep=0.9', 'compresseddir=/o',
+        'giantbox=1048576', 'transfer=auto', '-c'])
+    assert cfg.giant_box_bytes == 1048576 and cfg.transfer == "auto"
+    _m, cfg = cli.parse_argv(['compresseddir=/in', 'out=/r',
+                              'giantbox=2048', '-d'])
+    assert cfg.giant_box_bytes == 2048
+    with pytest.raises(SystemExit):
+        cli.parse_argv(['compresseddir=/in', 'out=/r', 'giantbox=0', '-d'])
+    with pytest.raises(SystemExit):
+        cli.parse_argv(['compresseddir=/in', 'out=/r', 'transfer=sparce',
+                        '-d'])
 
 
 def test_clean_string_reference_case():
