@@ -138,6 +138,32 @@ def _dir_bytes(d):
     return out
 
 
+def test_giant_archive_decodes_without_giantbox(tmp_path, mesh8):
+    """An archive compressed through the giant path must decompress
+    identically WITHOUT the giantbox key / mesh (archives are
+    layout- and execution-independent): a consumer needs no knowledge of
+    how the producer sharded."""
+    from wavelet_tpu.pipeline import Config, compress_run, decompress_run
+
+    data = _write_giant_plotfile(str(tmp_path / "data"), 64)
+    comp = str(tmp_path / "comp") + os.sep
+    compress_run(Config(data_dir=data, min_time="plt00500",
+                        max_time="plt00500", min_level=0, max_level=0,
+                        components=["f"], keep=0.999, compressed_dir=comp,
+                        giant_box_bytes=1 << 17), mesh=mesh8)
+    out_g = str(tmp_path / "out_g") + os.sep
+    out_p = str(tmp_path / "out_p") + os.sep
+    decompress_run(Config(compressed_dir=comp, out_dir=out_g,
+                          giant_box_bytes=1 << 17,
+                          out_precision="f32"), mesh=mesh8)
+    decompress_run(Config(compressed_dir=comp, out_dir=out_p,
+                          out_precision="f32"))   # no mesh, no giantbox
+    a, b = _dir_bytes(out_g), _dir_bytes(out_p)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+
 def test_giant_estimate_matches_unsharded(tmp_path, mesh8):
     """-estimate with the giant path active reports the same RMSE/loss/size
     as the unsharded run (same coefficients -> same metrics)."""
