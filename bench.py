@@ -340,6 +340,59 @@ def main():
         except Exception as e:  # noqa: BLE001
             compact = {"error": str(e)[:200]}
 
+    # --- sparse decompress device stage: the vmapped scatter that
+    # rebuilds dense coefficient rows from (position, value) pairs
+    # (engine._scatter_rows) — the mirror of the compact stage above;
+    # rate normalized to the DENSE bytes it reconstructs
+    scatter = None
+    if on_tpu:
+        try:
+            from wavelet_tpu.runtime.engine import _scatter_rows
+
+            m = d ** 3
+            cap = int(np.ceil(0.02 * m / 128) * 128)
+
+            def make_pairs():
+                _seed_pool[0] += 1
+                rr = np.random.default_rng(_seed_pool[0])
+                # unique_indices contract: every slot distinct per row,
+                # padding slots distinct positions >= m (dropped)
+                idx = np.empty((n, cap), np.int32)
+                for i in range(n):
+                    idx[i, : cap // 2] = np.sort(rr.choice(
+                        m, cap // 2, replace=False)).astype(np.int32)
+                idx[:, cap // 2:] = m + np.arange(cap - cap // 2,
+                                                  dtype=np.int32)
+                vals = rr.standard_normal((n, cap)).astype(np.float32)
+                a = jax.device_put(idx, dev)
+                b = jax.device_put(vals, dev)
+                _ = np.asarray(a.ravel()[0]), np.asarray(b.ravel()[0])
+                return a, b
+
+            @partial(jax.jit, static_argnums=1)
+            def scatter_many(pair, k):
+                idx, vals = pair
+
+                def body(i, u):
+                    iv, vv = u
+                    out = _scatter_rows(iv, vv, m)
+                    # feed the result back so no iteration can be DCE'd
+                    return (iv, vv + jnp.sum(out) * jnp.float32(1e-30))
+                return jax.lax.fori_loop(0, k, body, (idx, vals))[1]
+
+            _ = np.asarray(scatter_many(make_pairs(), 2).ravel()[0])
+            dt_s, sp_s = _two_point(scatter_many, make_pairs, K1, K2,
+                                    nbytes, 1.0)
+            scatter = {
+                "gbps_dense_rebuilt": round(nbytes / 1e9 / dt_s, 3),
+                "cap_fraction": cap / m,
+                "reps_used": sp_s["reps_used"],
+                "reps_dropped_implausible":
+                    sp_s["reps_dropped_implausible"],
+            }
+        except Exception as e:  # noqa: BLE001
+            scatter = {"error": str(e)[:200]}
+
     gb = nbytes / 1e9
     best_fwd = dt_fwd
     best_inv = dt_inv
@@ -417,6 +470,7 @@ def main():
             "e2e": e2e,
             "large_box_128": large,
             "sparse_compact_stage": compact,
+            "sparse_scatter_stage": scatter,
             "platform": platform,
             "block_shape": [n, d, d, d],
             "bytes": nbytes,
