@@ -239,23 +239,19 @@ def run_config(label: str, dim: int, n_boxes: int, n_times: int,
         dev_s = input_bytes / 1e9 / device_gbps
         disp = link_after["dispatch_s"]["median"]
         n_disp = 6 * n_times     # ~put+fwd+maxmin fetches per batch
-        pred = link_s + max(pack_s, dev_s) + n_disp * disp
-        if variant == "streaming":
-            pred += 0.0          # read overlaps pack/link under prefetch=1
-        v["reconciliation"] = {
-            "predicted_wall_s": round(pred, 2),
-            "measured_wall_s": round(wall, 2),
-            "agreement": round(pred / wall, 3),
-            "model": ("link(mean of before/after bw) + max(host_pack@"
-                      f"{host_pack_gbps} GB/s, device@{device_gbps} GB/s)"
-                      f" + {n_disp} dispatches"),
-        }
-        if variant == "decompress_streaming":
-            # the decompress host stage is the raw unpack + plotfile write,
-            # not the pack — no standalone co-located projection claimed
-            # here (host_codec.json carries the unpack rates)
-            v.pop("reconciliation")
-        else:
+        if variant != "decompress_streaming":
+            # the reconciliation model is compress-specific (host PACK
+            # rate); the decompress host stage is the raw unpack +
+            # plotfile write — host_codec.json carries those rates
+            pred = link_s + max(pack_s, dev_s) + n_disp * disp
+            v["reconciliation"] = {
+                "predicted_wall_s": round(pred, 2),
+                "measured_wall_s": round(wall, 2),
+                "agreement": round(pred / wall, 3),
+                "model": ("link(mean of before/after bw) + max(host_pack@"
+                          f"{host_pack_gbps} GB/s, device@{device_gbps} "
+                          f"GB/s) + {n_disp} dispatches"),
+            }
             v["projected_colocated_gbps"] = round(
                 min(device_gbps, host_pack_gbps), 2)
     results[label] = row

@@ -60,16 +60,26 @@ def test_transfer_auto_picks_by_link_and_bytes_match(tmp_path, monkeypatch):
                 for n in os.listdir(tmp_path / out)}
 
     e = engine.CodecEngine()
-    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps", 0.05)
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps",
+                        {"d2h": 0.05, "h2d": 0.05})
     assert e.transfer_mode((16, 16, 16), "auto") == "sparse"
     slow = run("auto", "auto_slow")
     sparse = run("sparse", "sparse")
     assert slow == sparse          # auto on a slow link IS transfer=sparse
-    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps", 20.0)
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps",
+                        {"d2h": 40.0, "h2d": 40.0})
     assert e.transfer_mode((16, 16, 16), "auto") == "dense"
     fast = run("auto", "auto_fast")
     dense = run("dense", "dense")
     assert fast == dense           # auto on a fast link IS transfer=dense
+    # per-direction breakevens: a 10 GB/s link is fast for the compress
+    # side (compact-bound at 3.8 GB/s) but slow for the decompress side
+    # (scatter rebuilds at 30.8 GB/s)
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps",
+                        {"d2h": 10.0, "h2d": 10.0})
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"
+    assert e.transfer_mode((16, 16, 16), "auto",
+                           direction="h2d") == "sparse"
     # and the decoded payloads agree across transports (the container
     # bytes may differ between the native and python xz encoders)
     from wavelet_tpu.io import archive

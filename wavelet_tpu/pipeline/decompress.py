@@ -44,7 +44,7 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
                                      scales=eng.eff_scales(dims))
         packer.unpack_into(cfg.compressed_dir, batch)
         return "preview", batch, 0
-    transfer = eng.transfer_mode(dims, transfer)
+    transfer = eng.transfer_mode(dims, transfer, direction="h2d")
     if transfer == "sparse":
         batch = batching.ShapeBatch(shape=dims, data=None,
                                     items=bucket_items,

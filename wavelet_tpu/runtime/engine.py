@@ -394,46 +394,64 @@ class CodecEngine:
         return (haar_pallas.interleaved_ok(dims, eff)
                 and int(dims[0]) % (self.mesh.size * (1 << eff)) == 0)
 
-    # transfer=auto breakeven: the compact step runs at ~3.8 GB/s
-    # (bench_results/kernel_probe8b.json) and shrinks the shipped bytes to
-    # ~2% at realistic kept fractions, so per input byte dense costs 1/B
-    # link seconds vs sparse 1/3.8 (compact) + 0.02/B — sparse wins iff
-    # the link moves below ~3.7 GB/s (every tunneled/disaggregated
-    # topology; co-located PCIe/DMA hosts stay dense)
-    _AUTO_SPARSE_BELOW_GBPS = 3.7
-    _measured_link_gbps: float | None = None   # per-process, class-level
+    # transfer=auto breakevens, one per link direction.  At ~1% kept the
+    # sparse stream is ~2% of the dense bytes (8 B pairs vs 4 B dense), so
+    # per input byte dense costs 1/B link seconds vs sparse
+    # 1/device_stage + 0.02/B — sparse wins iff B < ~0.98 * device_stage:
+    # - compress fetches coefficients d2h behind the compact stage
+    #   (measured 3.8 GB/s, kernel_probe8b) -> breakeven ~3.7 GB/s;
+    # - decompress ships pairs h2d in front of the scatter rebuild
+    #   (measured 30.8 GB/s, bench sparse_scatter_stage) -> ~30 GB/s.
+    _AUTO_SPARSE_BELOW_GBPS = {"d2h": 3.7, "h2d": 30.0}
+    _measured_link_gbps: dict | None = None    # per-process, class-level
 
     @classmethod
-    def _link_d2h_gbps(cls) -> float:
-        """One-time device->host bandwidth measurement (fresh buffer —
-        repeated identical executions can be served from a cache on
-        tunneled rigs)."""
+    def _link_gbps(cls) -> dict:
+        """One-time link measurement, both directions: a warm-up transfer
+        first (the first transfer of a process pays runtime init), then
+        the median of 3 reps with FRESH random content each time —
+        repeated identical transfers can be served from a cache on
+        tunneled rigs (the repo-wide benchmarking rule)."""
         if cls._measured_link_gbps is None:
             import time
 
-            probe = np.random.default_rng(0).standard_normal(
-                (2 << 20,)).astype(np.float32)           # 8 MiB
-            dev = jax.device_put(probe)
-            dev.block_until_ready()
-            t0 = time.perf_counter()
-            _ = np.asarray(dev)
-            cls._measured_link_gbps = probe.nbytes / 1e9 / max(
-                time.perf_counter() - t0, 1e-9)
-            log.info("transfer=auto: measured d2h link %.3f GB/s -> %s "
-                     "transport", cls._measured_link_gbps,
-                     "sparse" if cls._measured_link_gbps
-                     < cls._AUTO_SPARSE_BELOW_GBPS else "dense")
+            rng = np.random.default_rng()        # OS entropy, never reused
+            nbytes = 8 << 20
+            warm = jax.device_put(
+                rng.standard_normal(nbytes // 4).astype(np.float32))
+            _ = np.asarray(warm)                 # init both directions
+            d2h, h2d = [], []
+            for _rep in range(3):
+                buf = rng.standard_normal(nbytes // 4).astype(np.float32)
+                t0 = time.perf_counter()
+                dev = jax.device_put(buf)
+                dev.block_until_ready()
+                h2d.append(nbytes / 1e9 / max(
+                    time.perf_counter() - t0, 1e-9))
+                t0 = time.perf_counter()
+                _ = np.asarray(dev)
+                d2h.append(nbytes / 1e9 / max(
+                    time.perf_counter() - t0, 1e-9))
+            cls._measured_link_gbps = {"d2h": float(np.median(d2h)),
+                                       "h2d": float(np.median(h2d))}
+            log.info("transfer=auto: measured link d2h %.3f / h2d %.3f "
+                     "GB/s", cls._measured_link_gbps["d2h"],
+                     cls._measured_link_gbps["h2d"])
         return cls._measured_link_gbps
 
-    def transfer_mode(self, dims, transfer: str) -> str:
+    def transfer_mode(self, dims, transfer: str,
+                      direction: str = "d2h") -> str:
         """Effective transport for this shape — the ONE place transport is
-        decided: ``auto`` picks sparse exactly when the measured link is
-        slower than the compact stage's breakeven, and giant boxes always
-        take dense (they shard WITHIN the box; the sharded transform
-        fetches their coefficients whole, so pairs cannot save anything)."""
+        decided: ``auto`` picks sparse exactly when the measured link (in
+        the direction this pipeline uses: ``d2h`` for compress, ``h2d``
+        for decompress) is slower than that direction's device-stage
+        breakeven, and giant boxes always take dense (they shard WITHIN
+        the box; the sharded transform fetches their coefficients whole,
+        so pairs cannot save anything)."""
         if transfer == "auto":
+            bw = self._link_gbps()[direction]
             transfer = ("sparse"
-                        if self._link_d2h_gbps() < self._AUTO_SPARSE_BELOW_GBPS
+                        if bw < self._AUTO_SPARSE_BELOW_GBPS[direction]
                         else "dense")
         if transfer == "sparse" and self.giant_ok(dims):
             return "dense"
