@@ -300,7 +300,13 @@ def read_meta(path: str) -> dict:
                 "payload": "f32", "codec": "xz", "xz_preset": 6,
                 "archive": "files"}
     with open(p) as f:
-        meta = json.load(f)
+        try:
+            meta = json.load(f)
+        except ValueError as e:   # JSONDecodeError; name the file for the user
+            raise ValueError(f"corrupt archive metadata {p}: {e}") from None
+    if not isinstance(meta, dict):
+        raise ValueError(f"corrupt archive metadata {p}: expected a JSON "
+                         f"object, got {type(meta).__name__}")
     meta.setdefault("archive", "files")
     return meta
 
