@@ -107,20 +107,46 @@ def _device_alive(timeout_s: float = 120.0, retries: int = 3) -> bool:
     return False
 
 
+def _fail_line(reason: str):
+    # an explicit failure line beats an indefinite hang: the driver
+    # records the outage instead of nothing, and the artifact can never
+    # be mistaken for a measurement
+    print(json.dumps({
+        "metric": "device_compress_throughput_per_chip",
+        "value": 0, "unit": "GB/s", "vs_baseline": 0,
+        "extra": {"error": reason + "; see bench_results/ for the last "
+                                    "recorded run"}}))
+
+
 def main():
     if not _device_alive():
-        # an explicit failure line beats an indefinite hang: the driver
-        # records the outage instead of nothing, and the artifact can
-        # never be mistaken for a measurement
-        print(json.dumps({
-            "metric": "compress_throughput_per_chip",
-            "value": 0, "unit": "GB/s", "vs_baseline": 0,
-            "extra": {"error": "TPU backend unresponsive (axon tunnel "
-                               "outage); see bench_results/ for the last "
-                               "recorded run"}}))
+        _fail_line("TPU backend unresponsive (axon tunnel outage)")
         import os
         os._exit(0)   # a hung device thread must not block exit
+    # the tunnel can ALSO die mid-run (multi-hour outages observed);
+    # run the measurement on a watchdog thread so a hang mid-bench still
+    # produces a line instead of hanging the driver's bench step
+    import threading
 
+    done: list = []
+
+    def work():
+        done.append(_measure())
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(2400)       # generous: a cached hot run takes ~10-12 min
+    import os
+
+    if not done:
+        _fail_line("bench timed out after 40 min (tunnel died mid-run "
+                   "or compile storm)")
+        os._exit(0)
+    print(json.dumps(done[0]))
+    os._exit(0)        # hung device threads must not block exit
+
+
+def _measure() -> dict:
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -454,7 +480,7 @@ def main():
         pass
 
     baseline = 10.0  # GB/s/chip north star (BASELINE.json)
-    print(json.dumps({
+    return {
         # renamed from compress_throughput_per_chip (round <= 2): this is
         # the DEVICE-STAGE rate (fused forward + threshold masking), not
         # the end-to-end figure the 10 GB/s baseline targets — see
@@ -498,8 +524,7 @@ def main():
             "kept_coeff_fraction": round(kept_frac, 6),
             "roundtrip_rmse": rmse,
         },
-    }))
-    return 0
+    }
 
 
 if __name__ == "__main__":
