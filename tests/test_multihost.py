@@ -174,6 +174,66 @@ def test_two_process_bundle_archive(tmp_path):
                                shallow=False), f"{rel}/{n} differs"
 
 
+def test_two_process_giant_boxes_shard_locally(tmp_path):
+    """Multi-host giant boxes: each process shards its own giant items
+    over its LOCAL devices (engine._giant_mesh — zero cross-process
+    collectives), and the archive is byte-identical to a single-process
+    run of the same data through the plain path."""
+    rng = np.random.default_rng(31)
+    data_dir = tmp_path / "data"
+    boxes = [rng.standard_normal((1, 16, 8, 8)).astype(np.float32)
+             for _ in range(2)]
+    pf.write_plotfile(str(data_dir / "plt00030"), [boxes],
+                      [[(0, 0, 0), (16, 0, 0)]], [[(16, 8, 8)] * 2],
+                      ["a"], 1.0, [0., 0., 0.], [1., 1., 1.],
+                      (2, 2, 2), (32, 8, 8), [30])
+    args_base = [f"datadir={data_dir}", "minfile=plt00030",
+                 "maxfile=plt00030", "minlevel=0", "maxlevel=0",
+                 "components=a", "keep=0.999", "giantbox=2048"]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    single_dir = str(tmp_path / "single") + os.sep
+    env1 = dict(os.environ, JAX_PLATFORMS="cpu", WAVELET_TPU_PLATFORM="cpu")
+    env1.pop("XLA_FLAGS", None)
+    r = subprocess.run([PY, "-m", "wavelet_tpu.cli", *args_base,
+                        f"compresseddir={single_dir}", "-c"],
+                       env=env1, cwd=cwd, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-2000:]
+
+    multi_dir = str(tmp_path / "multi") + os.sep
+    port = _free_port()
+    # 2 processes x 2 local virtual devices each: the 16-row X axis must
+    # divide by local_mesh.size * 2 = 4 for the giant gate to admit it
+    env2 = dict(env1, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = [subprocess.Popen(
+        [PY, "-m", "wavelet_tpu.cli", *args_base,
+         f"compresseddir={multi_dir}", f"coordinator=localhost:{port}",
+         "processes=2", f"processid={pid}", "-c"],
+        env=env2, cwd=cwd, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out.decode(errors="replace"))
+        assert p.returncode == 0, outs[-1][-2500:]
+
+    a, b = _dir_bytes(single_dir), _dir_bytes(multi_dir)
+    assert set(a) == set(b)
+    diff = [k for k in a if a[k] != b[k]]
+    assert not diff, f"bytes differ for {diff}"
+
+    # the giant path REALLY ran in both processes (not a vacuous pass
+    # through the plain path): the engine logs it
+    for out in outs:
+        assert "Giant box path" in out, out[-2500:]
+    # while the single-process oracle (no mesh) took the plain path
+    from wavelet_tpu.runtime import engine as eng_mod
+
+    e = eng_mod.CodecEngine(giant_box_bytes=2048)
+    assert not e.giant_ok((16, 8, 8))
+
+
 def test_process_local_slice_partitions_completely():
     """Slices over all process ids must tile [0, n) exactly (no item done
     twice, none dropped) for any n and process count."""

@@ -379,20 +379,42 @@ class CodecEngine:
         shard-local (zero collectives).  Requires a multi-device mesh and
         X divisible by ``mesh.size * 2**scales`` (each shard's extent must
         hold whole pairs at every scale)."""
-        if self.mesh is None or self.mesh.size <= 1:
+        gm = self._giant_mesh()
+        if gm is None:
             return False
         if int(np.prod(dims)) * 4 < self.giant_box_bytes:
             return False
-        if jax.process_count() > 1:
-            # multi-host giant boxes would need a global device_put of
-            # host-local box data (jax.make_array_from_process_local_data);
-            # the multi-host fan-out slices work by whole boxes, so a box
-            # larger than one HOST's chips is out of scope for now — fall
-            # back to the local dense path rather than fail mid-run
-            return False
         eff = self.eff_scales(dims)
         return (haar_pallas.interleaved_ok(dims, eff)
-                and int(dims[0]) % (self.mesh.size * (1 << eff)) == 0)
+                and int(dims[0]) % (gm.size * (1 << eff)) == 0)
+
+    _local_giant_mesh = None   # instance cache set on first use
+
+    def _giant_mesh(self):
+        """Mesh the giant-box transform shards over.
+
+        Every device must be addressable by THIS process (the per-item
+        ``device_put`` ships host data, and the coefficient fetch reads it
+        back), so under multi-host the giant path uses the process's LOCAL
+        devices: a box too large for one chip shards within one host's
+        chips with zero cross-process collectives — the multi-host fan-out
+        keeps slicing work by whole boxes, each process sharding its own
+        giant items locally.  Boxes larger than an entire host's chips
+        remain out of scope (they would need
+        jax.make_array_from_process_local_data plus all-process SPMD
+        coordination per box)."""
+        m = self.mesh
+        if m is not None and m.size > 1:
+            pidx = jax.process_index()
+            if all(d.process_index == pidx for d in m.devices.flat):
+                return m
+        if jax.process_count() > 1:
+            if self._local_giant_mesh is None:
+                loc = jax.local_devices()
+                self._local_giant_mesh = (
+                    mesh_lib.data_mesh(loc) if len(loc) > 1 else False)
+            return self._local_giant_mesh or None
+        return None
 
     # transfer=auto breakevens, one per link direction.  At ~1% kept the
     # sparse stream is ~2% of the dense bytes (8 B pairs vs 4 B dense), so
@@ -475,12 +497,13 @@ class CodecEngine:
         if fn is None:
             from wavelet_tpu.runtime import distributed
 
+            gm = self._giant_mesh()
             if kind == "fwd":
                 fn = distributed.make_sharded_box_forward_interleaved(
-                    self.mesh, eff)
+                    gm, eff)
             elif kind == "inv":
                 fn = distributed.make_sharded_box_inverse_interleaved(
-                    self.mesh, eff)
+                    gm, eff)
             else:
                 fn = jax.jit(lambda c: (jnp.max(c), jnp.min(c)))
             self._giant_fns[key] = fn
@@ -490,7 +513,8 @@ class CodecEngine:
         """One giant box [X, Y, Z] onto the mesh, X sharded."""
         from jax.sharding import NamedSharding, PartitionSpec
 
-        sh = NamedSharding(self.mesh, PartitionSpec(mesh_lib.DATA_AXIS))
+        sh = NamedSharding(self._giant_mesh(),
+                           PartitionSpec(mesh_lib.DATA_AXIS))
         return jax.device_put(arr, sh)
 
     # one box must fit VMEM alongside the double-buffered pipeline — the
@@ -647,6 +671,9 @@ class CodecEngine:
         fwd = self._giant("fwd", eff)
         maxmin = self._giant("maxmin", eff)
         n = batch.data.shape[0]
+        log.info("Giant box path: %d box(es) of %s sharding X over %d "
+                 "devices (zero collectives)", n, batch.shape,
+                 self._giant_mesh().size)
         coeffs = np.empty_like(batch.data)
         maxs = np.empty(n, np.float32)
         mins = np.empty(n, np.float32)
