@@ -129,15 +129,25 @@ def main():
     import threading
 
     done: list = []
+    failed: list = []
 
     def work():
-        done.append(_measure())
+        try:
+            done.append(_measure())
+        except BaseException as e:  # noqa: BLE001 — recorded, not hidden
+            failed.append(f"{type(e).__name__}: {e}")
+            raise
 
     t = threading.Thread(target=work, daemon=True)
     t.start()
     t.join(2400)       # generous: a cached hot run takes ~10-12 min
     import os
 
+    if failed:
+        # distinguish a real exception from a hang — a fabricated
+        # "timed out" cause would mislead the artifact's reader
+        _fail_line(f"bench raised: {failed[0][:300]}")
+        os._exit(1)
     if not done:
         _fail_line("bench timed out after 40 min (tunnel died mid-run "
                    "or compile storm)")

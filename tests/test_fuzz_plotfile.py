@@ -140,32 +140,32 @@ def test_nonuniform_ref_ratio_rejected(good_plotfile, tmp_path):
     # a multi-level selection above level 0 uses the ratio it spans
     meta = common.collect_run_meta([good_plotfile], ["temp"], [1, 2])
     assert meta.amrexinfo.ref_ratios == [4, 4, 4]
+    # the COLLECTED path (collect_run) applies the identical rule — the
+    # two pipelines must never disagree on the archived ratio
+    with pytest.raises(ValueError, match="non-uniform"):
+        common.collect_run([good_plotfile], ["temp"], [0, 1, 2])
+    run = common.collect_run([good_plotfile], ["temp"], [1, 2])
+    assert run.amrexinfo.ref_ratios == [4, 4, 4]
 
 
 # ---------------------------------------------------------------------------
 # seeded mutation fuzzing
 # ---------------------------------------------------------------------------
 
-def _mutate_text(blob: bytes, rng) -> bytes:
-    b = bytearray(blob)
-    kind = rng.integers(0, 5)
-    if kind == 0 and len(b) > 1:          # truncate
-        return bytes(b[: rng.integers(1, len(b))])
-    if kind == 1:                          # flip random bytes
-        for _ in range(int(rng.integers(1, 8))):
-            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
-        return bytes(b)
-    if kind == 2:                          # random garbage
-        return bytes(rng.integers(0, 256, int(rng.integers(1, 512)),
-                                  dtype=np.uint8))
-    if kind == 3:                          # drop a random line (text files)
-        lines = bytes(b).split(b"\n")
-        if len(lines) > 1:
-            del lines[rng.integers(0, len(lines))]
-        return b"\n".join(lines)
-    junk = bytes(rng.integers(0, 256, int(rng.integers(1, 64)),
-                              dtype=np.uint8))
-    return junk + bytes(b) if rng.integers(0, 2) else bytes(b) + junk
+def _load_campaign():
+    """The long-run campaign (scripts/fuzz_campaign.py) owns the canonical
+    mutator; CI reuses it so the two fuzzers can never drift apart."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "fuzz_campaign.py")
+    spec = importlib.util.spec_from_file_location("fuzz_campaign", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_mutate_text = _load_campaign().mutate
 
 
 @pytest.mark.parametrize("target,n_trials", [

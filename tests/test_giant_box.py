@@ -49,6 +49,24 @@ def test_giant_gate_and_padding(mesh8):
     assert not engine.CodecEngine(giant_box_bytes=1).giant_ok((64, 64, 64))
 
 
+def test_giant_deep_preview_rejected(mesh8):
+    """preview deeper than the stored pyramid reconstructs the FULL box on
+    one device — exactly what a giant box cannot do; corner previews
+    (depth <= scales) stay allowed (only 8**-depth of the coefficients
+    reach the device)."""
+    e = engine.CodecEngine(mesh=mesh8, giant_box_bytes=1 << 17)
+    dims = (64, 32, 32)
+    assert e.giant_ok(dims)
+    coeffs = np.zeros((1,) + dims, np.float32)
+    batch = batching.ShapeBatch(shape=dims, data=coeffs,
+                                items=[batching.WorkItem(0, 0, 0, 0)],
+                                n_valid=1)
+    with pytest.raises(ValueError, match="giant"):
+        e.preview_shapebatch(batch, 2)     # depth 2 > eff_scales 1
+    out, h2d = e.preview_shapebatch(batch, 1)   # corner path: allowed
+    assert out.shape == (1, 32, 16, 16)
+
+
 def test_giant_batch_not_padded(mesh8):
     e = engine.CodecEngine(mesh=mesh8, giant_box_bytes=1 << 17)
     arr = np.random.default_rng(0).standard_normal(

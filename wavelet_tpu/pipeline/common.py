@@ -152,6 +152,25 @@ class RunMeta:
     levels: list
 
 
+def _select_ref_ratio(h, levels, fname: str) -> list:
+    """The single per-axis ratio triple the archive stores, from the
+    boundaries the selection actually spans (levels lo..hi span boundaries
+    lo..hi-1; a single-level selection spans none).  A Header whose
+    SPANNED boundaries refine at different ratios (line "2 4") cannot be
+    represented — reject it rather than silently regenerate a wrong
+    Header.  (The reference is equally limited but silent:
+    preprocess.cpp:212-224 reads only ratio[0].)"""
+    used = h.ref_ratio[min(levels):max(levels)] if levels else []
+    if len(set(used)) > 1:
+        raise ValueError(
+            f"plotfile {fname} refines with non-uniform ratios "
+            f"{h.ref_ratio[:h.finest_level]} across the selected levels; "
+            "the archive format stores a single ratio — restrict "
+            "minlevel/maxlevel to a uniformly-refined range")
+    r = used[0] if used else (h.ref_ratio[0] if h.ref_ratio else 2)
+    return [r, r, r]
+
+
 def collect_run_meta(files, components, levels) -> RunMeta:
     """Metadata-only preprocessing pass (geometry of preprocess.cpp:107-307
     without the box-data copies)."""
@@ -166,26 +185,7 @@ def collect_run_meta(files, components, levels) -> RunMeta:
         if comp_idxs is None:
             comp_idxs = h.component_indices(components)
             names_ordered = [h.component_names[i] for i in comp_idxs]
-            # the archive stores ONE per-axis ratio triple; a Header whose
-            # SELECTED level range refines at different ratios (line "2 4"
-            # with levels 0-2 selected) cannot be represented and would
-            # silently regenerate a wrong Header, so reject it.  (The
-            # reference is equally limited but silent:
-            # preprocess.cpp:212-224 reads only ratio[0].)  Only the
-            # boundaries the selection actually spans matter — levels
-            # [lo..hi] span boundaries lo..hi-1; a single-level selection
-            # spans none and any ratio line is fine.
-            used = (h.ref_ratio[min(levels):max(levels)] if levels else [])
-            if len(set(used)) > 1:
-                raise ValueError(
-                    f"plotfile {f} refines with non-uniform ratios "
-                    f"{h.ref_ratio[:h.finest_level]} across the selected "
-                    f"levels; the archive format stores a single ratio — "
-                    "restrict minlevel/maxlevel to a uniformly-refined "
-                    "range")
-            r = (used[0] if used
-                 else (h.ref_ratio[0] if h.ref_ratio else 2))
-            ref_ratios = [r, r, r]
+            ref_ratios = _select_ref_ratio(h, levels, f)
             base_dims = h.domain_dims(0)
         geom.append(list(h.prob_lo) + list(h.prob_hi))
         true_times.append(np.longdouble(h.time_str))
@@ -225,9 +225,9 @@ def collect_run(files, components, levels) -> RunData:
             names_ordered = [h.component_names[i] for i in comp_idxs]
             # intended semantics: per-dim ratio replicated from the per-level
             # scalar (the reference's stream-parse quirk yields {r,0,0};
-            # SURVEY.md notes its own test expects {r,r,r})
-            r = h.ref_ratio[0] if h.ref_ratio else 2
-            ref_ratios = [r, r, r]
+            # SURVEY.md notes its own test expects {r,r,r}); same spanned-
+            # range selection/rejection as the streaming metadata pass
+            ref_ratios = _select_ref_ratio(h, levels, f)
             base_dims = h.domain_dims(0)
         geom.append(list(h.prob_lo) + list(h.prob_hi))
         true_times.append(np.longdouble(h.time_str))

@@ -197,11 +197,13 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
                     batching.WorkItem(t=0, level=0, comp_idx=comp_idx, box=b))
         comp_pos = {c: k for k, c in enumerate(run.comp_idxs)}
         regen = [np.zeros_like(box) for box in lv.boxes]
-        pad = mesh.size if mesh is not None else 1
         for dims, items in buckets.items():
+            # giant shapes must not pad phantom giant boxes onto the
+            # leading axis (they shard WITHIN the box)
             batch = batching.empty_batch(items, dims,
                                          pack=eng.pack_factor(dims),
-                                         pad_multiple=pad,
+                                         pad_multiple=eng.pad_multiple_for(
+                                             dims),
                                          layout=eng.coeff_layout(dims),
                                          scales=eng.eff_scales(dims))
             packer.unpack_into(scratch, batch)

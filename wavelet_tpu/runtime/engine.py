@@ -946,6 +946,15 @@ class CodecEngine:
                 f"preview={depth} requires box dims divisible by "
                 f"{1 << depth}; got {dims}")
         s_box = self.eff_scales(dims)
+        if depth > s_box and self.giant_ok(dims):
+            # a deeper-than-stored preview reconstructs the FULL box on
+            # one device before re-lowpassing — exactly what a giant box
+            # cannot do; the corner path (depth <= scales) stays fine
+            # since only 8**-depth of the coefficients reach the device
+            raise ValueError(
+                f"preview={depth} on a giant box {dims} would "
+                f"reconstruct the whole box on one device; use preview "
+                f"<= scales ({s_box}) for giant archives")
         cx, cy, cz = (d >> depth for d in dims)
         if depth <= s_box:
             corner = np.ascontiguousarray(batch.data[:, :cx, :cy, :cz])
