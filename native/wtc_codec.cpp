@@ -139,6 +139,23 @@ bool is_unit_permutation(const int64_t* tab, int64_t n) {
     return true;
 }
 
+// Items at or below this footprint take the memset-prepass unpack; larger
+// ones take the write-once streaming walk (rationale at the use site).
+// Default 4 MiB ~ the per-core L2/L3 share of small hosts; override with
+// WTC_UNPACK_STREAM_BYTES for other cache hierarchies.
+int64_t unpack_stream_threshold() {
+    static const int64_t v = [] {
+        const char* e = std::getenv("WTC_UNPACK_STREAM_BYTES");
+        if (e && *e) {
+            char* end = nullptr;
+            const long long x = std::strtoll(e, &end, 10);
+            if (end && *end == '\0' && x >= 0) return (int64_t)x;
+        }
+        return (int64_t)4 << 20;
+    }();
+    return v;
+}
+
 // --- payload serialization ------------------------------------------------
 
 // Serialize one item's payload: 3x int32 shape, int32 total, int32 n_pairs,
@@ -630,20 +647,92 @@ int64_t unpack_core_strided(int64_t n_items, int64_t rows, int64_t row_len,
             return;
         }
         float* base = out + offsets[i];
-        for (int64_t r = 0; r < rows; ++r)
-            std::memset(base + r * row_stride, 0, row_len * sizeof(float));
+        // Two regimes, picked by item footprint (measured on the 4-core
+        // build host, bench_results/host_codec.json):
+        //  - cache-resident items: memset the whole footprint first, then
+        //    scatter.  The prepass warms the cache, stores hit it, and RAM
+        //    sees each byte once anyway — one big memset beats the many
+        //    short ones a fused walk issues (6.8 vs 5.6 GB/s at 64^3/1%).
+        //  - larger-than-cache items: a single sequential walk emits the
+        //    zero runs in-pass so every byte is written ONCE; the memset
+        //    prepass would stream the footprint through RAM twice.
+        // Semantics are identical either way (decompressor.cpp:18-27 plus
+        // the negative-run lower bound): a (malformed) backwards jump
+        // lands in an already-emitted region and overwrites it, exactly
+        // like the memset-first formulation.
+        const int64_t item_bytes = n_coeffs * (int64_t)sizeof(float);
+        if (item_bytes <= unpack_stream_threshold()) {
+            for (int64_t r = 0; r < rows; ++r)
+                std::memset(base + r * row_stride, 0,
+                            row_len * sizeof(float));
+            int64_t idx = 0;
+            for (int64_t p = 0; p < v.n_pairs; ++p) {
+                int32_t run;
+                float val;
+                read_pair(v, payload_fmt, p, &run, &val);
+                idx += run;
+                if (idx >= 0 && idx < v.total) {
+                    base[(idx / row_len) * row_stride + idx % row_len] = val;
+                    ++idx;
+                }
+            }
+            return;
+        }
+        int64_t cursor = 0;                 // next logical slot not emitted
         int64_t idx = 0;
-        for (int64_t p = 0; p < v.n_pairs; ++p) {
-            int32_t run;
-            float val;
-            read_pair(v, payload_fmt, p, &run, &val);
-            idx += run;
-            // bounds check as decompressor.cpp:23, plus a lower bound the
-            // reference lacks: a corrupt payload with negative runs must
-            // not write before the buffer
-            if (idx >= 0 && idx < v.total) {
-                base[(idx / row_len) * row_stride + idx % row_len] = val;
-                ++idx;
+        if (row_stride == row_len) {        // contiguous item: no div ever
+            for (int64_t p = 0; p < v.n_pairs; ++p) {
+                int32_t run;
+                float val;
+                read_pair(v, payload_fmt, p, &run, &val);
+                idx += run;
+                if (idx >= 0 && idx < v.total) {
+                    if (idx >= cursor) {
+                        std::memset(base + cursor, 0,
+                                    (idx - cursor) * sizeof(float));
+                        cursor = idx + 1;
+                    }
+                    base[idx] = val;
+                    ++idx;
+                }
+            }
+            std::memset(base + cursor, 0, (v.total - cursor) * sizeof(float));
+        } else {
+            int64_t r_cur = 0, col_cur = 0;  // (row, col) of `cursor`
+            for (int64_t p = 0; p < v.n_pairs; ++p) {
+                int32_t run;
+                float val;
+                read_pair(v, payload_fmt, p, &run, &val);
+                idx += run;
+                if (idx >= 0 && idx < v.total) {
+                    if (idx >= cursor) {
+                        while (cursor < idx) {  // zero-fill, row by row
+                            const int64_t span =
+                                std::min(idx - cursor, row_len - col_cur);
+                            std::memset(base + r_cur * row_stride + col_cur,
+                                        0, span * sizeof(float));
+                            cursor += span;
+                            col_cur += span;
+                            if (col_cur == row_len) { col_cur = 0; ++r_cur; }
+                        }
+                        base[r_cur * row_stride + col_cur] = val;
+                        cursor = idx + 1;
+                        if (++col_cur == row_len) { col_cur = 0; ++r_cur; }
+                    } else {  // backwards jump: already-emitted region
+                        base[(idx / row_len) * row_stride + idx % row_len] =
+                            val;
+                    }
+                    ++idx;
+                }
+            }
+            while (cursor < v.total) {
+                const int64_t span =
+                    std::min(v.total - cursor, row_len - col_cur);
+                std::memset(base + r_cur * row_stride + col_cur, 0,
+                            span * sizeof(float));
+                cursor += span;
+                col_cur += span;
+                if (col_cur == row_len) { col_cur = 0; ++r_cur; }
             }
         }
     });
@@ -674,29 +763,92 @@ int64_t unpack_core_indexed(int64_t n_items, int64_t nx, int64_t ny,
             return;
         }
         float* base = out + offsets[i];
-        if (iz_unit) {
+        const bool small_item =
+            n_coeffs * (int64_t)sizeof(float) <= unpack_stream_threshold();
+        if (iz_unit && small_item) {
+            // cache-resident: memset prepass + scatter (see the strided
+            // core for the regime rationale)
             for (int64_t a = 0; a < nx; ++a)
                 for (int64_t b = 0; b < ny; ++b)
-                    std::memset(base + ix[a] + iy[b], 0,
+                    std::memset(base + ix[a] + iy[b], 0, nz * sizeof(float));
+            int64_t idx = 0;
+            for (int64_t p = 0; p < v.n_pairs; ++p) {
+                int32_t run;
+                float val;
+                read_pair(v, payload_fmt, p, &run, &val);
+                idx += run;
+                if (idx >= 0 && idx < v.total) {
+                    base[ix[idx / (ny * nz)] + iy[(idx / nz) % ny] +
+                         iz[idx % nz]] = val;
+                    ++idx;
+                }
+            }
+        } else if (iz_unit) {
+            // Single forward walk with LAZY row zeroing: each (a, b) row's
+            // contiguous nz-float footprint (iz is a permutation of
+            // [0, nz), so the footprint is one memset-able span even
+            // though iz[c] != c in general) is zeroed when the walk first
+            // reaches it, then kept values land at iz[c].  Every byte is
+            // written once plus the kept stores — the old
+            // memset-everything prepass wrote items larger than L2 twice.
+            // (a_cur, b_cur, col_cur) track the logical cursor and
+            // (az, bz) the zeroing frontier; the hot path never divides.
+            int64_t cursor = 0, idx = 0;
+            int64_t a_cur = 0, b_cur = 0, col_cur = 0;
+            int64_t az = 0, bz = 0, zeroed_rows = 0;
+            const auto zero_through = [&](int64_t row) {
+                while (zeroed_rows <= row) {
+                    std::memset(base + ix[az] + iy[bz], 0,
                                 nz * sizeof(float));
+                    ++zeroed_rows;
+                    if (++bz == ny) { bz = 0; ++az; }
+                }
+            };
+            for (int64_t p = 0; p < v.n_pairs; ++p) {
+                int32_t run;
+                float val;
+                read_pair(v, payload_fmt, p, &run, &val);
+                idx += run;
+                if (idx >= 0 && idx < v.total) {
+                    if (idx >= cursor) {
+                        col_cur += idx - cursor;
+                        while (col_cur >= nz) {  // bounded by rows overall
+                            col_cur -= nz;
+                            if (++b_cur == ny) { b_cur = 0; ++a_cur; }
+                        }
+                        zero_through(a_cur * ny + b_cur);
+                        base[ix[a_cur] + iy[b_cur] + iz[col_cur]] = val;
+                        cursor = idx + 1;
+                        if (++col_cur == nz) {
+                            col_cur = 0;
+                            if (++b_cur == ny) { b_cur = 0; ++a_cur; }
+                        }
+                    } else {  // backwards jump: already-zeroed region
+                        base[ix[idx / (ny * nz)] + iy[(idx / nz) % ny] +
+                             iz[idx % nz]] = val;
+                    }
+                    ++idx;
+                }
+            }
+            zero_through(nx * ny - 1);
         } else {
             for (int64_t a = 0; a < nx; ++a)
                 for (int64_t b = 0; b < ny; ++b)
                     for (int64_t c = 0; c < nz; ++c)
                         base[ix[a] + iy[b] + iz[c]] = 0.0f;
-        }
-        int64_t idx = 0;
-        for (int64_t p = 0; p < v.n_pairs; ++p) {
-            int32_t run;
-            float val;
-            read_pair(v, payload_fmt, p, &run, &val);
-            idx += run;
-            if (idx >= 0 && idx < v.total) {
-                const int64_t c = idx % nz;
-                const int64_t b = (idx / nz) % ny;
-                const int64_t a = idx / (ny * nz);
-                base[ix[a] + iy[b] + iz[c]] = val;
-                ++idx;
+            int64_t idx = 0;
+            for (int64_t p = 0; p < v.n_pairs; ++p) {
+                int32_t run;
+                float val;
+                read_pair(v, payload_fmt, p, &run, &val);
+                idx += run;
+                if (idx >= 0 && idx < v.total) {
+                    const int64_t c = idx % nz;
+                    const int64_t b = (idx / nz) % ny;
+                    const int64_t a = idx / (ny * nz);
+                    base[ix[a] + iy[b] + iz[c]] = val;
+                    ++idx;
+                }
             }
         }
     });
@@ -921,6 +1073,134 @@ int64_t wtc_unpack_mapped_mem(const uint8_t* const* blobs,
     return unpack_core_mapped(n_items, n_coeffs, map, offsets, out,
                               shapes_out, n_threads, payload_fmt,
                               MemLoad{blobs, blob_sizes, codec});
+}
+
+// ---- FAB axis-reversal transpose (plotfile I/O hot path) ----
+//
+// AMReX FABs store x-fastest (C, Z, Y, X); the framework's boxes are
+// (C, X, Y, Z) C-order.  NumPy's strided axis-reversal copy runs at
+// ~0.3-1 GB/s (elementwise gather loops); these do the same permutation
+// as a cache-blocked 2D transpose of each (x, z) plane, fused with the
+// f32<->f64 width change, parallelized over (c, y) planes.  Measured
+// ~6-14x (bench_results/plotfile_io.json before/after rows).
+//
+// write direction: src f32 (C, X, Y, Z) -> dst (C, Z, Y, X) f64 or f32.
+// read direction:  src FAB (C, Z, Y, X) f64/f32 -> dst f32 (C, X, Y, Z).
+
+}  // extern "C" (templates below need C++ linkage)
+
+namespace {
+
+// Tiling notes: for power-of-2 boxes the (x, z)-plane strides are 4 KiB
+// multiples, so naive 32x32 plane blocks put every row in ONE L1 set and
+// thrash (measured 0.24 GB/s/core — no better than NumPy).  Instead the
+// y axis runs in the MIDDLE loop (consecutive y is a small stride on both
+// sides, so the 4-row/4-line micro-tile footprints stay resident across
+// the whole y sweep), with micro-tiles of 4 rows x 16 columns bounded by
+// the 8-way L1 associativity.
+
+constexpr int64_t kXTile = 8;
+constexpr int64_t kZTile = 8;
+
+// Both directions stage through a contiguous L1-resident scratch tile of
+// shape [kXTile, y, kZTile]: the gather pass streams short contiguous
+// segments from the source (sequential within each row), the scatter pass
+// streams contiguous segments into the destination, and the strided hops
+// land only in the 32 KiB scratch where 4K aliasing cannot thrash.
+
+template <typename D>
+void transpose_xtile_w(const float* src, D* dst, int64_t c, int64_t xb,
+                       int64_t xe, int64_t x, int64_t y, int64_t z,
+                       float* scratch) {
+    const float* sc = src + c * x * y * z;
+    D* dc = dst + c * x * y * z;
+    const int64_t tx = xe - xb;
+    for (int64_t zb = 0; zb < z; zb += kZTile) {
+        const int64_t tz = std::min(kZTile, z - zb);
+        for (int64_t xx = 0; xx < tx; ++xx)
+            for (int64_t yy = 0; yy < y; ++yy) {
+                const float* s = sc + ((xb + xx) * y + yy) * z + zb;
+                float* t = scratch + (xx * y + yy) * kZTile;
+                for (int64_t zz = 0; zz < tz; ++zz) t[zz] = s[zz];
+            }
+        for (int64_t zz = 0; zz < tz; ++zz)
+            for (int64_t yy = 0; yy < y; ++yy) {
+                D* d = dc + ((zb + zz) * y + yy) * x + xb;
+                const float* t = scratch + yy * kZTile + zz;
+                for (int64_t xx = 0; xx < tx; ++xx)
+                    d[xx] = static_cast<D>(t[xx * y * kZTile]);
+            }
+    }
+}
+
+template <typename S>
+void transpose_xtile_r(const S* src, float* dst, int64_t c, int64_t xb,
+                       int64_t xe, int64_t x, int64_t y, int64_t z,
+                       S* scratch) {
+    // mirror of transpose_xtile_w: scratch is [kZTile, y, kXTile] of S
+    const S* sc = src + c * x * y * z;
+    float* dc = dst + c * x * y * z;
+    const int64_t tx = xe - xb;
+    for (int64_t zb = 0; zb < z; zb += kZTile) {
+        const int64_t tz = std::min(kZTile, z - zb);
+        for (int64_t zz = 0; zz < tz; ++zz)
+            for (int64_t yy = 0; yy < y; ++yy) {
+                const S* s = sc + ((zb + zz) * y + yy) * x + xb;
+                S* t = scratch + (zz * y + yy) * kXTile;
+                for (int64_t xx = 0; xx < tx; ++xx) t[xx] = s[xx];
+            }
+        for (int64_t xx = 0; xx < tx; ++xx)
+            for (int64_t yy = 0; yy < y; ++yy) {
+                float* d = dc + ((xb + xx) * y + yy) * z + zb;
+                const S* t = scratch + yy * kXTile + xx;
+                for (int64_t zz = 0; zz < tz; ++zz)
+                    d[zz] = static_cast<float>(t[zz * y * kXTile]);
+            }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// dst_f64: 1 writes doubles, 0 writes floats.  Returns 0, or -1 on a
+// worker exception (cannot happen for this pure loop, kept for symmetry).
+int64_t wtc_fab_from_boxes(const float* src, int64_t ncomp, int64_t x,
+                           int64_t y, int64_t z, void* dst, int dst_f64,
+                           int n_threads) {
+    const int64_t ntx = (x + kXTile - 1) / kXTile;
+    const int64_t thrown = run_pool(n_threads, ncomp * ntx, [&](int64_t u) {
+        const int64_t c = u / ntx, xb = (u % ntx) * kXTile;
+        const int64_t xe = std::min(xb + kXTile, x);
+        std::vector<float> scratch(kXTile * y * kZTile);
+        if (dst_f64)
+            transpose_xtile_w(src, static_cast<double*>(dst), c, xb, xe,
+                              x, y, z, scratch.data());
+        else
+            transpose_xtile_w(src, static_cast<float*>(dst), c, xb, xe,
+                              x, y, z, scratch.data());
+    });
+    return thrown >= 0 ? -1 : 0;
+}
+
+int64_t wtc_boxes_from_fab(const void* src, int src_f64, int64_t ncomp,
+                           int64_t x, int64_t y, int64_t z, float* dst,
+                           int n_threads) {
+    const int64_t ntx = (x + kXTile - 1) / kXTile;
+    const int64_t thrown = run_pool(n_threads, ncomp * ntx, [&](int64_t u) {
+        const int64_t c = u / ntx, xb = (u % ntx) * kXTile;
+        const int64_t xe = std::min(xb + kXTile, x);
+        if (src_f64) {
+            std::vector<double> scratch(kZTile * y * kXTile);
+            transpose_xtile_r(static_cast<const double*>(src), dst, c, xb,
+                              xe, x, y, z, scratch.data());
+        } else {
+            std::vector<float> scratch(kZTile * y * kXTile);
+            transpose_xtile_r(static_cast<const float*>(src), dst, c, xb,
+                              xe, x, y, z, scratch.data());
+        }
+    });
+    return thrown >= 0 ? -1 : 0;
 }
 
 }  // extern "C"

@@ -1,0 +1,100 @@
+"""Standalone plotfile read/write stage rates (verdict round-3 item 3).
+
+The decompress e2e projection said "plotfile-write-bound" without a
+measured GB/s for the writer, and the compress projection never measured
+the reader.  This measures both on tmpfs at 64^3 and 128^3 boxes, f64 and
+f32 outprec, before/after-style totals, plus the byte-identity check vs
+the golden fixtures' format (the writer is also covered by
+tests/test_write_plotfile_byte_identical — this is the RATE artifact).
+
+Writes bench_results/plotfile_io.json.  Reference anchors:
+writeplotfile.cpp:118-231 (writer), preprocess.cpp:311-377 (reader).
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wavelet_tpu.io import plotfile
+
+
+def synth_level(n_boxes, dim, ncomp, seed):
+    rng = np.random.default_rng(seed)
+    boxes = [rng.standard_normal((ncomp, dim, dim, dim)).astype(np.float32)
+             for _ in range(n_boxes)]
+    locs, dims = [], []
+    side = int(np.ceil(n_boxes ** (1 / 3)))
+    for b in range(n_boxes):
+        i, j, k = b % side, (b // side) % side, b // (side * side)
+        locs.append((i * dim, j * dim, k * dim))
+        dims.append((dim, dim, dim))
+    return boxes, locs, dims
+
+
+def bench_write(d, boxes, locs, dims, ncomp, precision, reps=3):
+    src_bytes = sum(b.nbytes for b in boxes)
+    best = None
+    for r in range(reps):
+        out = os.path.join(d, f"plt_{precision}_{r}")
+        t0 = time.perf_counter()
+        side = int(np.ceil(len(boxes) ** (1 / 3)))
+        dim = dims[0][0]
+        plotfile.write_plotfile(
+            out, [boxes], [locs], [dims],
+            [f"c{i}" for i in range(ncomp)], time=0.5,
+            prob_lo=(0.0, 0.0, 0.0), prob_hi=(1.0, 1.0, 1.0),
+            ref_ratios=(2, 2, 2),
+            base_dims=(side * dim, side * dim, side * dim),
+            level_steps=[0], precision=precision)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    disk = sum(os.path.getsize(os.path.join(dp, fn))
+               for dp, _, fns in os.walk(out) for fn in fns)
+    return {"src_gbps": round(src_bytes / best / 1e9, 3),
+            "disk_gbps": round(disk / best / 1e9, 3),
+            "src_bytes": src_bytes, "disk_bytes": disk}, out
+
+
+def bench_read(plt_dir, ncomp, src_bytes, reps=3):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        lb = plotfile.read_level(plt_dir, 0, list(range(ncomp)))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    got = sum(b.nbytes for b in lb.boxes)
+    return {"f32_gbps": round(got / best / 1e9, 3), "f32_bytes": got}
+
+
+def main():
+    out = {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"), "cases": {}}
+    d = tempfile.mkdtemp(dir="/dev/shm")
+    try:
+        for dim, n_boxes in ((64, 64), (128, 16)):
+            boxes, locs, dims = synth_level(n_boxes, dim, ncomp := 2,
+                                            seed=dim)
+            case = {}
+            for precision in ("f64", "f32"):
+                w, plt_dir = bench_write(d, boxes, locs, dims, ncomp,
+                                         precision)
+                case[f"write_{precision}"] = w
+                case[f"read_{precision}"] = bench_read(plt_dir, ncomp,
+                                                       w["src_bytes"])
+            out["cases"][f"{dim}^3_x{n_boxes}"] = case
+            print(f"{dim}^3 x {n_boxes}:", json.dumps(case), flush=True)
+    finally:
+        shutil.rmtree(d)
+    with open("bench_results/plotfile_io.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

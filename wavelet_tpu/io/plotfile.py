@@ -22,11 +22,14 @@ transpose (z-slowest), handled here at the I/O boundary.
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import os
 import re
 from dataclasses import dataclass, field
 
 import numpy as np
+
+from wavelet_tpu import native
 
 __all__ = [
     "PlotfileHeader",
@@ -407,9 +410,18 @@ def read_level(plotfile_dir: str, level: int, comp_idxs) -> LevelBoxes:
                 raise ValueError(
                     f"corrupt plotfile level {lvl_dir}: FAB in {fname} has "
                     f"{ncomp} components, need index {max(comp_idxs)}")
-            # select components, narrow to f32, transpose to (C, X, Y, Z)
-            sel = data[comp_idxs].astype(np.float32)
-            arr = np.ascontiguousarray(sel.transpose(0, 3, 2, 1))
+            # select components, narrow to f32, transpose to (C, X, Y, Z);
+            # the native cache-blocked transpose fuses the narrowing and
+            # the axis reversal (NumPy's strided copy is the plotfile-read
+            # bottleneck otherwise — bench_results/plotfile_io.json)
+            sel = (data if comp_idxs == list(range(ncomp))
+                   else data[comp_idxs])
+            z, y, x = sel.shape[1:]
+            if native.available() and sel.flags.c_contiguous:
+                arr = native.boxes_from_fab(sel, x, y, z)
+            else:
+                arr = np.ascontiguousarray(
+                    sel.astype(np.float32).transpose(0, 3, 2, 1))
             boxes.append(arr)
             locations.append(tuple(int(v) for v in lo))
             dimensions.append(tuple(arr.shape[1:]))
@@ -445,18 +457,42 @@ def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions, ncomp,
     offsets = []
     mins, maxs = [], []
     dname = "Cell_D_00000"
-    with open(os.path.join(lvl_dir, dname), "wb") as f:
-        for arr, loc, dims in zip(boxes, locations, dimensions):
+
+    def prep(arr):
+        # one pass: transpose to the on-disk (C, Z, Y, X) order and widen
+        # to the FAB dtype in the same copy (the old astype +
+        # transpose-copy + tobytes chain moved the box three times).  The
+        # native cache-blocked transpose does the pass near memory
+        # bandwidth — NumPy's strided axis-reversal was the writer
+        # bottleneck (bench_results/plotfile_io.json).  min/max on the
+        # f32 source: widening to the FAB dtype is exact, so the header
+        # tables come out byte-identical.
+        if native.available() and arr.flags.c_contiguous \
+                and arr.dtype == np.float32:
+            fab = native.fab_from_boxes(arr, dtype)
+        else:
+            fab = np.ascontiguousarray(arr.transpose(0, 3, 2, 1),
+                                       dtype=dtype)
+        flat = arr.reshape(ncomp, -1)
+        return fab, flat.min(axis=1).astype(dtype), \
+            flat.max(axis=1).astype(dtype)
+
+    with open(os.path.join(lvl_dir, dname), "wb") as f, \
+            cf.ThreadPoolExecutor(1) as pool:
+        # 2-stage pipeline: transpose box b+1 (native code / numpy, both
+        # GIL-releasing) behind the file write of box b
+        nxt = pool.submit(prep, boxes[0]) if boxes else None
+        for b, (loc, dims) in enumerate(zip(locations, dimensions)):
+            fab, mn, mx = nxt.result()
+            if b + 1 < len(boxes):
+                nxt = pool.submit(prep, boxes[b + 1])
             lo = tuple(int(v) for v in loc)
             hi = tuple(l + d - 1 for l, d in zip(lo, dims))
             offsets.append(f.tell())
-            head = f"FAB {desc}{_fmt_box(lo, hi)} {ncomp}\n"
-            f.write(head.encode())
-            data = arr.astype(dtype)                   # (C, X, Y, Z)
-            f.write(np.ascontiguousarray(data.transpose(0, 3, 2, 1)).tobytes())
-            flat = data.reshape(ncomp, -1)
-            mins.append(flat.min(axis=1))
-            maxs.append(flat.max(axis=1))
+            f.write(f"FAB {desc}{_fmt_box(lo, hi)} {ncomp}\n".encode())
+            f.write(fab)
+            mins.append(mn)
+            maxs.append(mx)
     out = []
     out.append("1")          # VisMF header version
     out.append("1")          # how (NFiles ordering)

@@ -126,6 +126,14 @@ def _bind(handle):
     handle.wtc_unpack_mapped_mem.argtypes = [
         _ppu8, _pi64, _i64, _i64, _pi64, _pi64, _pf, _pi32,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    handle.wtc_fab_from_boxes.restype = _i64
+    handle.wtc_fab_from_boxes.argtypes = [
+        _pf, _i64, _i64, _i64, _i64, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int]
+    handle.wtc_boxes_from_fab.restype = _i64
+    handle.wtc_boxes_from_fab.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, _i64, _i64, _i64, _i64, _pf,
+        ctypes.c_int]
 
 
 _try_load()
@@ -469,3 +477,36 @@ def unpack_mapped_mem(blobs, dest: np.ndarray, coeff_map: np.ndarray,
     if ret < 0:
         raise IOError(f"native unpack failed at item {-(ret + 1)}")
     return shapes
+
+
+def fab_from_boxes(arr: np.ndarray, dtype, n_threads: int = 0) -> np.ndarray:
+    """(C, X, Y, Z) f32 box -> on-disk FAB order (C, Z, Y, X) in ``dtype``
+    (f64 or f32), via the cache-blocked native transpose (6-14x NumPy's
+    strided axis-reversal copy — bench_results/plotfile_io.json)."""
+    assert arr.dtype == np.float32 and arr.flags.c_contiguous
+    ncomp, x, y, z = arr.shape
+    dtype = np.dtype(dtype)
+    out = np.empty((ncomp, z, y, x), dtype=dtype)
+    ret = lib.wtc_fab_from_boxes(
+        arr.ctypes.data_as(_pf), ncomp, x, y, z,
+        out.ctypes.data_as(ctypes.c_void_p),
+        1 if dtype == np.float64 else 0, n_threads)
+    if ret < 0:
+        raise RuntimeError("native fab transpose failed")
+    return out
+
+
+def boxes_from_fab(fab: np.ndarray, x: int, y: int, z: int,
+                   n_threads: int = 0) -> np.ndarray:
+    """On-disk FAB order (C, Z, Y, X) f64/f32 -> (C, X, Y, Z) f32 box
+    (reader direction of :func:`fab_from_boxes`)."""
+    assert fab.flags.c_contiguous and fab.dtype in (np.float32, np.float64)
+    ncomp = fab.shape[0]
+    out = np.empty((ncomp, x, y, z), dtype=np.float32)
+    ret = lib.wtc_boxes_from_fab(
+        fab.ctypes.data_as(ctypes.c_void_p),
+        1 if fab.dtype == np.float64 else 0, ncomp, x, y, z,
+        out.ctypes.data_as(_pf), n_threads)
+    if ret < 0:
+        raise RuntimeError("native fab transpose failed")
+    return out

@@ -29,7 +29,7 @@ __all__ = ["decompress_run", "iter_decompressed_timesteps"]
 
 
 def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
-                   preview=0):
+                   preview=0, arena=None):
     """HOST stage of one shape bucket: read + decode + (for sparse) the
     transport decision.  Returns ``(kind, payload, h2d)`` where kind is
     "dense" (payload = a filled ShapeBatch), "sparse" (payload =
@@ -41,7 +41,8 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
     if preview:
         batch = batching.empty_batch(bucket_items, dims, pack=1,
                                      pad_multiple=pad, layout="halves",
-                                     scales=eng.eff_scales(dims))
+                                     scales=eng.eff_scales(dims),
+                                     arena=arena)
         packer.unpack_into(cfg.compressed_dir, batch)
         return "preview", batch, 0
     transfer = eng.transfer_mode(dims, transfer, direction="h2d")
@@ -68,7 +69,8 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
                                      pack=eng.pack_factor(dims),
                                      pad_multiple=pad,
                                      layout=eng.coeff_layout(dims),
-                                     scales=eng.eff_scales(dims))
+                                     scales=eng.eff_scales(dims),
+                                     arena=arena)
         m = int(np.prod(dims))
         row = np.zeros(m, np.float32)
         for i in range(len(bucket_items)):
@@ -81,13 +83,15 @@ def _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items, transfer,
                                  pack=eng.pack_factor(dims),
                                  pad_multiple=pad,
                                  layout=eng.coeff_layout(dims),
-                                 scales=eng.eff_scales(dims))
+                                 scales=eng.eff_scales(dims),
+                                 arena=arena)
     packer.unpack_into(cfg.compressed_dir, batch)
     return "dense", batch, batch.data.nbytes
 
 
 def _decompress_timestep(cfg, eng, packer, pad, comp_idxs, t, num_levels,
-                         counts, dimensions, transfer="dense", preview=0):
+                         counts, dimensions, transfer="dense", preview=0,
+                         arena=None):
     """Decode + inverse-transform every box of timestep ``t``.
 
     Returns ``(regen, h2d_bytes)`` with ``regen``: [lev][box] ->
@@ -118,7 +122,7 @@ def _decompress_timestep(cfg, eng, packer, pad, comp_idxs, t, num_levels,
     def host_stage(j):
         dims, bucket_items = order[j]
         return _unpack_bucket(cfg, eng, packer, pad, dims, bucket_items,
-                              transfer, preview)
+                              transfer, preview, arena)
 
     def device_stage(j, prepared):
         nonlocal h2d_bytes
@@ -142,6 +146,11 @@ def _decompress_timestep(cfg, eng, packer, pad, comp_idxs, t, num_levels,
                 regen[it.level][it.box] = np.zeros(
                     (ncomp,) + out_dims, dtype=np.float32)
             regen[it.level][it.box][comp_pos[it.comp_idx]] = item(i)
+        # the device stage fetched its results above, so the input buffer
+        # can be recycled for a later bucket's unpack (BufferArena contract)
+        if arena is not None and kind in ("dense", "preview") \
+                and payload.data is not None:
+            arena.release(payload.data)
 
     if cfg.prefetch > 0 and len(order) > 1:
         with cf.ThreadPoolExecutor(1) as pool:
@@ -279,11 +288,12 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
 
         sl = mesh_lib.process_local_slice(len(sel_times))
         sel_times = sel_times[sl]
+    arena = batching.BufferArena()   # same shape buckets recur every step
     for t in sel_times:
         regen, h2d = _decompress_timestep(cfg, eng, packer, pad, comp_idxs,
                                           t, num_levels, counts, dimensions,
                                           transfer=cfg.transfer,
-                                          preview=preview)
+                                          preview=preview, arena=arena)
         if stats is not None:
             stats["host_to_device_bytes"] = (
                 stats.get("host_to_device_bytes", 0) + h2d)
