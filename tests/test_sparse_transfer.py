@@ -72,11 +72,11 @@ def test_transfer_auto_picks_by_link_and_bytes_match(tmp_path, monkeypatch):
     fast = run("auto", "auto_fast")
     dense = run("dense", "dense")
     assert fast == dense           # auto on a fast link IS transfer=dense
-    # per-direction breakevens: a 10 GB/s link is fast for the compress
-    # side (compact-bound at 3.8 GB/s) but slow for the decompress side
-    # (scatter rebuilds at 30.8 GB/s)
+    # per-direction breakevens: a 25 GB/s link is fast for the compress
+    # side (rank-select compact at ~22 GB/s, breakeven 21) but slow for
+    # the decompress side (scatter rebuilds at 30.8 GB/s)
     monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps",
-                        {"d2h": 10.0, "h2d": 10.0})
+                        {"d2h": 25.0, "h2d": 25.0})
     assert e.transfer_mode((16, 16, 16), "auto") == "dense"
     assert e.transfer_mode((16, 16, 16), "auto",
                            direction="h2d") == "sparse"
@@ -574,3 +574,47 @@ def test_decompress_run_reports_h2d_bytes(tmp_path):
     # fixtures are constant boxes: almost nothing is kept, so the padded
     # pair arrays are far smaller than the dense coefficient rows
     assert h2d["sparse"] < h2d["dense"]
+
+
+def test_auto_reprobes_on_cadence(monkeypatch, caplog):
+    """transfer=auto must not pin a long run to its startup link probe:
+    after the re-probe cadence expires, a drifted link flips the
+    transport (round-3 verdict weak #4 — the tunnel drifts 2-3x within
+    one session)."""
+    import logging
+    import time as time_mod
+
+    rates = iter([{"d2h": 40.0, "h2d": 40.0, "probe_bytes": 8 << 20},
+                  {"d2h": 0.05, "h2d": 0.05, "probe_bytes": 8 << 20}])
+    monkeypatch.setattr(engine.CodecEngine, "_measure_link",
+                        classmethod(lambda cls: next(rates)))
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps", None)
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_at", 0.0)
+    monkeypatch.setattr(engine.CodecEngine, "_LINK_REPROBE_S", 60.0)
+    e = engine.CodecEngine()
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"   # fast link
+    # within the cadence: the cached value stands, no re-probe
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"
+    # age the measurement past the cadence: the next decision re-probes,
+    # sees the drifted link, and flips to sparse (with a log line)
+    monkeypatch.setattr(
+        engine.CodecEngine, "_measured_link_at",
+        time_mod.monotonic() - 61.0)
+    with caplog.at_level(logging.INFO, logger="wavelet_tpu"):
+        assert e.transfer_mode((16, 16, 16), "auto") == "sparse"
+    assert any("drifted" in r.message for r in caplog.records)
+
+
+def test_injected_link_values_never_reprobed(monkeypatch):
+    """Pinned link values (tests, explicit overrides) must stand even
+    when stale by the cadence rule."""
+    def boom(cls):
+        raise AssertionError("re-probed over an injected value")
+
+    monkeypatch.setattr(engine.CodecEngine, "_measure_link",
+                        classmethod(boom))
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_gbps",
+                        {"d2h": 40.0, "h2d": 40.0})
+    monkeypatch.setattr(engine.CodecEngine, "_measured_link_at", 0.0)
+    e = engine.CodecEngine()
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"

@@ -1,0 +1,368 @@
+"""Sort-free on-device sparsification (strided rank-select compact).
+
+Replaces the chunked-argsort ``engine._compact_step`` hot path.  The
+reference sparsifies serially while packing (compressor.cpp:222-234); on
+TPU the kept (index, value) pairs are what crosses the device->host link,
+so the compact stage's rate bounds sparse-transport throughput.
+
+Round-3 probes (bench_results/kernel_probe8*.json) showed every sort-based
+design binds at 2.7-3.8 GB/s while a bare prefix-sum runs at 43 GB/s: the
+full-width sort is the waste.  This module compacts WITHOUT sorting the
+coefficient array:
+
+1. **Strided chunking**: the row is viewed as [c, C] (a free reshape), so
+   chunk b holds positions {b, b+C, b+2C, ...}.  Real coefficient rows
+   cluster their kept entries (the low-band corner of a Haar pyramid is
+   nearly 100% kept — measured row_overflow_rate 1.0 for CONTIGUOUS
+   chunks on shock-tube fields, kernel_probe11.json); stride-C sampling
+   spreads any run of up to C consecutive kept positions one-per-chunk,
+   so per-chunk density ~ the row's global kept fraction and a small
+   per-chunk capacity K suffices.
+2. **Rank via MXU prefix**: the keep-mask's exclusive prefix sum down
+   each chunk (sublane axis) is a [c, c] strictly-lower-triangular bf16
+   matmul — exact for 0/1 operands, full 512-row MXU utilization.
+3. **One-hot rank select**: for each rank k < K, a compare-select
+   reduction extracts the chunk-local position holding rank k and its
+   value (exact: at most one nonzero term per sum).
+4. **Matmul-gather assembly**: output slot k's source chunk is
+   ch(k) = #(chunk offsets <= k) - 1; ONE f32 matmul U = tT @ onehot(ch)
+   gathers positions, values and offsets at ch simultaneously (per-element
+   HBM gathers were the round-3 assembly's bottleneck).
+5. **Pair sort**: strided chunk ids interleave global positions, so the
+   assembled ``cap`` pairs are keysorted ascending (cap is ~2% of the row
+   — this sort is ~100x cheaper than sorting the coefficient array, and
+   it restores exactly the argsort path's output order).
+
+K bounds the kept count PER CHUNK the fast path can represent (default
+32 of 512 = 6.25% against few-percent row-wide keeps).  Rows where any
+chunk exceeds K are flagged in the returned overflow mask and the caller
+re-runs them through the argsort path — correctness never depends on K.
+
+Two interchangeable implementations of stages 2-4 (``impl``/``assemble``):
+``jnp`` (XLA-fused cumsum + gathers) and ``pallas`` (Mosaic kernels).
+Both produce bit-identical (counts, idx, vals) to ``engine._compact_step``
+on non-overflowing rows (tests/test_compact_fast.py); the production
+switch is measured, not assumed — scripts/kernel_probe11.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["compact_fast", "fast_ok", "CHUNK", "KSLOTS"]
+
+CHUNK = 512     # within-chunk length c (the strided view is [c, C])
+KSLOTS = 32     # per-chunk kept capacity of the fast path (see header)
+
+_PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+
+
+def fast_ok(m: int, c: int = CHUNK) -> bool:
+    """The skewed view handles any row length; only tiny rows (where the
+    chunk machinery cannot win) are excluded."""
+    return m >= 4 * c
+
+
+_SKEW = 73   # x-slab skew offset (odd; see _skew_params)
+
+
+def _skew_params(m: int, dims, c: int = CHUNK):
+    """Skewed-view geometry for an [n, m] row of boxes shaped ``dims``.
+
+    chunk(pos) = pos mod C is blind to x whenever C divides Y*Z (always,
+    for power-of-2 boxes): a constant-x feature drops its whole X-extent
+    into ONE chunk (measured row_overflow_rate 1.0 on shock-field Haar
+    coefficients, kernel_probe11.json).  Padding each x-slab by an ODD
+    offset P makes the skewed position x*W + y*Z + z with W = Y*Z + P
+    odd, so chunk = pos_skew mod C' mixes all three axes: x-lines visit
+    C'/gcd distinct chunks, y-lines spread by Z, z-lines are consecutive.
+    The pad slots are NaN (|NaN| > t is false for every t, including the
+    negative thresholds of the reference's keep-everything quirk), so
+    counts stay exact.  C' is rounded so one lane-tile divides it.
+    """
+    x = int(dims[0]) if dims is not None else 1
+    if x < 1 or m % x:
+        x = 1
+    yz = m // x
+    p = _SKEW if (yz + _SKEW) % 2 else _SKEW + 1
+    w = yz + p
+    m2 = x * w
+    # Mosaic wants lane widths in 128s: fix the chunk count C' to a
+    # multiple of 128 near m2/c and let the within-chunk length absorb
+    # the remainder (rounded to the 8-sublane tile); padding stays ~1-3%
+    ct = max(1, -(-m2 // (c * 128))) * 128
+    cc = max(8, -(-m2 // (ct * 8)) * 8)
+    return x, yz, w, cc, ct
+
+
+def _skew_view(flat: jax.Array, dims, c: int = CHUNK):
+    """[n, m] -> NaN-padded skewed view [n, c', C'] (chunk axis minor)."""
+    n, m = flat.shape
+    x, yz, w, cc, ct = _skew_params(m, dims, c)
+    sk = jnp.pad(flat.reshape(n, x, yz), ((0, 0), (0, 0), (0, w - yz)),
+                 constant_values=jnp.nan).reshape(n, x * w)
+    sk = jnp.pad(sk, ((0, 0), (0, ct * cc - x * w)),
+                 constant_values=jnp.nan)
+    return sk.reshape(n, cc, ct)
+
+
+# ---------------------------------------------------------------- rank select
+
+def _rank_select_jnp(flat3: jax.Array, t32: jax.Array, K: int):
+    """[n, c, C] (strided view: chunk b = column b) ->
+    (kept counts [n, C] i32, chunk-local positions of the first K kept,
+    ascending [n, K, C] i32, their values [n, K, C] f32)."""
+    mask = jnp.abs(flat3) > t32[:, None, None]
+    mi = mask.astype(jnp.int32)
+    cnt = jnp.sum(mi, axis=1)
+    ranks = jnp.cumsum(mi, axis=1) - mi            # exclusive prefix
+    ranksel = jnp.where(mask, ranks, -1)
+    c = flat3.shape[1]
+    kio = jnp.arange(K, dtype=jnp.int32)
+    io_c = jnp.arange(c, dtype=jnp.int32)
+    # XLA fuses the [n, c, K, C] broadcast-compare into the reduction;
+    # nothing K*C-sized reaches HBM.
+    oh = ranksel[:, :, None, :] == kio[None, None, :, None]
+    jloc = jnp.sum(jnp.where(oh, io_c[None, :, None, None], jnp.int32(0)),
+                   axis=1)
+    vc = jnp.sum(jnp.where(oh, flat3[:, :, None, :], 0.0), axis=1)
+    return cnt, jloc, vc
+
+
+def _tri(c: int) -> jax.Array:
+    """Strictly-lower-triangular ones, [c, c] bf16: T^T @ mask = exclusive
+    down-column prefix (0/1 inputs, f32 accumulate — exact on the MXU)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return (j < i).astype(jnp.bfloat16)
+
+
+_KBATCH = 4   # rank slots per in-kernel sub-step: bounds the [c, kb, Cb]
+              # one-hot intermediates to ~1 MiB of VMEM
+
+
+def _rank_select_kernel(t_ref, x_ref, tri_ref, jc_ref, vc_ref, *,
+                        c: int, cb: int, K: int):
+    """Block = [c, Cb] (all chunk rows x a lane-tile of chunks).  Emits
+    jc[k, b] = (k < K: position of chunk b's k-th kept entry, ascending;
+    k == K: chunk b's kept count) and vc[k, b] = the k-th kept VALUE
+    (exact: each one-hot sum has at most one nonzero term).  Everything
+    stays lane-major — Mosaic has no lane<->sublane reshape, so nothing
+    here may change the minor dimension."""
+    x = x_ref[0]                                    # [c, cb] f32
+    t = t_ref[0, 0, 0]
+    mask = jnp.abs(x) > t
+    mb = mask.astype(jnp.bfloat16)
+    # down-column exclusive prefix on the MXU: ranks = T^T @ mask
+    ranks = jax.lax.dot_general(
+        tri_ref[...], mb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # [c, cb]
+    # tpu.iota is integer-only, so the rank comparison runs in i32
+    ranksel = jnp.where(mask, ranks.astype(jnp.int32), -1)
+    cnt = jnp.sum(mask.astype(jnp.float32), axis=0, keepdims=True)
+    jc_ref[0, K:K + 1] = cnt.astype(jnp.int32)
+    for s in range(0, K, _KBATCH):                  # static, unrolled
+        kb = min(_KBATCH, K - s)
+        kio = (jnp.int32(s) +
+               jax.lax.broadcasted_iota(jnp.int32, (c, kb, cb), 1))
+        io_c = jax.lax.broadcasted_iota(jnp.int32, (c, kb, cb), 0)
+        oh = ranksel[:, None, :] == kio
+        jc_ref[0, s:s + kb] = jnp.sum(jnp.where(oh, io_c, 0), axis=0)
+        vc_ref[0, s:s + kb] = jnp.sum(
+            jnp.where(oh, x[:, None, :], 0.0), axis=0)
+
+
+def _chunk_tile(C: int) -> int:
+    """Chunk columns per grid step (lane tile)."""
+    return 128 if C % 128 == 0 and C > 128 else C
+
+
+def _rank_select_pallas(flat3: jax.Array, t32: jax.Array, K: int,
+                        interpret: bool = False):
+    n, c, C = flat3.shape
+    cb = _chunk_tile(C)
+    kern = functools.partial(_rank_select_kernel, c=c, cb=cb, K=K)
+    jc, vc = pl.pallas_call(
+        kern,
+        grid=(n, C // cb),
+        in_specs=[
+            # [n, 1, 128] broadcast of the per-row threshold: Mosaic block
+            # shapes must tile (8, 128) or match the array dims, so a
+            # scalar-per-row rides a one-sublane 128-lane tile
+            pl.BlockSpec((1, 1, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, cb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K + 1, cb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, cb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, K + 1, C), jnp.int32),
+            jax.ShapeDtypeStruct((n, K, C), jnp.float32),
+        ),
+        compiler_params=_PARALLEL,
+        interpret=interpret,
+    )(jnp.broadcast_to(t32[:, None, None], (n, 1, 128)), flat3, _tri(c))
+    return jc[:, K, :], jc[:, :K, :], vc
+
+
+# ------------------------------------------------------------------- assembly
+
+_KTILE = 512   # output slots assembled per in-kernel sub-step
+_CTILE = 512   # chunk-table columns processed per sub-step (VMEM bound)
+
+
+def _assemble_kernel(offs_ref, tt_ref, out_ref, *,
+                     C: int, K: int, cap: int):
+    """Row-global assembly on the MXU: for each output slot k, the source
+    chunk ch(k) = #(offs <= k) - 1 (compare-reduce), then ONE f32 matmul
+    U = tT @ onehot(ch) gathers every chunk table (positions, values,
+    offsets) at ch simultaneously — replacing the three per-element HBM
+    gathers that capped the jnp assembly (probe11 select-vs-full split).
+    Exactness: one-hot operands make each U entry a single-term f32 sum,
+    and HIGHEST precision makes the f32 MXU passes exact.  Global
+    position = jloc * C + ch (strided chunks)."""
+    tt = tt_ref[0]                                   # [2K+1, C] f32
+    for kb in range(0, cap, _KTILE):
+        kw = min(_KTILE, cap - kb)
+        ks = (jnp.float32(kb) +
+              jax.lax.broadcasted_iota(jnp.int32, (1, _KTILE), 1)
+              .astype(jnp.float32))                  # [1, T]
+        ch = jnp.zeros((1, _KTILE), jnp.float32)
+        for cb in range(0, C, _CTILE):               # static, unrolled
+            cw = min(_CTILE, C - cb)
+            oc = offs_ref[0, cb:cb + cw]             # [cw, 1]
+            ch = ch + jnp.sum((oc <= ks).astype(jnp.float32), axis=0,
+                              keepdims=True)
+        ch = jnp.clip(ch - 1.0, 0.0, jnp.float32(C - 1))
+        U = jnp.zeros((2 * K + 1, _KTILE), jnp.float32)
+        for cb in range(0, C, _CTILE):
+            cw = min(_CTILE, C - cb)
+            aio = (jnp.float32(cb) +
+                   jax.lax.broadcasted_iota(jnp.int32, (cw, _KTILE), 0)
+                   .astype(jnp.float32))
+            ocmat = jnp.where(aio == ch, 1.0, 0.0)   # [cw, T]
+            U = U + jax.lax.dot_general(
+                tt[:, cb:cb + cw], ocmat,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+        loc = ks - U[2 * K:2 * K + 1, :]             # [1, T]
+        bio = jax.lax.broadcasted_iota(jnp.int32, (K, _KTILE), 0) \
+            .astype(jnp.float32)
+        msk = bio == loc
+        jl = jnp.sum(jnp.where(msk, U[0:K, :], 0.0), axis=0, keepdims=True)
+        val = jnp.sum(jnp.where(msk, U[K:2 * K, :], 0.0), axis=0,
+                      keepdims=True)
+        idx = jl * jnp.float32(C) + ch
+        out_ref[0, 0:1, kb:kb + kw] = idx[:, :kw]
+        out_ref[0, 1:2, kb:kb + kw] = val[:, :kw]
+
+
+def _assemble_pallas(offs, tt, cap: int, C: int, K: int,
+                     interpret: bool = False):
+    n = offs.shape[0]
+    kern = functools.partial(_assemble_kernel, C=C, K=K, cap=cap)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * K + 1, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, cap), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2, cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(offs[:, :, None], tt)
+    return out[:, 0, :].astype(jnp.int32), out[:, 1, :]
+
+
+def _assemble_jnp(offs, tt, cap: int, C: int, K: int):
+    """Same math through XLA gathers (CPU tests and a measured baseline)."""
+    n = offs.shape[0]
+    jloc = tt[:, 0:K, :]
+    vc = tt[:, K:2 * K, :]
+    ks = jnp.arange(cap, dtype=jnp.float32)
+    ch = (jnp.sum(offs[:, None, :] <= ks[None, :, None],
+                  axis=2, dtype=jnp.int32) - 1)
+    ch = jnp.clip(ch, 0, C - 1)
+    loc = ks[None, :].astype(jnp.int32) - jnp.take_along_axis(
+        offs, ch, axis=1).astype(jnp.int32)
+    loc = jnp.clip(loc, 0, K - 1)
+    flat_ix = loc * C + ch
+    j = jnp.take_along_axis(jloc.reshape(n, K * C), flat_ix, axis=1)
+    vals = jnp.take_along_axis(vc.reshape(n, K * C), flat_ix, axis=1)
+    idx = j * C + ch
+    return idx.astype(jnp.int32), vals
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "dims", "K", "c", "impl",
+                                    "assemble", "interpret"))
+def compact_fast(flat: jax.Array, t32: jax.Array, cap: int, *,
+                 dims=None, K: int = KSLOTS, c: int = CHUNK,
+                 impl: str = "jnp", assemble: str = "jnp",
+                 interpret: bool = False):
+    """Sort-free drop-in for ``engine._compact_step`` plus an overflow mask.
+
+    -> (counts [n] i32, idx [n, cap] i32, vals [n, cap] f32, over [n] bool).
+    Rows with ``over`` set have a chunk holding more than K kept entries
+    and must be re-compacted by the caller (their idx/vals rows are
+    truncated per-chunk and NOT usable); all other rows with
+    ``counts <= cap`` are bit-identical to the argsort path's
+    first-``count`` entries (junk past ``count`` is arbitrary, as there).
+    Rows with ``counts > cap`` hold cap kept pairs in strided-chunk order
+    rather than the argsort path's globally-first cap — the engine never
+    reads pair rows of cap-overflowing items (SparseCoeffs.item_pairs
+    serves them from the dense fallback), so the two paths only diverge
+    on rows neither ever uses.
+
+    ``impl`` picks the rank-select stage (jnp | pallas), ``assemble`` the
+    assembly stage (jnp gathers | pallas matmul-gather); the production
+    choice is measured per platform (scripts/kernel_probe11.py).
+    """
+    n, m = flat.shape
+    if not fast_ok(m, c):
+        raise ValueError(f"compact_fast: m={m} too small for the fast "
+                         f"path (c={c})")
+    x, yz, w, _cc, C = _skew_params(m, dims, c)
+    flat3 = _skew_view(flat, dims, c)                # [n, c', C]
+    if impl == "pallas":
+        cnt, jloc, vc = _rank_select_pallas(flat3, t32, K, interpret)
+    else:
+        cnt, jloc, vc = _rank_select_jnp(flat3, t32, K)
+    counts = jnp.sum(cnt, axis=1)
+    over = jnp.any(cnt > K, axis=1)
+    offs = (jnp.cumsum(cnt, axis=1) - cnt).astype(jnp.float32)
+    tt = jnp.concatenate([jloc.astype(jnp.float32), vc, offs[:, None, :]],
+                         axis=1)                     # [n, 2K+1, C]
+    if assemble == "pallas" and C <= 4352:
+        idx, vals = _assemble_pallas(offs, tt, cap, C, K, interpret)
+    else:
+        idx, vals = _assemble_jnp(offs, tt, cap, C, K)
+    # un-skew: skewed position -> true flat position
+    a = idx // jnp.int32(w)
+    idx = a * jnp.int32(yz) + (idx - a * jnp.int32(w))
+    # strided chunks interleave global positions: keysort the cap pairs
+    # ascending (junk slots key to m, off the end, and clamp back in
+    # bounds after — consumers read only the first `count` entries)
+    key = jnp.where(jnp.arange(cap)[None, :] < counts[:, None], idx,
+                    jnp.int32(m))
+    key, vals = jax.lax.sort((key, vals), dimension=1, num_keys=1)
+    return counts, jnp.minimum(key, m - 1), vals, over
