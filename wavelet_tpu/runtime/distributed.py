@@ -240,3 +240,40 @@ def make_train_step(mesh, keep_fraction: float = 0.05):
         return recon, thr, jnp.sqrt(sq / cnt)
 
     return jax.jit(step)
+
+
+# --- cross-host giant boxes (VERDICT r3 stretch item 7) --------------------
+#
+# A box larger than one HOST's chips shards over the GLOBAL multi-process
+# mesh.  The interleaved transform needs no collectives (every Haar pair at
+# every scale is shard-local — see make_sharded_box_forward_interleaved),
+# so the cross-host case adds only data plumbing: each process contributes
+# its X-slab via jax.make_array_from_process_local_data, the same
+# shard-mapped kernels run SPMD across processes, and the packing host
+# gathers the coefficient slabs over DCN (host RAM >> HBM, so the gather
+# target fits where the box itself could not).
+
+def giant_from_process_slabs(mesh, local_slab, global_shape):
+    """Assemble a globally-X-sharded giant box from per-process slabs.
+
+    ``local_slab``: this process's contiguous X-rows (host numpy), i.e.
+    rows [sum of previous processes' extents : +local extent).  Every
+    process must call this collectively with the same ``global_shape``.
+    """
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.make_array_from_process_local_data(sh, local_slab,
+                                                  global_shape)
+
+
+def gather_giant(arr):
+    """Fetch a globally-sharded giant array to EVERY process's host memory
+    (jax.experimental.multihost_utils allgather over DCN); the work-item
+    owner packs from its copy.  For a single-process mesh this is a plain
+    fetch."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))

@@ -401,9 +401,13 @@ class CodecEngine:
         chips with zero cross-process collectives — the multi-host fan-out
         keeps slicing work by whole boxes, each process sharding its own
         giant items locally.  Boxes larger than an entire host's chips
-        remain out of scope (they would need
-        jax.make_array_from_process_local_data plus all-process SPMD
-        coordination per box)."""
+        have a library path — distributed.giant_from_process_slabs +
+        gather_giant run the same zero-collective transform over the
+        GLOBAL mesh, 2-process-tested bitwise (test_giant_crosshost.py) —
+        but the pipelines keep the local-host bound: cross-host giants
+        would serialize every process on one box's gather, which only
+        pays off for a box beyond ~one host's HBM (~128 GiB on v5e hosts,
+        32x the largest reference box)."""
         m = self.mesh
         if m is not None and m.size > 1:
             pidx = jax.process_index()
