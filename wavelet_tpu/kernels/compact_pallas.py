@@ -313,10 +313,11 @@ def _assemble_jnp(offs, tt, cap: int, C: int, K: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cap", "dims", "K", "c", "impl",
-                                    "assemble", "interpret"))
+                   static_argnames=("cap", "dims", "ilv1_dims", "K", "c",
+                                    "impl", "assemble", "interpret"))
 def compact_fast(flat: jax.Array, t32: jax.Array, cap: int, *,
-                 dims=None, K: int = KSLOTS, c: int = CHUNK,
+                 dims=None, idx_map: jax.Array | None = None,
+                 ilv1_dims=None, K: int = KSLOTS, c: int = CHUNK,
                  impl: str = "jnp", assemble: str = "jnp",
                  interpret: bool = False):
     """Sort-free drop-in for ``engine._compact_step`` plus an overflow mask.
@@ -359,6 +360,31 @@ def compact_fast(flat: jax.Array, t32: jax.Array, cap: int, *,
     # un-skew: skewed position -> true flat position
     a = idx // jnp.int32(w)
     idx = a * jnp.int32(yz) + (idx - a * jnp.int32(w))
+    if ilv1_dims is not None:
+        # the caller compacted the single-scale INTERLEAVED layout
+        # directly (skipping the full-array regather — probe 12: the
+        # 3-axis-take regather alone runs at 12.9 GB/s and halves the
+        # chain).  The scales=1 inverse interleave has a CLOSED FORM per
+        # axis (physical 2l <-> logical low l, 2l+1 <-> high n//2+l, an
+        # odd axis's last element fixed — haar_pallas.interleave_perm),
+        # so the translation is pure arithmetic: no gather at all.
+        X, Y, Z = (int(v) for v in ilv1_dims)
+
+        def inv1(p, nn):
+            v = p // 2 + (p % 2) * (nn // 2)
+            if nn % 2:
+                v = jnp.where(p == nn - 1, nn - 1, v)
+            return v
+
+        j = jnp.clip(idx, 0, m - 1)
+        ai, r = j // (Y * Z), j % (Y * Z)
+        idx = (inv1(ai, X) * (Y * Z) + inv1(r // Z, Y) * Z
+               + inv1(r % Z, Z))
+    elif idx_map is not None:
+        # multi-scale interleave is not per-axis separable
+        # (haar_pallas.interleave_coords_multi): translate the cap kept
+        # positions through the inverse table instead
+        idx = jnp.take(idx_map, jnp.clip(idx, 0, m - 1))
     # strided chunks interleave global positions: keysort the cap pairs
     # ascending (junk slots key to m, off the end, and clamp back in
     # bounds after — consumers read only the first `count` entries)

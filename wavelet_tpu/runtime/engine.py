@@ -231,6 +231,8 @@ class SparseCoeffs:
     _flat_dev: object = None  # dense device array for overflow fallback
 
     _flat_np: object = None   # bulk dense fallback, fetched lazily once
+    _lmap: object = None      # logical->stored-order map when _flat_dev
+                              # holds a permuted (interleaved) layout
 
     def transfer_bytes(self) -> int:
         """Actual device->host traffic this sparsification costs: the pair
@@ -262,6 +264,8 @@ class SparseCoeffs:
             row = self._flat_np[i]
         else:
             row = np.asarray(self._flat_dev[i])
+        if self._lmap is not None:
+            row = row[self._lmap]      # permuted storage -> logical order
         idx = np.flatnonzero(np.abs(row) > t32_i)
         return idx.astype(np.int32), row[idx]
 
@@ -806,7 +810,25 @@ class CodecEngine:
             return cb, t32
         return dataclasses.replace(batch, data=coeffs), t32
 
-    def _compact(self, flat, t32_dev, cap: int, dims=None):
+    _ILV_MAPS: dict = {}    # (dims, eff) -> (lmap, inv), process-wide
+
+    @classmethod
+    def _interleave_maps(cls, dims, eff):
+        """(lmap, inv) for the per-item interleaved flat layout (pack=1
+        strides): lmap[logical] = stored offset, inv[stored] = logical."""
+        key = (tuple(dims), int(eff))
+        hit = cls._ILV_MAPS.get(key)
+        if hit is None:
+            x, y, z = dims
+            lmap = np.asarray(haar_pallas.interleave_map_multi(
+                dims, eff, y * z, z, 1), dtype=np.int64)
+            inv = np.empty(lmap.size, np.int32)
+            inv[lmap] = np.arange(lmap.size, dtype=np.int32)
+            hit = cls._ILV_MAPS[key] = (lmap, inv)
+        return hit
+
+    def _compact(self, flat, t32_dev, cap: int, dims=None, idx_map=None,
+                 ilv1_dims=None, regather=None):
         """On-device sparsification with the sort-free fast path.
 
         ``compact_fast`` (kernels/compact_pallas.py) rank-selects per
@@ -832,11 +854,16 @@ class CodecEngine:
             K = 16 if capf <= 0.015 else (32 if capf <= 0.05 else 64)
             counts, idxs, vals, over = compact_pallas.compact_fast(
                 flat, t32_dev, cap, dims=tuple(dims) if dims else None,
-                K=K, impl=impl, assemble=impl)
+                idx_map=idx_map, ilv1_dims=ilv1_dims, K=K, impl=impl,
+                assemble=impl)
             if not bool(np.asarray(jnp.any(over))):
                 return counts, idxs, vals
             log.info("compact fast path: per-chunk overflow (K=%d) — "
                      "argsort fallback for this batch", K)
+        # the argsort fallback needs the LOGICAL layout: callers that
+        # compacted a permuted layout supply `regather` for this rare path
+        if regather is not None:
+            flat = regather()
         return _compact_step(flat, t32_dev, cap)
 
     def compress_shapebatch_sparse(self, batch: ShapeBatch, keep: float,
@@ -870,16 +897,36 @@ class CodecEngine:
         eff = self.eff_scales(dims)
         m = int(np.prod(dims))
         dev = self._put(jnp.asarray(batch.data))
+        idx_map = None
+        ilv1 = None
+        lmap = None
+        regather = None
         if self.coeff_layout(dims) == "interleaved":
             c, maxv, minv = self._kernel("fwd_interleaved", batch.pack,
                                          eff)(dev)
-            if eff > 1:
-                flat = _unpack_interleaved_coeffs_multi(c, batch.pack,
-                                                        dims, eff)
+            # compact the INTERLEAVED layout directly and translate only
+            # the kept pairs to logical order — the full-array regather
+            # alone runs at 12.9 GB/s and would halve the 16.8-22.6 GB/s
+            # compact stage (bench_results/kernel_probe12.json); scales=1
+            # translates arithmetically, deeper pyramids via the table
+            flat = _unpack_packed_coeffs(c, batch.pack, dims[-1])
+            lmap, inv = self._interleave_maps(dims, eff)
+            if eff == 1:
+                ilv1 = tuple(int(v) for v in dims)
             else:
-                flat = _unpack_interleaved_coeffs(c, batch.pack, dims)
-            signed = resolve_signed_absmax(np.asarray(maxv), np.asarray(minv),
-                                           flat_dev=flat)
+                idx_map = self._put(jnp.asarray(inv))
+
+            def regather():
+                return (_unpack_interleaved_coeffs_multi(
+                            c, batch.pack, dims, eff) if eff > 1
+                        else _unpack_interleaved_coeffs(c, batch.pack,
+                                                        dims))
+
+            # tie resolution reads rows in LOGICAL order (first-occurrence
+            # rule, compressor.cpp:212-215); rare, so regather per row
+            signed = resolve_signed_absmax(
+                np.asarray(maxv), np.asarray(minv),
+                row_getter=lambda i: np.asarray(flat[i])[lmap])
         elif batch.pack > 1:
             c, maxv, minv = self._kernel("fwd_packed", batch.pack)(dev)
             flat = _unpack_packed_coeffs(c, batch.pack, dims[-1])
@@ -901,7 +948,9 @@ class CodecEngine:
         # cap rounded UP to a lane multiple (VPU-friendly gather width)
         cap = int(min(m, max(128, -(-int(m * cap_fraction) // 128) * 128)))
         counts, idxs, vals = self._compact(flat, self._put(jnp.asarray(t32)),
-                                           cap, dims)
+                                           cap, dims, idx_map=idx_map,
+                                           ilv1_dims=ilv1,
+                                           regather=regather)
         counts = np.asarray(counts)
         if adaptive and batch.n_valid:
             observed = float(counts[: batch.n_valid].max()) / m
@@ -936,14 +985,15 @@ class CodecEngine:
                                 idxs=empty.astype(np.int32),
                                 vals=empty.astype(np.float32),
                                 cap=0, _flat_dev=flat,
-                                _flat_np=np.asarray(flat)), t32
+                                _flat_np=np.asarray(flat),
+                                _lmap=lmap), t32
         if trim < cap:
             idxs, vals = idxs[:, :trim], vals[:, :trim]
             cap = trim
         return SparseCoeffs(shape=dims, items=batch.items,
                             counts=counts,
                             idxs=np.asarray(idxs), vals=np.asarray(vals),
-                            cap=cap, _flat_dev=flat), t32
+                            cap=cap, _flat_dev=flat, _lmap=lmap), t32
 
     def forward_hist_shapebatch(self, batch: ShapeBatch):
         """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
