@@ -369,12 +369,16 @@ def _measure() -> dict:
                         jnp.float32)) * jnp.float32(1e-30)
                 return jax.lax.fori_loop(0, k, body, v)
 
+            # production steady-state config: the adaptive cap settles at
+            # ~1.5x the observed ~0.93% kept -> K=16, and the interleaved
+            # layout is compacted directly with the closed-form scales=1
+            # index translation (engine.compress_shapebatch_sparse)
             @partial(jax.jit, static_argnums=1)
             def compact_fast_many(v, k):
                 def body(i, u):
                     cnt, idxs, vals, over = compact_pallas.compact_fast(
-                        u, t32c, cap, dims=(d, d, d), K=16,
-                        impl="pallas", assemble="pallas")
+                        u, t32c, cap, dims=(d, d, d), ilv1_dims=(d, d, d),
+                        K=16, impl="pallas", assemble="pallas")
                     return u + (jnp.sum(vals) + jnp.sum(cnt).astype(
                         jnp.float32) + jnp.sum(idxs).astype(
                         jnp.float32) + jnp.sum(over).astype(
