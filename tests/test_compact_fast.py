@@ -158,3 +158,36 @@ def test_fast_ok_domain():
     assert cp.fast_ok(8192)
     assert cp.fast_ok(13824)           # odd shapes: skew pads them
     assert not cp.fast_ok(1024)        # < 4 chunks
+    # caps past the f32-exact integer range must refuse the fast path:
+    # both assembly stages attribute output slots via f32 comparisons of
+    # integer offsets, lossy above 2**24 (round-4 review finding) — a
+    # 512^3 box's first adaptive batch (cap = 0.25*m ~ 33.5M) hits this
+    assert cp.fast_ok(512 ** 3, cap=1 << 24)
+    assert not cp.fast_ok(512 ** 3, cap=(1 << 24) + 128)
+
+
+def test_compact_fast_rejects_f32_unsafe_cap():
+    flat = jnp.zeros((1, 8192), jnp.float32)
+    t32 = jnp.ones((1,), jnp.float32)
+    with pytest.raises(ValueError, match="f32-exact"):
+        cp.compact_fast(flat, t32, (1 << 24) + 128)
+
+
+def test_big_skew_uses_integer_assembly():
+    """Rows whose SKEWED layout exceeds 2**24 positions must still emit
+    exact indices: the jnp assembly computes positions in int32 and the
+    Pallas assembly (f32 output rows) is gated off for them.  16M-element
+    rows with kept coefficients clustered at the top end exercise the
+    positions that would round in f32."""
+    m = (1 << 24) + (1 << 14)          # skewed size > 2**24
+    rng = np.random.default_rng(7)
+    flat = np.zeros((1, m), np.float32)
+    hot = np.sort(rng.choice(np.arange(m - (1 << 18), m), 200,
+                             replace=False))
+    flat[0, hot] = 10.0
+    t32 = np.full(1, 5.0, np.float32)
+    cap = 512
+    got = _fast(flat, t32, cap, "jnp", "pallas", dims=(256, 256, 256))
+    assert not got[3].any()
+    assert int(got[0][0]) == len(hot)
+    np.testing.assert_array_equal(got[1][0, :len(hot)], hot)

@@ -578,9 +578,13 @@ def test_decompress_run_reports_h2d_bytes(tmp_path):
 
 def test_auto_reprobes_on_cadence(monkeypatch, caplog):
     """transfer=auto must not pin a long run to its startup link probe:
-    after the re-probe cadence expires, a drifted link flips the
-    transport (round-3 verdict weak #4 — the tunnel drifts 2-3x within
-    one session)."""
+    after the re-probe cadence expires, a quiescent-point refresh
+    (pipelines call it at timestep boundaries) sees the drifted link and
+    flips the transport (round-3 verdict weak #4 — the tunnel drifts
+    2-3x within one session).  transfer_mode itself must NEVER re-probe:
+    it can run from the prefetch worker mid-pipeline, where a probe
+    would measure a link busy with the pipeline's own transfers and
+    could flip the transport spuriously (round-4 review finding)."""
     import logging
     import time as time_mod
 
@@ -595,12 +599,18 @@ def test_auto_reprobes_on_cadence(monkeypatch, caplog):
     assert e.transfer_mode((16, 16, 16), "auto") == "dense"   # fast link
     # within the cadence: the cached value stands, no re-probe
     assert e.transfer_mode((16, 16, 16), "auto") == "dense"
-    # age the measurement past the cadence: the next decision re-probes,
-    # sees the drifted link, and flips to sparse (with a log line)
+    engine.CodecEngine.reprobe_link_if_stale()
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"
+    # age the measurement past the cadence: transfer_mode STILL uses the
+    # cache (mid-pipeline calls must not probe a busy link)...
     monkeypatch.setattr(
         engine.CodecEngine, "_measured_link_at",
         time_mod.monotonic() - 61.0)
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"
+    # ...and the explicit timestep-boundary refresh sees the drifted
+    # link and flips the decision (with a log line)
     with caplog.at_level(logging.INFO, logger="wavelet_tpu"):
+        engine.CodecEngine.reprobe_link_if_stale()
         assert e.transfer_mode((16, 16, 16), "auto") == "sparse"
     assert any("drifted" in r.message for r in caplog.records)
 
@@ -617,4 +627,6 @@ def test_injected_link_values_never_reprobed(monkeypatch):
                         {"d2h": 40.0, "h2d": 40.0})
     monkeypatch.setattr(engine.CodecEngine, "_measured_link_at", 0.0)
     e = engine.CodecEngine()
+    assert e.transfer_mode((16, 16, 16), "auto") == "dense"
+    engine.CodecEngine.reprobe_link_if_stale()   # must also respect pins
     assert e.transfer_mode((16, 16, 16), "auto") == "dense"

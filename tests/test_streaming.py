@@ -287,3 +287,32 @@ def test_compress_peak_rss_bounded_by_window(tmp_path, monkeypatch):
     one_timestep = 2 * 2 * 16 * 8 * 8 * 4  # boxes x comps x dims x f32
     assert peak[0] <= one_timestep, (
         f"peak live box bytes {peak[0]} exceeds one timestep {one_timestep}")
+
+
+def test_buffer_arena_recycles_and_evicts():
+    """BufferArena must recycle same-shape buffers across generations
+    (warm-unpack speedup) but drop buffers idle for a full generation:
+    a regridding dataset (box shapes changing across timesteps) must not
+    accumulate dead shapes without bound (round-4 review finding)."""
+    from wavelet_tpu.runtime import batching
+
+    arena = batching.BufferArena()
+    a = np.zeros((4, 8, 8, 8), np.float32)
+    arena.release(a)
+    arena.new_generation()                 # timestep boundary
+    got = arena.acquire((4, 8, 8, 8))
+    assert got is a                        # survived one generation
+    arena.release(a)
+    b = np.zeros((2, 16, 16, 16), np.float32)
+    arena.release(b)
+    arena.new_generation()
+    # b idle for one full generation after this boundary -> evicted;
+    # a was released in the previous generation -> still available
+    arena.new_generation()
+    assert arena.acquire((2, 16, 16, 16)) is None
+    assert arena.acquire((4, 8, 8, 8)) is None   # a idle 2 gens too
+    # freshly released buffers always survive the NEXT boundary
+    c = np.zeros((1, 4, 4, 4), np.float32)
+    arena.release(c)
+    arena.new_generation()
+    assert arena.acquire((1, 4, 4, 4)) is c

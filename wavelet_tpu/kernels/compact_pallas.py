@@ -59,12 +59,23 @@ __all__ = ["compact_fast", "fast_ok", "CHUNK", "KSLOTS"]
 CHUNK = 512     # within-chunk length c (the strided view is [c, C])
 KSLOTS = 32     # per-chunk kept capacity of the fast path (see header)
 
+# Both assembly stages attribute output slots to chunks by comparing f32
+# copies of integer offsets (``offs <= ks``): integers above 2**24 are not
+# exactly representable in float32, so boundary slots would silently map
+# to the wrong chunk and emit wrong (index, value) pairs with no overflow
+# flag.  The fast path therefore refuses caps past this bound (the caller
+# falls back to the argsort compact, which is integer throughout).
+_F32_EXACT = 1 << 24
+
 _PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
 
 
-def fast_ok(m: int, c: int = CHUNK) -> bool:
+def fast_ok(m: int, c: int = CHUNK, cap: "int | None" = None) -> bool:
     """The skewed view handles any row length; only tiny rows (where the
-    chunk machinery cannot win) are excluded."""
+    chunk machinery cannot win) and caps past the f32-exact integer range
+    (see ``_F32_EXACT``) are excluded."""
+    if cap is not None and cap > _F32_EXACT:
+        return False
     return m >= 4 * c
 
 
@@ -356,8 +367,10 @@ def _assemble_jnp(offs, tt, cap: int, C: int, K: int):
     flat_ix = loc * C + ch
     j = jnp.take_along_axis(jloc.reshape(n, K * C), flat_ix, axis=1)
     vals = jnp.take_along_axis(vc.reshape(n, K * C), flat_ix, axis=1)
-    idx = j * C + ch
-    return idx.astype(jnp.int32), vals
+    # integer position math: j is an exact small int carried in f32, but
+    # j * C overflows f32 exactness past 2**24 (big skewed layouts)
+    idx = j.astype(jnp.int32) * C + ch
+    return idx, vals
 
 
 @functools.partial(jax.jit,
@@ -390,6 +403,13 @@ def compact_fast(flat: jax.Array, t32: jax.Array, cap: int, *,
     if not fast_ok(m, c):
         raise ValueError(f"compact_fast: m={m} too small for the fast "
                          f"path (c={c})")
+    if cap > _F32_EXACT:
+        # chunk attribution compares f32 copies of integer offsets: slots
+        # past 2**24 would silently land in the wrong chunk (review
+        # finding, round 4).  Callers must gate on fast_ok(m, cap=cap).
+        raise ValueError(f"compact_fast: cap={cap} exceeds the f32-exact "
+                         f"integer range ({_F32_EXACT}); use the argsort "
+                         f"compact for caps this large")
     x, yz, w, _cc, C = _skew_params(m, dims, c)
     flat3 = _skew_view(flat, dims, c)                # [n, c', C]
     if impl == "pallas":
@@ -401,7 +421,9 @@ def compact_fast(flat: jax.Array, t32: jax.Array, cap: int, *,
     offs = (jnp.cumsum(cnt, axis=1) - cnt).astype(jnp.float32)
     tt = jnp.concatenate([jloc.astype(jnp.float32), vc, offs[:, None, :]],
                          axis=1)                     # [n, 2K+1, C]
-    if assemble == "pallas" and C <= 4352:
+    # the Pallas assembly additionally stores SKEWED positions (up to the
+    # padded _cc*C) through its f32 output rows — exact only below 2**24
+    if assemble == "pallas" and C <= 4352 and _cc * C <= _F32_EXACT:
         idx, vals = _assemble_pallas(offs, tt, cap, C, K, interpret)
     else:
         idx, vals = _assemble_jnp(offs, tt, cap, C, K)

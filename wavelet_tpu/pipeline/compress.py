@@ -418,6 +418,11 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                 len(meta.files),
                 lambda t: timestep_batches(t, resume_filter=cfg.resume),
                 cfg.prefetch):
+            # timestep boundary: previous step's device work has drained
+            # and the prefetch worker only reads the disk, so the link is
+            # quiescent — the one safe moment for a stale-probe refresh
+            if cfg.transfer == "auto":
+                engine.CodecEngine.reprobe_link_if_stale()
             skipped += n_skip
             nf, ib, ob, d2h = _pack_dense_or_sparse(
                 batches, eng, packer, cfg.compressed_dir, cfg.keep,

@@ -290,6 +290,13 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
         sel_times = sel_times[sl]
     arena = batching.BufferArena()   # same shape buckets recur every step
     for t in sel_times:
+        # timestep boundary: the link is quiescent here (the prefetch
+        # worker only writes plotfiles), so a stale transfer=auto probe
+        # can re-run without measuring the pipeline's own transfers; the
+        # arena drops buffers a regrid left behind
+        arena.new_generation()
+        if cfg.transfer == "auto":
+            engine.CodecEngine.reprobe_link_if_stale()
         regen, h2d = _decompress_timestep(cfg, eng, packer, pad, comp_idxs,
                                           t, num_levels, counts, dimensions,
                                           transfer=cfg.transfer,

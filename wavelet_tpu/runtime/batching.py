@@ -171,19 +171,42 @@ class BufferArena:
     before returning, so releasing after the pipeline's device stage is
     safe even with the prefetch worker unpacking the next bucket
     concurrently — that one acquires a different buffer by construction).
+
+    Retention is generation-bounded: the pipeline calls
+    :meth:`new_generation` at every timestep boundary, and a buffer idle
+    for one full generation is dropped — an AMR dataset that REGRIDS
+    (box shapes changing across timesteps) therefore cannot accumulate
+    dead shapes without bound (round-4 review finding); retained bytes
+    are bounded by the last two timesteps' buffers, the same bound
+    ``prefetch=1`` already documents for peak RSS.
     """
 
-    def __init__(self):
-        self._free: dict = {}
+    def __init__(self, keep_generations: int = 1):
+        self._free: dict = {}          # shape -> [(gen_released, arr), ...]
+        self._gen = 0
+        self._keep = int(keep_generations)
 
     def acquire(self, shape) -> "np.ndarray | None":
         lst = self._free.get(tuple(shape))
-        return lst.pop() if lst else None
+        return lst.pop()[1] if lst else None
 
     def release(self, arr) -> None:
         if arr is not None and isinstance(arr, np.ndarray) \
                 and arr.dtype == np.float32:
-            self._free.setdefault(arr.shape, []).append(arr)
+            self._free.setdefault(arr.shape, []).append((self._gen, arr))
+
+    def new_generation(self) -> None:
+        """Timestep boundary: evict buffers released more than
+        ``keep_generations`` generations ago (i.e. never reacquired for a
+        full timestep — the shapes a regrid left behind)."""
+        self._gen += 1
+        cut = self._gen - self._keep
+        for shape in list(self._free):
+            kept = [e for e in self._free[shape] if e[0] >= cut]
+            if kept:
+                self._free[shape] = kept
+            else:
+                del self._free[shape]
 
 
 def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,

@@ -499,35 +499,59 @@ class CodecEngine:
 
     @classmethod
     def _link_gbps(cls) -> dict:
-        """Cached link rates, re-probed when older than _LINK_REPROBE_S
-        (0 disables re-probing).  A re-probe that flips any transport
-        decision is logged — the startup value was stale."""
+        """Cached link rates.  The FIRST measurement runs inline (pipelines
+        decide transport before any device transfer is in flight); stale
+        values are refreshed only via :meth:`reprobe_link_if_stale`, which
+        the pipelines call at timestep boundaries — a probe that runs
+        concurrently with the pipeline's own transfers (e.g. from the
+        prefetch worker mid-run) would measure residual bandwidth and
+        could flip the transport spuriously (round-4 review finding)."""
         import time
 
-        now = time.monotonic()
-        # _measured_link_at == 0 with a value present means the value was
-        # injected (tests / explicit pinning): never re-probe over it
-        if (cls._measured_link_gbps is None
-                or (cls._LINK_REPROBE_S > 0 and cls._measured_link_at > 0
-                    and now - cls._measured_link_at > cls._LINK_REPROBE_S)):
-            prev = cls._measured_link_gbps
+        if cls._measured_link_gbps is None:
             cls._measured_link_gbps = cls._measure_link()
             cls._measured_link_at = time.monotonic()
             cur = cls._measured_link_gbps
             log.info("transfer=auto: measured link d2h %.3f / h2d %.3f "
                      "GB/s (probe %d MiB)", cur["d2h"], cur["h2d"],
                      cur["probe_bytes"] >> 20)
-            if prev is not None:
-                for d in ("d2h", "h2d"):
-                    b = cls._AUTO_SPARSE_BELOW_GBPS[d]
-                    if (prev[d] < b) != (cur[d] < b):
-                        log.info(
-                            "transfer=auto: %s link drifted %.3f -> %.3f "
-                            "GB/s across the %.0f s re-probe cadence — "
-                            "transport decision flips to %s", d, prev[d],
-                            cur[d], cls._LINK_REPROBE_S,
-                            "sparse" if cur[d] < b else "dense")
         return cls._measured_link_gbps
+
+    @classmethod
+    def reprobe_link_if_stale(cls) -> None:
+        """Re-run the link probe when the cached measurement is older than
+        _LINK_REPROBE_S (0 disables re-probing).  Call ONLY when the
+        device link is quiescent — the streaming pipelines call it at
+        timestep boundaries on the main thread, where the previous step's
+        device work has drained and the prefetch worker touches only the
+        disk.  A re-probe that flips any transport decision is logged —
+        the previous value was stale."""
+        import time
+
+        # _measured_link_at == 0 with a value present means the value was
+        # injected (tests / explicit pinning): never re-probe over it
+        if (cls._measured_link_gbps is None or cls._LINK_REPROBE_S <= 0
+                or cls._measured_link_at <= 0):
+            return
+        if (time.monotonic() - cls._measured_link_at
+                <= cls._LINK_REPROBE_S):
+            return
+        prev = cls._measured_link_gbps
+        cls._measured_link_gbps = cls._measure_link()
+        cls._measured_link_at = time.monotonic()
+        cur = cls._measured_link_gbps
+        log.info("transfer=auto: re-measured link d2h %.3f / h2d %.3f "
+                 "GB/s (probe %d MiB)", cur["d2h"], cur["h2d"],
+                 cur["probe_bytes"] >> 20)
+        for d in ("d2h", "h2d"):
+            b = cls._AUTO_SPARSE_BELOW_GBPS[d]
+            if (prev[d] < b) != (cur[d] < b):
+                log.info(
+                    "transfer=auto: %s link drifted %.3f -> %.3f "
+                    "GB/s across the %.0f s re-probe cadence — "
+                    "transport decision flips to %s", d, prev[d],
+                    cur[d], cls._LINK_REPROBE_S,
+                    "sparse" if cur[d] < b else "dense")
 
     def transfer_mode(self, dims, transfer: str,
                       direction: str = "d2h") -> str:
@@ -843,7 +867,11 @@ class CodecEngine:
         """
         m = flat.shape[1]
         mode = os.environ.get("WAVELET_TPU_COMPACT", "fast")
-        if mode != "argsort" and compact_pallas.fast_ok(m):
+        # fast_ok also rejects caps past the f32-exact integer range
+        # (2**24): the fast path's chunk attribution compares f32 copies
+        # of integer offsets, so a giant low-threshold row would silently
+        # emit wrong pairs — those batches take the integer argsort path
+        if mode != "argsort" and compact_pallas.fast_ok(m, cap=cap):
             impl = "pallas" if haar_pallas.supported() else "jnp"
             # per-chunk capacity K scales with the expected kept fraction
             # (the adaptive cap reflects it): select cost is ~linear in K
