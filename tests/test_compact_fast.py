@@ -26,7 +26,7 @@ def _fast(flat, t32, cap, impl, asm, K=cp.KSLOTS, dims=None):
     return [np.asarray(x) for x in cp.compact_fast(
         jnp.asarray(flat), jnp.asarray(t32), cap, dims=dims, K=K,
         impl=impl, assemble=asm,
-        interpret=(impl == "pallas" or asm == "pallas"))]
+        interpret=(impl in ("pallas", "direct") or asm == "pallas"))]
 
 
 def _assert_rows_equal(got, ref, cap):
@@ -40,7 +40,8 @@ def _assert_rows_equal(got, ref, cap):
 
 
 COMBOS = [("jnp", "jnp"), ("jnp", "pallas"),
-          ("pallas", "jnp"), ("pallas", "pallas")]
+          ("pallas", "jnp"), ("pallas", "pallas"),
+          ("direct", "jnp"), ("direct", "pallas")]
 
 
 @pytest.mark.parametrize("impl,asm", COMBOS)
@@ -57,7 +58,8 @@ def test_bitwise_vs_argsort_random(impl, asm, m, cap):
     _assert_rows_equal(got, _ref(flat, t32, cap), cap)
 
 
-@pytest.mark.parametrize("impl,asm", [("jnp", "jnp"), ("pallas", "pallas")])
+@pytest.mark.parametrize("impl,asm", [("jnp", "jnp"), ("pallas", "pallas"),
+                                      ("direct", "pallas")])
 def test_real_coefficients_no_overflow(impl, asm):
     """Haar coefficients of smooth+shock fields cluster their kept entries
     (contiguous chunks overflow on 100% of such rows — the reason chunks
@@ -88,7 +90,8 @@ def test_clustered_lines_no_overflow():
     flat.reshape(2, *dims)[0, :, 10, 20] = 9.0     # x-line (64 kept)
     flat.reshape(2, *dims)[1, 5, :, :] = 9.0       # x-slab (4096 kept)
     t32 = np.full(2, 1.0, np.float32)
-    for impl, asm in (("jnp", "jnp"), ("pallas", "pallas")):
+    for impl, asm in (("jnp", "jnp"), ("pallas", "pallas"),
+                      ("direct", "pallas")):
         got = _fast(flat, t32, 8192, impl, asm, dims=dims)
         assert not got[3].any(), (impl, asm)
         _assert_rows_equal(got, _ref(flat, t32, 8192), 8192)
@@ -104,7 +107,8 @@ def test_overflow_detected_on_periodic_data():
     flat[0, 5::C][:40] = 50.0          # 40 kept, all in skewed chunk 5
     flat[1, ::97] = 50.0               # spread: no chunk near K
     t32 = np.full(2, 5.0, np.float32)
-    for impl, asm in (("jnp", "jnp"), ("pallas", "pallas")):
+    for impl, asm in (("jnp", "jnp"), ("pallas", "pallas"),
+                      ("direct", "pallas")):
         got = _fast(flat, t32, 2048, impl, asm)
         assert got[3].tolist() == [True, False], (impl, asm)
         ref = _ref(flat, t32, 2048)
@@ -151,6 +155,18 @@ def test_engine_wrapper_uses_fast_path(monkeypatch):
     t32 = np.full(2, 2.5, np.float32)
     eng._compact(jnp.asarray(flat), jnp.asarray(t32), 512)
     assert calls.get("hit")
+
+
+def test_direct_ok_domain():
+    """The padless kernel needs a real slab decomposition (x >= 2),
+    slabs at least one chunk-row wide, and a lane-aligned slab stride
+    (Mosaic rejects dynamic loads at unaligned offsets)."""
+    assert cp.direct_ok(64 ** 3, (64, 64, 64))
+    assert cp.direct_ok(128 ** 3, (128, 128, 128))
+    assert cp.direct_ok(24 * 32 * 16, (24, 32, 16))     # odd x, aligned yz
+    assert not cp.direct_ok(8192, None)                 # x == 1
+    assert not cp.direct_ok(512 * 8 * 8, (512, 8, 8))   # yz < ct
+    assert not cp.direct_ok(13824, (24, 24, 24))        # yz % 128 != 0
 
 
 def test_fast_ok_domain():

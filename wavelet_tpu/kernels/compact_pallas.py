@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["compact_fast", "fast_ok", "CHUNK", "KSLOTS"]
+__all__ = ["compact_fast", "fast_ok", "direct_ok", "CHUNK", "KSLOTS"]
 
 CHUNK = 512     # within-chunk length c (the strided view is [c, C])
 KSLOTS = 32     # per-chunk kept capacity of the fast path (see header)
@@ -225,6 +225,158 @@ def _rank_select_pallas(flat3: jax.Array, t32: jax.Array, K: int,
         compiler_params=_PARALLEL,
         interpret=interpret,
     )(jnp.broadcast_to(t32[:, None, None], (n, 1, 128)), flat3, _tri(c))
+    return jc[:, K, :], jc[:, :K, :], vc
+
+
+# -------------------------------------------------- direct (padless) rank select
+#
+# Probe 13 (bench_results/kernel_probe13.json) attributed 27% of the
+# compact chain to building the skewed VIEW alone: two sequential full
+# jnp.pad copies at the separate-output copy rate (81 GB/s combined), and
+# no XLA-level one-copy form measured faster (probe 13b).  The fusion the
+# pads cannot express in XLA IS expressible in the kernel: stream the
+# UNPADDED [n, x, yz] slabs (plain affine blocks, no padding, no NaN
+# sentinels), and place each slab into skew-chunk alignment in VMEM with
+# one dynamic lane rotation (tpu.dynamic_rotate) — slab s's skewed
+# positions are s*w + r, i.e. a lane offset of (s*w) mod C and a row
+# offset of (s*w) // C.  Per-chunk counts and the first-K selections
+# accumulate across slabs directly in the revisited output block (exact:
+# each global rank matches at most once), with validity decided by
+# POSITION iota instead of NaN pad values.  Output contract is identical
+# to _rank_select_pallas, so every downstream stage (offsets, assembly,
+# unskew, keysort) is unchanged and the bitwise tests pin equality.
+#
+# MEASURED OUTCOME (probe 14, bench_results/kernel_probe14.json): bitwise
+# on hardware at 64^3/128^3/mixed shapes, but SLOWER than the skew path —
+# rank-select 29.0 GB/s vs 35.2 (which includes the two pad copies),
+# chain 19.0 vs 21.6.  The per-slab small-frame processing (the [~8, C]
+# frames underfill the VPU relative to the skew kernel's [c', 128]
+# blocks, plus two rotations and sequential read-modify-write
+# accumulation per slab) costs more than the two saved HBM passes.  The
+# skew-view path REMAINS production; this kernel is kept as the measured
+# alternative (reachable via impl="direct", CPU- and hardware-tested) so
+# the negative result stays reproducible.
+
+_DIRECT_GROUP_BYTES = 2 << 20   # slab-group block target (VMEM + DMA size)
+
+
+def direct_ok(m: int, dims, c: int = CHUNK) -> bool:
+    """The padless kernel streams whole x-slabs: it needs a real slab
+    decomposition (x >= 2), slabs at least one chunk-row wide, and a
+    lane-aligned slab stride — Mosaic rejects dynamic loads at unaligned
+    offsets ("dynamic load with unaligned indices", probe 14), and the
+    kernel indexes slab g of its block dynamically, so yz must be a
+    multiple of the 128-lane tile.  Power-of-two AMR shapes always
+    qualify; odd shapes keep the skew-view path."""
+    x, yz, w, cc, ct = _skew_params(m, dims, c)
+    return x >= 2 and yz >= ct and yz % 128 == 0
+
+
+def _rank_select_direct_kernel(t_ref, x_ref, jc_ref, vc_ref, *,
+                               G: int, yz: int, w: int, ct: int,
+                               rows: int, K: int, n_slabs: int):
+    g0 = pl.program_id(1) * G
+
+    @pl.when(g0 == 0)
+    def _init():
+        jc_ref[...] = jnp.zeros(jc_ref.shape, jnp.int32)
+        vc_ref[...] = jnp.zeros(vc_ref.shape, jnp.float32)
+
+    t = t_ref[0, 0, 0]
+    full, rem = yz // ct, yz % ct
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (rows, ct), 0) * ct
+           + jax.lax.broadcasted_iota(jnp.int32, (rows, ct), 1))
+
+    def slab(g, _):
+        s = g0 + g
+        s0g = s * w                       # skewed offset of this slab
+        lane0 = jax.lax.rem(s0g, ct)
+        base_row = jax.lax.div(s0g, ct)
+        # ONE dynamic load per slab (multi-tile loads at a dynamic sublane
+        # index lower fine; per-chunk 128-wide dynamic loads hit Mosaic's
+        # "dynamic load with unaligned indices" — probe 14), then static
+        # lane slices.  frame0[j, l] = slab[j*ct + l]; the tail row is a
+        # window ending at yz, statically rolled so lanes < rem hold the
+        # true tail — its junk lanes land at positions >= yz and the
+        # validity mask drops them (no pad values anywhere).
+        row = x_ref[0, g, :].reshape(1, yz)
+        parts = [row[:, j * ct:(j + 1) * ct] for j in range(full)]
+        if rem:
+            parts.append(pltpu.roll(row[:, yz - ct:], rem, 1))
+        if len(parts) < rows:
+            parts.append(jnp.zeros((rows - len(parts), ct), jnp.float32))
+        frame0 = jnp.concatenate(parts, axis=0)       # [rows, ct]
+        # one dynamic lane rotation + a row shift-down for the wrap:
+        # F[j, l] = slab[j*ct + l - lane0]
+        a = pltpu.roll(frame0, lane0, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, ct), 1)
+        frame = jnp.where(lane < lane0, pltpu.roll(a, 1, 0), a)
+        valid = (pos >= lane0) & (pos < lane0 + yz)
+        mask = (jnp.abs(frame) > t) & valid
+        mi = mask.astype(jnp.int32)
+        # exclusive down-column prefix over the handful of frame rows
+        incl = mi
+        sh = 1
+        while sh < rows:
+            rio = jax.lax.broadcasted_iota(jnp.int32, (rows, ct), 0)
+            incl = incl + jnp.where(rio >= sh, pltpu.roll(incl, sh, 0), 0)
+            sh *= 2
+        cnt_prev = jc_ref[0, K:K + 1]                 # [1, ct] i32
+        grank = cnt_prev + (incl - mi)
+        granksel = jnp.where(mask, grank, -1)
+        for s0 in range(0, K, _KBATCH):               # static, unrolled
+            kb = min(_KBATCH, K - s0)
+            kio = (jnp.int32(s0) + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, kb, ct), 1))
+            io_r = (base_row + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, kb, ct), 0))
+            oh = granksel[:, None, :] == kio
+            jc_ref[0, s0:s0 + kb] = jc_ref[0, s0:s0 + kb] + jnp.sum(
+                jnp.where(oh, io_r, 0), axis=0)
+            vc_ref[0, s0:s0 + kb] = vc_ref[0, s0:s0 + kb] + jnp.sum(
+                jnp.where(oh, frame[:, None, :], 0.0), axis=0)
+        jc_ref[0, K:K + 1] = cnt_prev + jnp.sum(mi, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, jnp.minimum(G, n_slabs - g0), slab, 0)
+
+
+def _rank_select_pallas_direct(flat: jax.Array, t32: jax.Array, K: int,
+                               dims, c: int = CHUNK,
+                               interpret: bool = False):
+    """Padless rank select: same (cnt, jloc, vc) as
+    ``_rank_select_pallas(_skew_view(flat, dims), t32, K)`` with zero
+    skew-view HBM passes.  Callers must gate on :func:`direct_ok`."""
+    n, m = flat.shape
+    x, yz, w, cc, ct = _skew_params(m, dims, c)
+    rows = (yz + 2 * ct - 2) // ct
+    G = max(1, min(x, _DIRECT_GROUP_BYTES // (yz * 4)))
+    kern = functools.partial(_rank_select_direct_kernel, G=G, yz=yz, w=w,
+                             ct=ct, rows=rows, K=K, n_slabs=x)
+    jc, vc = pl.pallas_call(
+        kern,
+        grid=(n, -(-x // G)),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, yz), lambda i, s: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K + 1, ct), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, ct), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, K + 1, ct), jnp.int32),
+            jax.ShapeDtypeStruct((n, K, ct), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(jnp.broadcast_to(t32[:, None, None], (n, 1, 128)),
+      flat.reshape(n, x, yz))
     return jc[:, K, :], jc[:, :K, :], vc
 
 
@@ -411,10 +563,16 @@ def compact_fast(flat: jax.Array, t32: jax.Array, cap: int, *,
                          f"integer range ({_F32_EXACT}); use the argsort "
                          f"compact for caps this large")
     x, yz, w, _cc, C = _skew_params(m, dims, c)
-    flat3 = _skew_view(flat, dims, c)                # [n, c', C]
-    if impl == "pallas":
+    if impl == "direct":
+        # padless: stream the unpadded slabs straight into the kernel
+        # (zero skew-view HBM passes; callers gate on direct_ok)
+        cnt, jloc, vc = _rank_select_pallas_direct(flat, t32, K, dims, c,
+                                                   interpret)
+    elif impl == "pallas":
+        flat3 = _skew_view(flat, dims, c)            # [n, c', C]
         cnt, jloc, vc = _rank_select_pallas(flat3, t32, K, interpret)
     else:
+        flat3 = _skew_view(flat, dims, c)
         cnt, jloc, vc = _rank_select_jnp(flat3, t32, K)
     counts = jnp.sum(cnt, axis=1)
     over = jnp.any(cnt > K, axis=1)
