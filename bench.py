@@ -350,11 +350,14 @@ def _measure() -> dict:
             from wavelet_tpu.kernels import compact_pallas
 
             m = d ** 3
-            cap = int(np.ceil(0.02 * m / 128) * 128)   # post-adaptive cap
             # P(|N(0,1)| > 2.6) ~= 0.93%: the ~1% kept fraction real AMR
-            # data sits in, UNDER the 2% cap (a threshold of 2.0 would
-            # keep ~4.6% — past the cap, the regime production abandons
-            # for the dense-fetch fallback)
+            # data sits in.  The adaptive cap settles at 1.5x the
+            # observed kept fraction (engine.compress_shapebatch_sparse),
+            # so the steady-state capf is ~0.014 — which is also what
+            # makes engine._compact pick K=16 (capf <= 0.015).  Using a
+            # 2% cap here with K=16 would measure a (cap, K) pair the
+            # engine never runs (round-4 review finding).
+            cap = int(np.ceil(1.5 * 0.0093 * m / 128) * 128)
             t32c = jax.device_put(
                 jnp.full((n,), 2.6, jnp.float32), dev)
 

@@ -1093,11 +1093,10 @@ namespace {
 
 // Tiling notes: for power-of-2 boxes the (x, z)-plane strides are 4 KiB
 // multiples, so naive 32x32 plane blocks put every row in ONE L1 set and
-// thrash (measured 0.24 GB/s/core — no better than NumPy).  Instead the
-// y axis runs in the MIDDLE loop (consecutive y is a small stride on both
-// sides, so the 4-row/4-line micro-tile footprints stay resident across
-// the whole y sweep), with micro-tiles of 4 rows x 16 columns bounded by
-// the 8-way L1 associativity.
+// thrash (measured 0.24 GB/s/core — no better than NumPy).  The fix is
+// the scratch-staged [kXTile, y, kZTile] tile described below: strided
+// hops land only in a small contiguous buffer where 4K aliasing cannot
+// thrash, and both HBM-facing passes stream contiguous segments.
 
 constexpr int64_t kXTile = 8;
 constexpr int64_t kZTile = 8;

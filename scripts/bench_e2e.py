@@ -351,13 +351,13 @@ def _decompress_stage_rates() -> dict:
             r["warm_gbps"] for k, r in rows.items() if "threads" in k)
     except Exception:  # noqa: BLE001
         pass
-    try:
-        with open("bench_results/plotfile_io.json") as f:
-            pio = json.load(f)
-        rates["plotfile_write_gbps"] = min(
-            c["write_f32"]["src_gbps"] for c in pio["cases"].values())
-    except Exception:  # noqa: BLE001
-        pass
+    from scripts import bench_host_codec
+
+    # one shared parser of plotfile_io.json (schema changes can't skew
+    # the two consumers apart); inf means unmeasured -> keep the fallback
+    w = bench_host_codec._plotfile_write_gbps()
+    if w != float("inf"):
+        rates["plotfile_write_gbps"] = w
     return rates
 
 

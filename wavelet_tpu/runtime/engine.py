@@ -480,6 +480,9 @@ class CodecEngine:
             t0 = time.perf_counter()
             _ = np.asarray(dev)
             d2h_s = time.perf_counter() - t0
+            # dispatch_s timed a ROUND TRIP (device_put + fetch = two
+            # dispatches), so 5x of it is the ~10x one-way dispatch
+            # margin the docstring promises
             if min(h2d_s, d2h_s) >= 5 * dispatch_s or nbytes >= 128 << 20:
                 break
             nbytes *= 4
@@ -835,6 +838,11 @@ class CodecEngine:
         return dataclasses.replace(batch, data=coeffs), t32
 
     _ILV_MAPS: dict = {}    # (dims, eff) -> (lmap, inv), process-wide
+    # ~12 B/element per cached shape (a 128^3 pair is ~24 MiB): bound the
+    # cache so a regridding dataset visiting many shapes cannot grow host
+    # RSS without limit (the BufferArena retention class, one level up).
+    # FIFO eviction — recurring shapes are recomputed cheaply if evicted.
+    _ILV_MAPS_MAX = 8
 
     @classmethod
     def _interleave_maps(cls, dims, eff):
@@ -848,6 +856,8 @@ class CodecEngine:
                 dims, eff, y * z, z, 1), dtype=np.int64)
             inv = np.empty(lmap.size, np.int32)
             inv[lmap] = np.arange(lmap.size, dtype=np.int32)
+            while len(cls._ILV_MAPS) >= cls._ILV_MAPS_MAX:
+                cls._ILV_MAPS.pop(next(iter(cls._ILV_MAPS)))
             hit = cls._ILV_MAPS[key] = (lmap, inv)
         return hit
 
