@@ -12,6 +12,10 @@
 # (GLOBAL_ARCHIVES_TPU_EQ_CPU / GLOBAL_REGEN_TPU_EQ_CPU lines).
 
 set -u
+# wavelet_tpu is not installed in the venv — `python -m wavelet_tpu.cli`
+# resolves via cwd, so anchor at the repo root no matter where the
+# battery is invoked from (round-4 advisor finding).
+cd "$(dirname "$0")/.."
 PY=/opt/venv/bin/python
 REF=/root/reference/tests
 LOG=${1:-/tmp/verify_battery.log}

@@ -10,8 +10,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 PY = sys.executable
 
 _CHILD = r'''
@@ -64,8 +62,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(240)
 def test_crosshost_giant_box_bitwise(tmp_path):
+    from tests.conftest import drain_procs
+
     child = tmp_path / "child.py"
     child.write_text(_CHILD)
     port = str(_free_port())
@@ -76,10 +75,9 @@ def test_crosshost_giant_box_bitwise(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=220)
-        outs.append(out.decode(errors="replace"))
+    # real deadline with child cleanup (a stuck coordinator must FAIL the
+    # test, not hang the suite — pytest-timeout is not installed here)
+    outs = drain_procs(procs, timeout=220)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid} CROSSHOST-GIANT-OK" in out

@@ -72,10 +72,9 @@ def _run_two_processes(data_dir, comp_dir, extra=()):
             env=env, cwd=os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out.decode(errors="replace"))
+    from tests.conftest import drain_procs
+
+    outs = drain_procs(procs, timeout=240)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"process failed:\n{out[-3000:]}"
     return outs
@@ -212,11 +211,11 @@ def test_two_process_giant_boxes_shard_locally(tmp_path):
          "processes=2", f"processid={pid}", "-c"],
         env=env2, cwd=cwd, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out.decode(errors="replace"))
-        assert p.returncode == 0, outs[-1][-2500:]
+    from tests.conftest import drain_procs
+
+    outs = drain_procs(procs, timeout=240)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2500:]
 
     a, b = _dir_bytes(single_dir), _dir_bytes(multi_dir)
     assert set(a) == set(b)
@@ -287,9 +286,10 @@ def test_two_process_partial_retrieval(tmp_path):
          "processes=2", f"processid={pid}", "-d"],
         env=env, cwd=cwd, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for pid in range(2)]
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        assert p.returncode == 0, out.decode(errors="replace")[-2000:]
+    from tests.conftest import drain_procs
+
+    for p, out in zip(procs, drain_procs(procs, timeout=240)):
+        assert p.returncode == 0, out[-2000:]
 
     assert sorted(os.listdir(multi)) == ["plt00021", "plt00022"]
     for name in ("plt00021", "plt00022"):
@@ -330,9 +330,10 @@ def test_two_process_decompress_matches_single(tmp_path):
                         f"processid={pid}"],
                 env=env, cwd=cwd, stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT) for pid in range(2)]
-            for p in procs:
-                out, _ = p.communicate(timeout=240)
-                assert p.returncode == 0, out.decode(errors="replace")[-2000:]
+            from tests.conftest import drain_procs
+
+            for p, out in zip(procs, drain_procs(procs, timeout=240)):
+                assert p.returncode == 0, out[-2000:]
         else:
             rr = subprocess.run(base, env=env, cwd=cwd,
                                 stdout=subprocess.PIPE,

@@ -182,31 +182,46 @@ class BufferArena:
     """
 
     def __init__(self, keep_generations: int = 1):
+        import threading
+
         self._free: dict = {}          # shape -> [(gen_released, arr), ...]
         self._gen = 0
         self._keep = int(keep_generations)
+        # acquire/release run from host-stage worker threads concurrently
+        # with the main thread; new_generation rebuilds the free lists.
+        # The lock makes all three safe regardless of caller thread — the
+        # pipelines happen to call new_generation only after the per-
+        # timestep pool has drained, but that contract was implicit and
+        # one future caller away from double-handing a buffer (round-4
+        # advisor finding).
+        self._lock = threading.Lock()
 
     def acquire(self, shape) -> "np.ndarray | None":
-        lst = self._free.get(tuple(shape))
-        return lst.pop()[1] if lst else None
+        with self._lock:
+            lst = self._free.get(tuple(shape))
+            return lst.pop()[1] if lst else None
 
     def release(self, arr) -> None:
         if arr is not None and isinstance(arr, np.ndarray) \
                 and arr.dtype == np.float32:
-            self._free.setdefault(arr.shape, []).append((self._gen, arr))
+            with self._lock:
+                self._free.setdefault(arr.shape, []).append((self._gen, arr))
 
     def new_generation(self) -> None:
         """Timestep boundary: evict buffers released more than
         ``keep_generations`` generations ago (i.e. never reacquired for a
-        full timestep — the shapes a regrid left behind)."""
-        self._gen += 1
-        cut = self._gen - self._keep
-        for shape in list(self._free):
-            kept = [e for e in self._free[shape] if e[0] >= cut]
-            if kept:
-                self._free[shape] = kept
-            else:
-                del self._free[shape]
+        full timestep — the shapes a regrid left behind).  Thread-safe
+        (guarded by the same lock as acquire/release), though buffers a
+        worker still holds are naturally outside the arena's view."""
+        with self._lock:
+            self._gen += 1
+            cut = self._gen - self._keep
+            for shape in list(self._free):
+                kept = [e for e in self._free[shape] if e[0] >= cut]
+                if kept:
+                    self._free[shape] = kept
+                else:
+                    del self._free[shape]
 
 
 def empty_batch(items, dims, pack: int = 1, pad_multiple: int = 1,

@@ -841,7 +841,9 @@ class CodecEngine:
     # ~12 B/element per cached shape (a 128^3 pair is ~24 MiB): bound the
     # cache so a regridding dataset visiting many shapes cannot grow host
     # RSS without limit (the BufferArena retention class, one level up).
-    # FIFO eviction — recurring shapes are recomputed cheaply if evicted.
+    # LRU eviction (touch-on-hit): recurring shapes survive when transient
+    # regrid shapes churn the cache (round-4 advisor finding — FIFO
+    # evicted the most-recurring shape first once >8 pairs cycled).
     _ILV_MAPS_MAX = 8
 
     @classmethod
@@ -850,7 +852,10 @@ class CodecEngine:
         strides): lmap[logical] = stored offset, inv[stored] = logical."""
         key = (tuple(dims), int(eff))
         hit = cls._ILV_MAPS.get(key)
-        if hit is None:
+        if hit is not None:
+            # touch-on-hit: move to the end so dict order = recency order
+            cls._ILV_MAPS[key] = cls._ILV_MAPS.pop(key)
+        else:
             x, y, z = dims
             lmap = np.asarray(haar_pallas.interleave_map_multi(
                 dims, eff, y * z, z, 1), dtype=np.int64)
