@@ -98,3 +98,109 @@ def test_cli_global_keys():
         'components=x', 'thresholdmode=global', 'keepfraction=0.05', '-c',
         'compresseddir=/o'])
     assert cfg.threshold_mode == "global" and cfg.keep_fraction == 0.05
+
+
+def _write_multi_t(tmp_path, n_times=3):
+    """n_times timesteps, two components, two box shapes per timestep."""
+    rng = np.random.default_rng(7)
+    data = tmp_path / "data"
+    for t in range(n_times):
+        boxes = [rng.standard_normal((2, 16, 8, 8)).astype(np.float32),
+                 rng.standard_normal((2, 8, 4, 4)).astype(np.float32)]
+        pf.write_plotfile(str(data / f"plt{10 + t:05d}"),
+                          [boxes], [[(0, 0, 0), (16, 0, 0)]],
+                          [[(16, 8, 8), (8, 4, 4)]],
+                          ["a", "b"], 0.1 * t, [0., 0., 0.], [1., 1., 1.],
+                          (2, 2, 2), (32, 16, 8), [t])
+    return str(data)
+
+
+def _global_cfg(data_dir, comp_dir, **kw):
+    return Config(data_dir=data_dir, min_time="plt00010",
+                  max_time="plt00099", min_level=0, max_level=0,
+                  components=["a", "b"], threshold_mode="global",
+                  keep_fraction=0.1, compressed_dir=comp_dir, **kw)
+
+
+def test_globalcache_byte_identical_and_skips_reread(tmp_path, monkeypatch):
+    """The budgeted coefficient cache (round-4 verdict item 1) must change
+    NOTHING about the archive bytes, and must actually remove pass 2's
+    plotfile re-reads when the run fits the budget."""
+    from tests.conftest import tree_bytes
+
+    data_dir = _write_multi_t(tmp_path)
+    n_times = 3
+
+    calls = {"n": 0}
+    real_read = pf.read_level
+
+    def counting_read(*a, **kw):
+        calls["n"] += 1
+        return real_read(*a, **kw)
+
+    monkeypatch.setattr(pf, "read_level", counting_read)
+
+    # budget 0: the round-4 behavior — every timestep read twice
+    off_dir = str(tmp_path / "off") + "/"
+    compress.compress_run(_global_cfg(data_dir, off_dir,
+                                      global_cache_bytes=0))
+    assert calls["n"] == 2 * n_times
+    calls["n"] = 0
+
+    # ample budget: pass 2 reads nothing
+    on_dir = str(tmp_path / "on") + "/"
+    stats = compress.compress_run(_global_cfg(data_dir, on_dir,
+                                              global_cache_bytes=1 << 30))
+    assert calls["n"] == n_times
+    assert stats["global_cached_timesteps"] == n_times
+
+    a, b = tree_bytes(off_dir), tree_bytes(on_dir)
+    assert set(a) == set(b)
+    diff = [k for k in a if a[k] != b[k]]
+    assert not diff, f"globalcache changed archive bytes: {diff}"
+
+
+def test_globalcache_partial_budget(tmp_path, monkeypatch):
+    """A budget that fits only SOME timesteps caches a prefix and re-reads
+    the rest — still byte-identical."""
+    from tests.conftest import tree_bytes
+
+    data_dir = _write_multi_t(tmp_path)
+    # one timestep's coefficients: 2 comps x (16*8*8 + 8*4*4) f32 = 9216 B
+    # at pack=1 — 10 KiB fits exactly one timestep, not two
+    calls = {"n": 0}
+    real_read = pf.read_level
+
+    def counting_read(*a, **kw):
+        calls["n"] += 1
+        return real_read(*a, **kw)
+
+    monkeypatch.setattr(pf, "read_level", counting_read)
+
+    part_dir = str(tmp_path / "part") + "/"
+    stats = compress.compress_run(_global_cfg(data_dir, part_dir,
+                                              global_cache_bytes=10 << 10))
+    assert 1 <= stats["global_cached_timesteps"] < 3
+    # pass 1 reads all 3; pass 2 re-reads only the uncached ones
+    assert calls["n"] == 3 + (3 - stats["global_cached_timesteps"])
+
+    off_dir = str(tmp_path / "off") + "/"
+    compress.compress_run(_global_cfg(data_dir, off_dir,
+                                      global_cache_bytes=0))
+    a, b = tree_bytes(off_dir), tree_bytes(part_dir)
+    assert set(a) == set(b) and not [k for k in a if a[k] != b[k]]
+
+
+def test_cli_globalcache_key():
+    from wavelet_tpu import cli
+    base = ['datadir=/d', 'minfile=a1', 'maxfile=a1', 'minlevel=0',
+            'maxlevel=0', 'components=x', 'thresholdmode=global',
+            'keepfraction=0.05', '-c', 'compresseddir=/o']
+    _, cfg = cli.parse_argv(base + ['globalcache=0'])
+    assert cfg.global_cache_bytes == 0
+    _, cfg = cli.parse_argv(base + ['globalcache=1073741824'])
+    assert cfg.global_cache_bytes == 1 << 30
+    _, cfg = cli.parse_argv(base)
+    assert cfg.global_cache_bytes is None
+    with pytest.raises(SystemExit):
+        cli.parse_argv(base + ['globalcache=-1'])

@@ -54,6 +54,9 @@ Extension keys (reference-compatible defaults):
   transfer=dense|sparse|auto  prefetch=0|1   resume=1      fastestimate=1
   giantbox=BYTES (boxes >= this shard WITHIN the box over the mesh;
                   default 1 GiB — needs devices=N > 1)
+  globalcache=BYTES (global mode: host-RAM budget for caching pass-1
+                  coefficients so pass 2 skips the re-read; default 4 GiB,
+                  0 = always re-read)
   devices=N  coordinator=host:port processes=N processid=I  profile=DIR
 
 Sweeps (-estimate only): keep="k1 k2 ..." or keepfraction="f1 f2 ..."
@@ -103,6 +106,15 @@ def parse_argv(argv):
                              "positive byte count")
         return v
 
+    def globalcache_key():
+        if "globalcache" not in kv:
+            return None
+        v = int(kv["globalcache"])
+        if v < 0:
+            raise SystemExit(f"globalcache={kv['globalcache']} must be a "
+                             "non-negative byte count (0 disables)")
+        return v
+
     cfg = Config()
     if mode in ("c", "estimate"):
         cfg.data_dir = need("datadir")
@@ -121,6 +133,7 @@ def parse_argv(argv):
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
         cfg.giant_box_bytes = giantbox_key()
+        cfg.global_cache_bytes = globalcache_key()
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
         cfg.threshold_mode = kv.get("thresholdmode", "box")

@@ -80,6 +80,15 @@ class Config:
                                       #   mesh; None = 1 GiB default, see
                                       #   engine.CodecEngine.giant_ok).
                                       #   CLI key: giantbox=BYTES
+    global_cache_bytes: int | None = None  # global threshold mode: budget
+                                      #   for caching pass-1 coefficients in
+                                      #   host RAM so pass 2 skips re-reading
+                                      #   + re-transforming cached timesteps
+                                      #   (None = 4 GiB default, env
+                                      #   WAVELET_TPU_GLOBALCACHE overrides;
+                                      #   0 = always re-read, the bounded-
+                                      #   memory round-4 behavior).
+                                      #   CLI key: globalcache=BYTES
     prefetch: int = 0                 # 1 = overlap next timestep's plotfile
                                       #   read (compress) / this timestep's
                                       #   plotfile write (decompress) with the

@@ -358,23 +358,61 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             raise ValueError("global threshold mode requires keep_fraction")
         from wavelet_tpu.core import threshold as thr
 
-        # pass 1: streamed histogram (coefficients are discarded — bounded
-        # memory costs re-reading + re-transforming in pass 2; fixed
-        # float-bit bins merge by addition across timesteps and hosts)
+        # pass 1: streamed histogram.  Coefficients are RETAINED in host
+        # RAM up to the globalcache budget (whole timesteps at a time, in
+        # order) so pass 2 can skip re-reading + re-transforming them —
+        # the round-4 verdict's "global mode costs 2x the binding
+        # co-located stage" fix.  Past budget, pass 2 falls back to the
+        # bounded-memory re-read.  Fixed float-bit bins merge by addition
+        # across timesteps and hosts either way.
+        budget = (cfg.global_cache_bytes
+                  if cfg.global_cache_bytes is not None
+                  else int(os.environ.get("WAVELET_TPU_GLOBALCACHE",
+                                          4 << 30)))
+        cache: dict = {}          # t -> list of coefficient ShapeBatches
+        cache_used = 0
         hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
-        for _t, (batches, _) in _iter_prefetched(
+        for t, (batches, _) in _iter_prefetched(
                 len(meta.files),
                 lambda t: timestep_batches(t, resume_filter=False),
                 cfg.prefetch):
+            # all-or-nothing per timestep: coefficient arrays are the same
+            # size as the padded inputs, so the cost is known before the
+            # forward runs, and pass 2 never has to re-read a plotfile for
+            # just SOME of its batches
+            t_bytes = sum(b.data.nbytes for b in batches)
+            keep_t = cache_used + t_bytes <= budget
+            cbs = []
             for batch in batches:
-                _cb, h = eng.forward_hist_shapebatch(batch)
+                cb, h = eng.forward_hist_shapebatch(batch)
                 hist += h
+                if keep_t:
+                    cbs.append(cb)
+            if keep_t and batches:
+                cache[t] = cbs
+                cache_used += t_bytes
+        if cache or budget:
+            log.info("globalcache: retained %d/%d timesteps' coefficients "
+                     "(%.2f of %.2f GiB budget); pass 2 re-reads the rest",
+                     len(cache), len(meta.files), cache_used / 2**30,
+                     budget / 2**30)
+        stats["global_cached_timesteps"] = len(cache)
         if jax.process_count() > 1:
             hist = _allreduce_histogram(hist)
         tval = thr.threshold_from_histogram(hist, cfg.keep_fraction)
         log.info("Global magnitude threshold (keep_fraction=%s): %s",
                  cfg.keep_fraction, tval)
         stats["global_threshold"] = float(tval)
+
+        def pass2_batches(t):
+            """Cached coefficient batches, or (re-read + mark for forward).
+            Popping in the (possibly prefetch-thread) reader frees each
+            cached timestep as soon as it is consumed."""
+            cached = cache.pop(t, None)
+            if cached is not None:
+                return cached, True
+            return timestep_batches(t, resume_filter=False)[0], False
+
         # pass 2: streamed transform + pack at the one global threshold.
         # A single pack worker overlaps the host RLE+xz of batch i with the
         # device forward of batch i+1 (same pattern as _pack_dense_or_sparse;
@@ -383,12 +421,11 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
         bundle_bytes = 0
         with cf.ThreadPoolExecutor(1) as pack_pool:
             pending = None
-            for t, (batches, _) in _iter_prefetched(
-                    len(meta.files),
-                    lambda t: timestep_batches(t, resume_filter=False),
-                    cfg.prefetch):
+            for t, (batches, is_coeff) in _iter_prefetched(
+                    len(meta.files), pass2_batches, cfg.prefetch):
                 for batch in batches:
-                    cb, _h = eng.forward_hist_shapebatch(batch)
+                    cb = (batch if is_coeff
+                          else eng.forward_hist_shapebatch(batch)[0])
                     subset = None
                     if cfg.resume:
                         subset = [i for i, it in enumerate(cb.items)
