@@ -133,8 +133,108 @@ def xz_compress(payload: bytes, preset: int = 6) -> bytes:
         filters = _XZ_FILTERS
     else:
         filters = [{"id": lzma.FILTER_LZMA2, "preset": p}]
-    return lzma.compress(payload, format=lzma.FORMAT_XZ,
+    blob = lzma.compress(payload, format=lzma.FORMAT_XZ,
                          check=lzma.CHECK_CRC64, filters=filters)
+    return _reframe_with_block_sizes(blob)
+
+
+def _read_varint(b: bytes, pos: int):
+    v = 0
+    shift = 0
+    while True:
+        c = b[pos]
+        pos += 1
+        v |= (c & 0x7F) << shift
+        if not (c & 0x80):
+            return v, pos
+        shift += 7
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _reframe_with_block_sizes(blob: bytes) -> bytes:
+    """Rewrite a single-block xz stream so its block header stores the
+    compressed + uncompressed sizes — the layout ``lzma_easy_buffer_
+    encode`` produces (the REFERENCE's encoder, compressor.cpp:250-291,
+    and our native backend's).  stdlib ``lzma.compress`` streams, so it
+    omits the sizes; without this reframe the python backend's containers
+    decode identically everywhere but differ byte-wise from both the
+    native backend and the C++ tool (found by the round-5 interop
+    matrix).  The compressed bits, check, and every filter entry are
+    copied verbatim — only the block header, index and footer are
+    re-derived per the xz spec.  Anything unexpected (multi-block,
+    already-sized, foreign check) is returned unchanged."""
+    import binascii
+
+    try:
+        if len(blob) < 32 or blob[:6] != b"\xfd7zXZ\x00":
+            return blob
+        check_type = blob[7]
+        check_size = {0x00: 0, 0x01: 4, 0x04: 8, 0x0A: 32}.get(check_type)
+        if check_size is None:
+            return blob
+        # footer: crc32(4) backward_size(4) flags(2) "YZ"(2)
+        back = int.from_bytes(blob[-8:-4], "little")
+        idx_size = (back + 1) * 4
+        idx = blob[-12 - idx_size : -12]
+        if not idx or idx[0] != 0x00:
+            return blob
+        nrec, p = _read_varint(idx, 1)
+        if nrec != 1:
+            return blob
+        unpadded, p = _read_varint(idx, p)
+        uncomp, p = _read_varint(idx, p)
+        bh_start = 12
+        old_bhs = (blob[bh_start] + 1) * 4
+        flags = blob[bh_start + 1]
+        if flags & 0xC0:
+            return blob             # sizes already present
+        nfilt = (flags & 0x03) + 1
+        q = bh_start + 2
+        for _ in range(nfilt):
+            _fid, q = _read_varint(blob, q)
+            props, q = _read_varint(blob, q)
+            q += props
+        filt_region = blob[bh_start + 2 : q]
+        comp_size = unpadded - old_bhs - check_size
+        body = blob[bh_start + old_bhs : bh_start + old_bhs
+                    + comp_size + (-comp_size % 4) + check_size]
+        # new block header: flags|0xC0 + size varints + filters + pad +
+        # crc.  liblzma's buffer encoder sizes the header BEFORE
+        # compressing — it reserves varint space for
+        # lzma_block_buffer_bound(uncomp) (= align4(n) + 96 + 3*(n>>16),
+        # probed from the system liblzma) and zero-pads whatever the
+        # real, smaller compressed-size varint leaves unused; minimal
+        # headers would differ from the reference tool's bytes.
+        bound = (uncomp + 3) // 4 * 4 + 96 + 3 * (uncomp >> 16)
+        reserved = (2 + len(_varint(bound)) + len(_varint(uncomp))
+                    + len(filt_region) + 4)
+        new_bhs = (reserved + 3) // 4 * 4
+        core = (bytes([flags | 0xC0]) + _varint(comp_size)
+                + _varint(uncomp) + filt_region)
+        hdr = bytes([new_bhs // 4 - 1]) + core
+        hdr += b"\x00" * (new_bhs - 4 - len(hdr))
+        hdr += binascii.crc32(hdr).to_bytes(4, "little")
+        # new index + footer
+        new_idx = (b"\x00" + _varint(1)
+                   + _varint(new_bhs + comp_size + check_size)
+                   + _varint(uncomp))
+        new_idx += b"\x00" * (-len(new_idx) % 4)
+        new_idx += binascii.crc32(new_idx).to_bytes(4, "little")
+        stream_flags = blob[6:8]
+        back_raw = (len(new_idx) // 4 - 1).to_bytes(4, "little")
+        footer = (binascii.crc32(back_raw + stream_flags)
+                  .to_bytes(4, "little") + back_raw + stream_flags + b"YZ")
+        return blob[:12] + hdr + body + new_idx + footer
+    except (IndexError, ValueError):
+        return blob
 
 
 def xz_decompress(blob: bytes) -> bytes:
