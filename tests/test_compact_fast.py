@@ -207,3 +207,22 @@ def test_big_skew_uses_integer_assembly():
     assert not got[3].any()
     assert int(got[0][0]) == len(hot)
     np.testing.assert_array_equal(got[1][0, :len(hot)], hot)
+
+
+@pytest.mark.parametrize("c,K", [(128, 10), (256, 12), (1024, 24)])
+@pytest.mark.parametrize("impl,asm", [("jnp", "jnp"), ("pallas", "pallas")])
+def test_bitwise_at_nondefault_chunk_lengths(impl, asm, c, K):
+    """The (c, K) frontier probe 15 sweeps must stay bitwise at every
+    candidate geometry (chunk length is a free parameter of the skew
+    machinery, not a baked-in 512)."""
+    rng = np.random.default_rng(c + K)
+    n, d = 4, 16
+    flat = rng.standard_normal((n, d ** 3)).astype(np.float32)
+    t32 = np.full(n, 1.8, np.float32)
+    cap = 512
+    got = [np.asarray(x) for x in cp.compact_fast(
+        jnp.asarray(flat), jnp.asarray(t32), cap, dims=(d, d, d), K=K,
+        c=c, impl=impl, assemble=asm,
+        interpret=(impl == "pallas" or asm == "pallas"))]
+    assert not got[3].any()
+    _assert_rows_equal(got, _ref(flat, t32, cap), cap)

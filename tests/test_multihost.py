@@ -353,3 +353,92 @@ def test_two_process_decompress_matches_single(tmp_path):
                 a = os.path.join(root, n)
                 b = os.path.join(multi, rel, n)
                 assert filecmp.cmp(a, b, shallow=False), f"{rel}/{n} differs"
+
+
+def test_two_process_crosshost_giant_boxes(tmp_path):
+    """giantmesh=global (round-4 verdict stretch item 8): giant boxes
+    shard over the GLOBAL 2-process x 2-device mesh — every process
+    participates in each giant box's collective transform, only the item
+    owner writes the payload — and the archive, a resumed re-run, and
+    the 2-process global-mesh decompress are all byte-identical to
+    single-process runs of the same data."""
+    import filecmp
+
+    rng = np.random.default_rng(47)
+    data_dir = tmp_path / "data"
+    for t in (40, 41):
+        # one giant box (16,8,8: X divides the 4-device mesh x 2 scales)
+        # + one normal box per timestep: mixed ownership inside batches
+        boxes = [rng.standard_normal((1, 16, 8, 8)).astype(np.float32),
+                 rng.standard_normal((1, 4, 4, 2)).astype(np.float32)]
+        pf.write_plotfile(str(data_dir / f"plt000{t}"), [boxes],
+                          [[(0, 0, 0), (16, 0, 0)]],
+                          [[(16, 8, 8), (4, 4, 2)]],
+                          ["a"], 0.5 * t, [0., 0., 0.], [1., 1., 1.],
+                          (2, 2, 2), (32, 8, 8), [t])
+    args_base = [f"datadir={data_dir}", "minfile=plt00040",
+                 "maxfile=plt00041", "minlevel=0", "maxlevel=0",
+                 "components=a", "keep=0.999", "giantbox=2048"]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env1 = dict(os.environ, JAX_PLATFORMS="cpu", WAVELET_TPU_PLATFORM="cpu")
+    env1.pop("XLA_FLAGS", None)
+
+    single_dir = str(tmp_path / "single") + os.sep
+    r = subprocess.run([PY, "-m", "wavelet_tpu.cli", *args_base,
+                        f"compresseddir={single_dir}", "-c"],
+                       env=env1, cwd=cwd, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-2000:]
+
+    from tests.conftest import drain_procs
+
+    env2 = dict(env1, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+
+    def run_two(extra, mode):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [PY, "-m", "wavelet_tpu.cli", *args_base, *extra,
+             "giantmesh=global", f"coordinator=localhost:{port}",
+             "processes=2", f"processid={pid}", mode],
+            env=env2, cwd=cwd, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for pid in range(2)]
+        outs = drain_procs(procs, timeout=240)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2500:]
+        return outs
+
+    multi_dir = str(tmp_path / "multi") + os.sep
+    outs = run_two([f"compresseddir={multi_dir}"], "-c")
+    # the global giant mesh really engaged on both processes
+    for out in outs:
+        assert "giantmesh=global" in out, out[-2500:]
+        assert "Giant box path" in out, out[-2500:]
+
+    a, b = _dir_bytes(single_dir), _dir_bytes(multi_dir)
+    assert set(a) == set(b)
+    diff = [k for k in a if a[k] != b[k]]
+    assert not diff, f"bytes differ for {diff}"
+
+    # resume: collective giant items are recomputed (identical bytes),
+    # owned normal items skipped; archive unchanged
+    run_two([f"compresseddir={multi_dir}", "resume=1"], "-c")
+    b2 = _dir_bytes(multi_dir)
+    assert b2 == a
+
+    # decompress through the global giant mesh: every process decodes
+    # collectively, only the slice owner writes its timesteps
+    out_s = str(tmp_path / "out_s") + os.sep
+    rr = subprocess.run(
+        [PY, "-m", "wavelet_tpu.cli", f"compresseddir={single_dir}",
+         f"out={out_s}", "-d"], env=env1, cwd=cwd, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, timeout=240)
+    assert rr.returncode == 0
+    out_m = str(tmp_path / "out_m") + os.sep
+    run_two([f"compresseddir={multi_dir}", f"out={out_m}"], "-d")
+    assert sorted(os.listdir(out_m)) == ["plt00040", "plt00041"]
+    for root, _d, names in os.walk(out_s):
+        rel = os.path.relpath(root, out_s)
+        for n in names:
+            assert filecmp.cmp(os.path.join(root, n),
+                               os.path.join(out_m, rel, n),
+                               shallow=False), f"{rel}/{n} differs"

@@ -57,6 +57,9 @@ Extension keys (reference-compatible defaults):
   globalcache=BYTES (global mode: host-RAM budget for caching pass-1
                   coefficients so pass 2 skips the re-read; default 4 GiB,
                   0 = always re-read)
+  giantmesh=local|global (global: giant boxes shard over the whole
+                  multi-process mesh — for boxes beyond one host's chips;
+                  -c/-d only)
   devices=N  coordinator=host:port processes=N processid=I  profile=DIR
 
 Sweeps (-estimate only): keep="k1 k2 ..." or keepfraction="f1 f2 ..."
@@ -106,6 +109,12 @@ def parse_argv(argv):
                              "positive byte count")
         return v
 
+    def giantmesh_key():
+        v = kv.get("giantmesh", "local")
+        if v not in ("local", "global"):
+            raise SystemExit(f"Unknown giantmesh={v!r} (local|global)")
+        return v
+
     def globalcache_key():
         if "globalcache" not in kv:
             return None
@@ -133,6 +142,7 @@ def parse_argv(argv):
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
         cfg.giant_box_bytes = giantbox_key()
+        cfg.giant_mesh = giantmesh_key()
         cfg.global_cache_bytes = globalcache_key()
         cfg.device_metrics = kv.get("devicemetrics", "0") == "1"
         cfg.fast_estimate = kv.get("fastestimate", "0") == "1"
@@ -177,6 +187,7 @@ def parse_argv(argv):
         cfg.transfer = transfer_key()
         cfg.prefetch = int(kv.get("prefetch", "0"))
         cfg.giant_box_bytes = giantbox_key()
+        cfg.giant_mesh = giantmesh_key()
         cfg.out_precision = kv.get("outprec", "f64")
         if cfg.out_precision not in ("f64", "f32"):
             raise SystemExit(

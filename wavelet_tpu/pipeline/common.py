@@ -80,6 +80,13 @@ class Config:
                                       #   mesh; None = 1 GiB default, see
                                       #   engine.CodecEngine.giant_ok).
                                       #   CLI key: giantbox=BYTES
+    giant_mesh: str = "local"         # "local" (giant boxes shard within
+                                      #   this process's devices) |
+                                      #   "global" (opt-in: shard over the
+                                      #   whole multi-process mesh; giant
+                                      #   items become collective across
+                                      #   processes — for boxes beyond one
+                                      #   host's chips).  CLI: giantmesh=
     global_cache_bytes: int | None = None  # global threshold mode: budget
                                       #   for caching pass-1 coefficients in
                                       #   host RAM so pass 2 skips re-reading

@@ -112,10 +112,15 @@ def _have_index(out_dir: str, archive_format: str):
 
 
 def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
-                          transfer: str):
+                          transfer: str, owned=None):
     """The overlapped device-codec + host-pack loop for per-box (parity)
     thresholds: the device transforms batch i+1 while a pack thread runs
-    the host RLE+xz+write of batch i.  Returns (n_files, in_bytes, out_bytes)."""
+    the host RLE+xz+write of batch i.  Returns (n_files, in_bytes, out_bytes).
+
+    ``owned`` (giantmesh=global): the set of WorkItems THIS process may
+    write.  Cross-host giant batches contain every process's giant items
+    (the sharded transform is collective), so the pack stage subsets to
+    the owned ones; non-giant batches are always fully owned."""
     n_files = 0
     in_bytes = 0
     out_bytes = 0
@@ -123,20 +128,31 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
     with cf.ThreadPoolExecutor(1) as pack_pool:
         pending = None
         for batch in batches:
+            subset = None
+            if owned is not None:
+                mine = [i for i, it in enumerate(batch.items)
+                        if it in owned]
+                if len(mine) < len(batch.items):
+                    subset = mine
             if eng.transfer_mode(batch.shape, transfer) == "sparse":
                 # sparsification on device: only kept (index, value) pairs
-                # cross the device->host link
+                # cross the device->host link (never the giant path, so
+                # subset is always None here — transfer_mode forces giant
+                # shapes dense)
                 sparse, t32 = eng.compress_shapebatch_sparse(batch, keep)
                 d2h_bytes += sparse.transfer_bytes()
                 job = (packer.pack_sparse, out_dir, sparse, t32)
             else:
                 coeffs, t32 = eng.compress_shapebatch(batch, keep)
                 d2h_bytes += coeffs.data.nbytes
-                job = (packer.pack, out_dir, coeffs, t32)
+                job = (lambda d, c, t, s=subset:
+                       packer.pack(d, c, t, subset=s), out_dir, coeffs,
+                       t32)
             if pending is not None:
                 out_bytes += pending.result()
             pending = pack_pool.submit(*job)
-            n_files += len(batch.items)
+            n_files += (len(subset) if subset is not None
+                        else len(batch.items))
             in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
         if pending is not None:
             out_bytes += pending.result()
@@ -265,19 +281,29 @@ def compress_collected(run: common.RunData, keep: float, out_dir: str,
 
 
 def _iter_timestep_items(meta: common.RunMeta, t: int, lv_boxes,
-                         lo: int, hi: int, base: int):
+                         lo: int, hi: int, base: int, giant_pred=None,
+                         owned_out: "set | None" = None):
     """This timestep's (WorkItem, array) pairs whose *global* item index
     falls in [lo, hi) — the multi-host slice — in the same (t, lev, box,
-    comp) order as :func:`_iter_workitems`."""
+    comp) order as :func:`_iter_workitems`.
+
+    ``giant_pred(dims)`` (giantmesh=global): ALSO yield out-of-slice
+    items of giant shapes — their sharded transform is collective across
+    processes, so every process must compute them; ``owned_out`` collects
+    the in-slice WorkItems (the ones this process may write)."""
     g = base
     for li in range(len(meta.levels)):
         for b in range(meta.counts[t][li]):
             arr = lv_boxes[li].boxes[b]
             for c, comp_idx in enumerate(meta.comp_idxs):
-                if lo <= g < hi:
-                    yield (batching.WorkItem(t=t, level=li,
-                                             comp_idx=comp_idx, box=b),
-                           arr[c])
+                mine = lo <= g < hi
+                if mine or (giant_pred is not None
+                            and giant_pred(arr.shape[1:])):
+                    item = batching.WorkItem(t=t, level=li,
+                                             comp_idx=comp_idx, box=b)
+                    if mine and owned_out is not None:
+                        owned_out.add(item)
+                    yield (item, arr[c])
                 g += 1
 
 
@@ -309,7 +335,8 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
     import jax
 
     eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
-                             giant_box_bytes=cfg.giant_box_bytes)
+                             giant_box_bytes=cfg.giant_box_bytes,
+                             giant_mesh_mode=cfg.giant_mesh)
     packer = engine.HostPacker(payload=cfg.payload, codec=cfg.codec,
                                xz_preset=cfg.xz_preset,
                                xz_delta=cfg.xz_delta,
@@ -326,27 +353,49 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
         lo, hi = sl.start, sl.stop
     else:
         lo, hi = 0, total_items
+    # giantmesh=global + multi-process: giant items are COLLECTIVE — every
+    # process computes them over the global mesh (engine._giant_mesh), and
+    # the `owned` set gates which process writes each payload
+    crosshost = cfg.giant_mesh == "global" and jax.process_count() > 1
+    giant_pred = (lambda dims: eng.giant_ok(tuple(dims))) if crosshost \
+        else None
+
+    def _t_has_giant(t):
+        return any(giant_pred(d) for lev in meta.dimensions[t] for d in lev)
 
     def timestep_batches(t, resume_filter: bool):
         """Read timestep t and plan its batches (data freed when the
         returned batches are).  Timesteps entirely outside this process's
         item slice are skipped WITHOUT reading any FAB data — each host
-        only pays I/O for its own share of the run."""
-        if bases[t + 1] <= lo or bases[t] >= hi:
-            return [], 0
+        only pays I/O for its own share of the run (except cross-host
+        giant timesteps, which every process must read to participate in
+        the collective transform)."""
+        if (bases[t + 1] <= lo or bases[t] >= hi) \
+                and not (crosshost and _t_has_giant(t)):
+            return [], 0, None
         lv_boxes = [plotfile.read_level(meta.files[t], lev, meta.comp_idxs)
                     for lev in meta.levels]
+        owned = set() if crosshost else None
         items = list(_iter_timestep_items(meta, t, lv_boxes, lo, hi,
-                                          int(bases[t])))
+                                          int(bases[t]),
+                                          giant_pred=giant_pred,
+                                          owned_out=owned))
         n_skip = 0
         if resume_filter:
+            # cross-host giant items are exempt: dropping one here would
+            # desynchronize the collective transform across processes — a
+            # resumed run recomputes them and atomically rewrites the
+            # identical bytes
             kept = [p for p in items
-                    if not _exists(cfg.compressed_dir, p[0], have)]
+                    if (giant_pred is not None
+                        and giant_pred(p[1].shape))
+                    or not _exists(cfg.compressed_dir, p[0], have)]
             n_skip = len(items) - len(kept)
             items = kept
         return batching.plan_batches(items, pad_multiple=pad,
                                      pack_fn=eng.pack_factor,
-                                     pad_fn=eng.pad_multiple_for), n_skip
+                                     pad_fn=eng.pad_multiple_for), \
+            n_skip, owned
 
     n_files = 0
     in_bytes = 0
@@ -369,10 +418,10 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                   if cfg.global_cache_bytes is not None
                   else int(os.environ.get("WAVELET_TPU_GLOBALCACHE",
                                           4 << 30)))
-        cache: dict = {}          # t -> list of coefficient ShapeBatches
+        cache: dict = {}    # t -> (coefficient ShapeBatches, owned set)
         cache_used = 0
         hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
-        for t, (batches, _) in _iter_prefetched(
+        for t, (batches, _, owned) in _iter_prefetched(
                 len(meta.files),
                 lambda t: timestep_batches(t, resume_filter=False),
                 cfg.prefetch):
@@ -384,12 +433,26 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             keep_t = cache_used + t_bytes <= budget
             cbs = []
             for batch in batches:
-                cb, h = eng.forward_hist_shapebatch(batch)
+                # cross-host giant batches: every process computes them,
+                # but only the owner's histogram contribution counts —
+                # double-counted giant coefficients would shift the
+                # all-reduced global threshold
+                hi_items = None
+                if owned is not None and any(it not in owned
+                                             for it in batch.items):
+                    hi_items = [i for i, it in enumerate(batch.items)
+                                if it in owned]
+                # fetch_coeffs only when this timestep will be cached:
+                # the histogram-only pass skips the d2h coefficient
+                # fetch entirely for over-budget timesteps
+                cb, h = eng.forward_hist_shapebatch(batch,
+                                                    hist_items=hi_items,
+                                                    fetch_coeffs=keep_t)
                 hist += h
                 if keep_t:
                     cbs.append(cb)
             if keep_t and batches:
-                cache[t] = cbs
+                cache[t] = (cbs, owned)
                 cache_used += t_bytes
         if cache or budget:
             log.info("globalcache: retained %d/%d timesteps' coefficients "
@@ -410,8 +473,9 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             cached timestep as soon as it is consumed."""
             cached = cache.pop(t, None)
             if cached is not None:
-                return cached, True
-            return timestep_batches(t, resume_filter=False)[0], False
+                return cached[0], True, cached[1]
+            b, _n, owned = timestep_batches(t, resume_filter=False)
+            return b, False, owned
 
         # pass 2: streamed transform + pack at the one global threshold.
         # A single pack worker overlaps the host RLE+xz of batch i with the
@@ -421,17 +485,24 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
         bundle_bytes = 0
         with cf.ThreadPoolExecutor(1) as pack_pool:
             pending = None
-            for t, (batches, is_coeff) in _iter_prefetched(
+            for t, (batches, is_coeff, owned) in _iter_prefetched(
                     len(meta.files), pass2_batches, cfg.prefetch):
                 for batch in batches:
                     cb = (batch if is_coeff
                           else eng.forward_hist_shapebatch(batch)[0])
                     subset = None
-                    if cfg.resume:
+                    if cfg.resume or owned is not None:
                         subset = [i for i, it in enumerate(cb.items)
-                                  if not _exists(cfg.compressed_dir, it,
-                                                 have)]
-                        skipped += len(cb.items) - len(subset)
+                                  if (owned is None or it in owned)
+                                  and not (cfg.resume and _exists(
+                                      cfg.compressed_dir, it, have))]
+                        if cfg.resume:
+                            skipped += sum(
+                                1 for it in cb.items
+                                if (owned is None or it in owned)
+                                and _exists(cfg.compressed_dir, it, have))
+                        if len(subset) == len(cb.items):
+                            subset = None
                     t32 = np.full(len(cb.items), tval, np.float32)
                     if pending is not None:
                         out_bytes += pending.result()
@@ -451,7 +522,7 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
     else:
         d2h_bytes = 0
         bundle_bytes = 0
-        for t, (batches, n_skip) in _iter_prefetched(
+        for t, (batches, n_skip, owned) in _iter_prefetched(
                 len(meta.files),
                 lambda t: timestep_batches(t, resume_filter=cfg.resume),
                 cfg.prefetch):
@@ -463,7 +534,7 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             skipped += n_skip
             nf, ib, ob, d2h = _pack_dense_or_sparse(
                 batches, eng, packer, cfg.compressed_dir, cfg.keep,
-                cfg.transfer)
+                cfg.transfer, owned=owned)
             n_files += nf
             in_bytes += ib
             out_bytes += ob

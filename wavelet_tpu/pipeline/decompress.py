@@ -277,17 +277,26 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
                                codec=meta.get("codec", "xz"),
                                archive_format=meta.get("archive", "files"))
     eng = engine.CodecEngine(mesh=mesh, scales=meta.get("scales", 1),
-                             giant_box_bytes=cfg.giant_box_bytes)
+                             giant_box_bytes=cfg.giant_box_bytes,
+                             giant_mesh_mode=cfg.giant_mesh)
     pad = mesh.size if mesh is not None else 1
     # multi-host fan-out: timesteps are independent units (each regenerates
-    # its own plotfile directory), so each process takes a contiguous slice
+    # its own plotfile directory), so each process takes a contiguous slice.
+    # giantmesh=global instead keeps EVERY timestep on every process (the
+    # giant inverse is collective across processes — slicing would
+    # deadlock the first giant box) and gates the plotfile WRITE to the
+    # slice owner via stats["owned_times"].
     import jax
 
     if jax.process_count() > 1:
         from wavelet_tpu.runtime import mesh as mesh_lib
 
         sl = mesh_lib.process_local_slice(len(sel_times))
-        sel_times = sel_times[sl]
+        if cfg.giant_mesh == "global":
+            if stats is not None:
+                stats["owned_times"] = set(sel_times[sl])
+        else:
+            sel_times = sel_times[sl]
     arena = batching.BufferArena()   # same shape buckets recur every step
     for t in sel_times:
         # timestep boundary: the link is quiescent here (the prefetch
@@ -339,8 +348,14 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
         pending = None
         for (t, name, regen, locs_t, dims_t, rinfo, amrex) in \
                 iter_decompressed_timesteps(cfg, mesh, stats=stats):
-            log.info("%s", name)
             num_levels = len(locs_t)   # the SELECTED level prefix
+            owned_times = stats.get("owned_times")
+            if owned_times is not None and t not in owned_times:
+                # giantmesh=global: this process decoded the timestep only
+                # to participate in the collective giant inverse; the
+                # slice owner writes the plotfile
+                continue
+            log.info("%s", name)
             geom = amrex.geomcellinfo[t]
             job = (plotfile.write_plotfile,
                    name,
@@ -368,6 +383,7 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
         if pending is not None:
             pending.result()
     log.info("Sucessfully wrote plotfiles.")
+    stats.pop("owned_times", None)   # internal write gate, not a stat
     stats.update({"decompress_seconds": ph.seconds, "times": n_times,
                   "levels": num_levels, "boxes": n_boxes})
     return stats

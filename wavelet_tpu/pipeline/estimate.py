@@ -223,6 +223,15 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
 
 
 def estimate_run(cfg: common.Config, mesh=None) -> dict:
+    import jax
+
+    if cfg.giant_mesh == "global" and jax.process_count() > 1:
+        # estimate's collected path slices items per process with no
+        # collective item discipline — the compress/decompress pipelines
+        # carry the cross-host giant wiring; estimate locally instead
+        raise ValueError("giantmesh=global is supported by -c and -d "
+                         "only; run the estimate with the default local "
+                         "giant mesh (or single-process)")
     files = common.format_files(cfg.data_dir, cfg.min_time, cfg.min_time)
     levels = [cfg.min_level]
 

@@ -308,9 +308,14 @@ class CodecEngine:
 
     def __init__(self, mesh=None, use_pallas: bool | None = None,
                  scales: int = 1, layout: str | None = None,
-                 giant_box_bytes: int | None = None):
+                 giant_box_bytes: int | None = None,
+                 giant_mesh_mode: str = "local"):
         self.mesh = mesh
         self.scales = int(scales)
+        # "local" (default): giant boxes shard over this process's
+        # devices only; "global": over the whole multi-process mesh
+        # (giantmesh=global, see _giant_mesh)
+        self.giant_mesh_mode = giant_mesh_mode
         # boxes at or above this many bytes route through the X-sharded
         # giant-box transform when a multi-device mesh is present (the
         # single-chip batch path would need the whole box plus its
@@ -394,24 +399,41 @@ class CodecEngine:
                 and int(dims[0]) % (gm.size * (1 << eff)) == 0)
 
     _local_giant_mesh = None   # instance cache set on first use
+    _global_giant_mesh = None
 
     def _giant_mesh(self):
         """Mesh the giant-box transform shards over.
 
-        Every device must be addressable by THIS process (the per-item
-        ``device_put`` ships host data, and the coefficient fetch reads it
-        back), so under multi-host the giant path uses the process's LOCAL
-        devices: a box too large for one chip shards within one host's
-        chips with zero cross-process collectives — the multi-host fan-out
-        keeps slicing work by whole boxes, each process sharding its own
-        giant items locally.  Boxes larger than an entire host's chips
-        have a library path — distributed.giant_from_process_slabs +
-        gather_giant run the same zero-collective transform over the
-        GLOBAL mesh, 2-process-tested bitwise (test_giant_crosshost.py) —
-        but the pipelines keep the local-host bound: cross-host giants
-        would serialize every process on one box's gather, which only
-        pays off for a box beyond ~one host's HBM (~128 GiB on v5e hosts,
-        32x the largest reference box)."""
+        Default (``giant_mesh_mode="local"``): every device must be
+        addressable by THIS process (the per-item ``device_put`` ships
+        host data, and the coefficient fetch reads it back), so under
+        multi-host the giant path uses the process's LOCAL devices: a box
+        too large for one chip shards within one host's chips with zero
+        cross-process collectives — the multi-host fan-out keeps slicing
+        work by whole boxes, each process sharding its own giant items
+        locally.
+
+        Opt-in (``giantmesh=global`` CLI key, round-4 verdict stretch
+        item 8): giant boxes shard over the GLOBAL multi-process mesh —
+        per-process X-slabs in via ``distributed.giant_from_process_
+        slabs``, coefficients gathered back over DCN.  The tradeoff is
+        explicit and logged: EVERY process serializes on each giant box's
+        collective transform + gather, so this only pays for boxes beyond
+        one host's chips (~128 GiB of HBM on a v5e host, 32x the largest
+        reference box); the pipelines make giant items collective across
+        processes when this mode is on."""
+        if self.giant_mesh_mode == "global" and jax.process_count() > 1:
+            if CodecEngine._global_giant_mesh is None:
+                CodecEngine._global_giant_mesh = mesh_lib.data_mesh(
+                    jax.devices())
+                log.info(
+                    "giantmesh=global: giant boxes shard over all %d "
+                    "devices across %d processes; every process "
+                    "serializes on each giant box's collective "
+                    "transform + DCN gather (opt-in cross-host mode)",
+                    CodecEngine._global_giant_mesh.size,
+                    jax.process_count())
+            return CodecEngine._global_giant_mesh
         m = self.mesh
         if m is not None and m.size > 1:
             pidx = jax.process_index()
@@ -424,6 +446,22 @@ class CodecEngine:
                     mesh_lib.data_mesh(loc) if len(loc) > 1 else False)
             return self._local_giant_mesh or None
         return None
+
+    def _giant_is_crosshost(self) -> bool:
+        gm = self._giant_mesh()
+        return (gm is not None
+                and any(d.process_index != jax.process_index()
+                        for d in gm.devices.flat))
+
+    def _fetch_giant(self, c) -> np.ndarray:
+        """Giant device array -> host numpy; DCN allgather when the giant
+        mesh spans processes (np.asarray cannot read non-addressable
+        shards), plain fetch otherwise."""
+        if self._giant_is_crosshost():
+            from wavelet_tpu.runtime import distributed
+
+            return distributed.gather_giant(c)
+        return np.asarray(c)
 
     # transfer=auto breakevens, one per link direction.  At ~1% kept the
     # sparse stream is ~2% of the dense bytes (8 B pairs vs 4 B dense), so
@@ -605,11 +643,30 @@ class CodecEngine:
         return fn
 
     def _put_giant(self, arr: np.ndarray):
-        """One giant box [X, Y, Z] onto the mesh, X sharded."""
+        """One giant box [X, Y, Z] onto the mesh, X sharded.
+
+        Cross-host giant mesh: every process holds the full box (the
+        pipelines make giant items collective under ``giantmesh=global``)
+        and contributes only its X-slab — the slab bounds come from the
+        sharding's own index map, so device order never has to be
+        assumed."""
         from jax.sharding import NamedSharding, PartitionSpec
 
-        sh = NamedSharding(self._giant_mesh(),
-                           PartitionSpec(mesh_lib.DATA_AXIS))
+        gm = self._giant_mesh()
+        sh = NamedSharding(gm, PartitionSpec(mesh_lib.DATA_AXIS))
+        if self._giant_is_crosshost():
+            from wavelet_tpu.runtime import distributed
+
+            pidx = jax.process_index()
+            spans = [idx[0] for d, idx in
+                     sh.devices_indices_map(arr.shape).items()
+                     if d.process_index == pidx]
+            lo = min(s.start or 0 for s in spans)
+            hi = max(s.stop if s.stop is not None else arr.shape[0]
+                     for s in spans)
+            slab = np.ascontiguousarray(arr[lo:hi])
+            return distributed.giant_from_process_slabs(gm, slab,
+                                                        arr.shape)
         return jax.device_put(arr, sh)
 
     # one box must fit VMEM alongside the double-buffered pipeline — the
@@ -775,7 +832,7 @@ class CodecEngine:
         for i in range(n):
             c = fwd(self._put_giant(batch.data[i]))
             mx, mn = maxmin(c)
-            coeffs[i] = np.asarray(c)
+            coeffs[i] = self._fetch_giant(c)
             maxs[i], mins[i] = np.asarray(mx), np.asarray(mn)
         cb = dataclasses.replace(batch, data=coeffs, pack=1,
                                  layout="interleaved", scales=eff)
@@ -790,7 +847,8 @@ class CodecEngine:
         inv = self._giant("inv", eff)
         out = np.empty_like(coeff_batch.data)
         for i in range(coeff_batch.data.shape[0]):
-            out[i] = np.asarray(inv(self._put_giant(coeff_batch.data[i])))
+            out[i] = self._fetch_giant(
+                inv(self._put_giant(coeff_batch.data[i])))
         return dataclasses.replace(coeff_batch, data=out, layout="halves")
 
     def compress_shapebatch(self, batch: ShapeBatch, keep: float):
@@ -1038,17 +1096,35 @@ class CodecEngine:
                             idxs=np.asarray(idxs), vals=np.asarray(vals),
                             cap=cap, _flat_dev=flat, _lmap=lmap), t32
 
-    def forward_hist_shapebatch(self, batch: ShapeBatch):
-        """Global-threshold pass: -> (coeff ShapeBatch, histogram int64)."""
+    def forward_hist_shapebatch(self, batch: ShapeBatch, hist_items=None,
+                                fetch_coeffs: bool = True):
+        """Global-threshold pass: -> (coeff ShapeBatch, histogram int64).
+
+        ``hist_items`` (giantmesh=global only): indices whose histogram
+        contribution to COUNT — cross-host giant batches are computed by
+        every process, so only the owner may count each box or the
+        all-reduced quantile would see giant coefficients process_count
+        times.  The transform itself always runs for every item (it is
+        the collective).
+
+        ``fetch_coeffs=False`` returns ``(None, hist)`` without moving
+        the coefficients device->host — the histogram-only pass 1 for
+        timesteps the globalcache will NOT retain skips a full d2h pass
+        (round-4 global mode paid that fetch and discarded the result)."""
         if self.giant_ok(batch.shape):
             eff = self.eff_scales(batch.shape)
             fwd = self._giant("fwd", eff)
-            coeffs = np.empty_like(batch.data)
+            coeffs = np.empty_like(batch.data) if fetch_coeffs else None
             hist = np.zeros(threshold.EXP_HIST_BINS, np.int64)
             for i in range(batch.data.shape[0]):
                 c = fwd(self._put_giant(batch.data[i]))
-                hist += np.asarray(_fwd_hist_only(c[None]), dtype=np.int64)
-                coeffs[i] = np.asarray(c)
+                if hist_items is None or i in hist_items:
+                    hist += np.asarray(_fwd_hist_only(c[None]),
+                                       dtype=np.int64)
+                if fetch_coeffs:
+                    coeffs[i] = self._fetch_giant(c)
+            if not fetch_coeffs:
+                return None, hist
             return dataclasses.replace(batch, data=coeffs, pack=1,
                                        layout="interleaved", scales=eff), hist
         if self.coeff_layout(batch.shape) == "interleaved":
@@ -1058,31 +1134,36 @@ class CodecEngine:
             c = self._kernel("fwd_interleaved_nored", batch.pack,
                              self.eff_scales(batch.shape))(dev)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
-            cb = dataclasses.replace(batch, data=np.asarray(c),
-                                     layout="interleaved",
-                                     scales=self.eff_scales(batch.shape))
             n_pad = (batch.data.size // int(np.prod(batch.shape))
                      ) - batch.n_valid
             hist[0] -= n_pad * int(np.prod(batch.shape))
+            if not fetch_coeffs:
+                return None, hist
+            cb = dataclasses.replace(batch, data=np.asarray(c),
+                                     layout="interleaved",
+                                     scales=self.eff_scales(batch.shape))
             return cb, hist
         if batch.pack > 1:
             dev = self._put(jnp.asarray(batch.data))
             c, _maxv, _minv = self._kernel("fwd_packed", batch.pack)(dev)
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
-            coeffs = np.asarray(c)
+            coeffs = np.asarray(c) if fetch_coeffs else None
         elif self.scales > 1:
             dev = self._put(jnp.asarray(batch.data))
             c = _fwd_multi_jit(dev, self.eff_scales(batch.shape))
             hist = np.asarray(_fwd_hist_only(c), dtype=np.int64)
-            coeffs = np.asarray(c)
+            coeffs = np.asarray(c) if fetch_coeffs else None
         else:
             flat, hist = self.forward_hist_batch(
                 batch.data.reshape((-1,) + batch.shape), n_pad_rows=0)
-            coeffs = flat.reshape((-1,) + batch.shape)
+            coeffs = (np.asarray(flat).reshape((-1,) + batch.shape)
+                      if fetch_coeffs else None)
             hist = np.asarray(hist, np.int64)
         # remove padding slots' zero coefficients from the zero bin
         n_pad = (batch.data.size // int(np.prod(batch.shape))) - batch.n_valid
         hist[0] -= n_pad * int(np.prod(batch.shape))
+        if not fetch_coeffs:
+            return None, hist
         return dataclasses.replace(batch, data=coeffs), hist
 
     def rmse_batch(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
