@@ -468,16 +468,17 @@ class CodecEngine:
     # per input byte dense costs 1/B link seconds vs sparse
     # 1/device_stage + 0.02/B — sparse wins iff B < ~0.98 * device_stage:
     # - compress fetches coefficients d2h behind the compact stage
-    #   (measured 21.9 GB/s sort-free rank-select, kernel_probe11; the
-    #   round-3 argsort bound this at 3.8) -> breakeven ~21 GB/s, i.e.
-    #   sparse now wins on every PCIe-class host link, not just tunnels;
+    #   (measured 23.6 GB/s sort-free rank-select at the production K=12,
+    #   kernel_probe15; the round-3 argsort bound this at 3.8) ->
+    #   breakeven ~23 GB/s, i.e. sparse wins on every PCIe-class host
+    #   link, not just tunnels;
     # - decompress ships pairs h2d in front of the scatter rebuild
     #   (measured 30.8 GB/s, bench sparse_scatter_stage) -> ~30 GB/s.
     # These are v5e-measured stage rates; on other TPU generations they
     # differ, so both are env-overridable:
     # WAVELET_TPU_SPARSE_BELOW_{D2H,H2D}=GB/s.
     _AUTO_SPARSE_BELOW_GBPS = {
-        "d2h": float(os.environ.get("WAVELET_TPU_SPARSE_BELOW_D2H", 21.0)),
+        "d2h": float(os.environ.get("WAVELET_TPU_SPARSE_BELOW_D2H", 23.0)),
         "h2d": float(os.environ.get("WAVELET_TPU_SPARSE_BELOW_H2D", 30.0)),
     }
     # links drift (this rig's tunnel measures 2-3x swings within one
@@ -950,9 +951,15 @@ class CodecEngine:
             # (the adaptive cap reflects it): select cost is ~linear in K
             # (22.6 / 16.8 / 8.8 GB/s at K=16/32/64, kernel_probe11), and
             # realistic 1%-keep rows peak near 10 kept per skewed chunk —
-            # an undersized K only costs an argsort re-run, never bytes
+            # an undersized K only costs an argsort re-run, never bytes.
+            # Probe 15 (round 5): K=12 beats 16 by ~11% (23.6 vs 21.3
+            # GB/s) with zero overflow on the adversarial shock fields
+            # (observed per-chunk max 10); SHORTER chunks lose outright
+            # (c=256: 18, c=128: 9.7 — the [c, c] triangular matmul and
+            # sublane blocks underfill the MXU/VPU), so K is the only
+            # knob and c stays 512.
             capf = cap / m
-            K = 16 if capf <= 0.015 else (32 if capf <= 0.05 else 64)
+            K = 12 if capf <= 0.015 else (32 if capf <= 0.05 else 64)
             counts, idxs, vals, over = compact_pallas.compact_fast(
                 flat, t32_dev, cap, dims=tuple(dims) if dims else None,
                 idx_map=idx_map, ilv1_dims=ilv1_dims, K=K, impl=impl,
