@@ -354,9 +354,10 @@ def _measure() -> dict:
             # data sits in.  The adaptive cap settles at 1.5x the
             # observed kept fraction (engine.compress_shapebatch_sparse),
             # so the steady-state capf is ~0.014 — which is also what
-            # makes engine._compact pick K=16 (capf <= 0.015).  Using a
-            # 2% cap here with K=16 would measure a (cap, K) pair the
-            # engine never runs (round-4 review finding).
+            # makes engine._compact pick K=12 (capf <= 0.015; probe 15
+            # adopted 12 over 16, +11%).  Using a 2% cap here with a
+            # mismatched K would measure a (cap, K) pair the engine
+            # never runs (round-4 review finding).
             cap = int(np.ceil(1.5 * 0.0093 * m / 128) * 128)
             t32c = jax.device_put(
                 jnp.full((n,), 2.6, jnp.float32), dev)
@@ -373,7 +374,7 @@ def _measure() -> dict:
                 return jax.lax.fori_loop(0, k, body, v)
 
             # production steady-state config: the adaptive cap settles at
-            # ~1.5x the observed ~0.93% kept -> K=16, and the interleaved
+            # ~1.5x the observed ~0.93% kept -> K=12, and the interleaved
             # layout is compacted directly with the closed-form scales=1
             # index translation (engine.compress_shapebatch_sparse)
             @partial(jax.jit, static_argnums=1)
@@ -381,7 +382,7 @@ def _measure() -> dict:
                 def body(i, u):
                     cnt, idxs, vals, over = compact_pallas.compact_fast(
                         u, t32c, cap, dims=(d, d, d), ilv1_dims=(d, d, d),
-                        K=16, impl="pallas", assemble="pallas")
+                        K=12, impl="pallas", assemble="pallas")
                     return u + (jnp.sum(vals) + jnp.sum(cnt).astype(
                         jnp.float32) + jnp.sum(idxs).astype(
                         jnp.float32) + jnp.sum(over).astype(
