@@ -55,27 +55,40 @@ def drain_procs(procs, timeout: float):
     linger holding the port) and the test FAILS with whatever output the
     children produced.
     """
-    import subprocess
+    import threading
     import time
 
+    # Drain every pipe CONCURRENTLY: coordinated processes block each
+    # other through collectives, so a child stalled on a full 64 KB
+    # stdout pipe (because this parent was sequentially communicate()ing
+    # with its sibling first) stalls the WHOLE group — a verbose run
+    # (~70 KB of logs) then deadlocks the test, not the code under test.
+    results = [None] * len(procs)
+
+    def _drain(i, p):
+        out, _ = p.communicate()
+        results[i] = out
+
+    threads = [threading.Thread(target=_drain, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
     deadline = time.monotonic() + timeout
     outs = []
     try:
-        for p in procs:
-            left = deadline - time.monotonic()
-            try:
-                out, _ = p.communicate(timeout=max(left, 0.1))
-            except subprocess.TimeoutExpired:
+        for i, (t, p) in enumerate(zip(threads, procs)):
+            t.join(max(deadline - time.monotonic(), 0.1))
+            if t.is_alive():
                 for q in procs:
                     if q.poll() is None:
                         q.kill()
-                out, _ = p.communicate()
-                outs.append(out.decode(errors="replace"))
+                t.join(10)
+                partial = (results[i] or b"").decode(errors="replace")
                 raise AssertionError(
                     f"coordinated subprocess exceeded the {timeout:.0f}s "
                     f"deadline; all children killed.  Partial output:\n"
-                    f"{outs[-1][-3000:]}")
-            outs.append(out.decode(errors="replace"))
+                    f"{partial[-3000:]}")
+            outs.append((results[i] or b"").decode(errors="replace"))
     finally:
         for q in procs:
             if q.poll() is None:

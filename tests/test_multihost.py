@@ -442,3 +442,69 @@ def test_two_process_crosshost_giant_boxes(tmp_path):
             assert filecmp.cmp(os.path.join(root, n),
                                os.path.join(out_m, rel, n),
                                shallow=False), f"{rel}/{n} differs"
+
+
+def test_two_process_crosshost_global_threshold(tmp_path):
+    """thresholdmode=global x giantmesh=global x 2 processes — the one
+    combination the round-5 review found untested, and where two launch-
+    divergence bugs lived: (a) the giant histogram reduction is a
+    collective every process must launch (ownership gates only the
+    COUNT), and (b) the globalcache admission must be computed from the
+    deterministic global timestep size, not per-process batch bytes, or
+    one process skips a gather its peer launches.  Runs with a budget
+    that caches timestep 0 but not timestep 1, so both the cached and
+    re-read pass-2 branches execute collectives; archive bytes must
+    match a single-process run."""
+    rng = np.random.default_rng(53)
+    data_dir = tmp_path / "data"
+    for t in (60, 61):
+        boxes = [rng.standard_normal((1, 16, 8, 8)).astype(np.float32),
+                 rng.standard_normal((1, 4, 4, 2)).astype(np.float32)]
+        pf.write_plotfile(str(data_dir / f"plt000{t}"), [boxes],
+                          [[(0, 0, 0), (16, 0, 0)]],
+                          [[(16, 8, 8), (4, 4, 2)]],
+                          ["a"], 0.5 * t, [0., 0., 0.], [1., 1., 1.],
+                          (2, 2, 2), (32, 8, 8), [t])
+    # per-timestep global bytes = (16*8*8 + 4*4*2) * 4 = 4224: a 5000-byte
+    # budget caches t0 and leaves t1 to the pass-2 re-read path
+    args_base = [f"datadir={data_dir}", "minfile=plt00060",
+                 "maxfile=plt00061", "minlevel=0", "maxlevel=0",
+                 "components=a", "keep=0.999", "giantbox=2048",
+                 "thresholdmode=global", "keepfraction=0.05",
+                 "globalcache=5000"]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env1 = dict(os.environ, JAX_PLATFORMS="cpu", WAVELET_TPU_PLATFORM="cpu")
+    env1.pop("XLA_FLAGS", None)
+
+    single_dir = str(tmp_path / "single") + os.sep
+    r = subprocess.run([PY, "-m", "wavelet_tpu.cli", *args_base,
+                        f"compresseddir={single_dir}", "-c"],
+                       env=env1, cwd=cwd, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-2000:]
+
+    from tests.conftest import drain_procs
+
+    env2 = dict(env1, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    port = _free_port()
+    multi_dir = str(tmp_path / "multi") + os.sep
+    procs = [subprocess.Popen(
+        [PY, "-m", "wavelet_tpu.cli", *args_base,
+         f"compresseddir={multi_dir}", "giantmesh=global",
+         f"coordinator=localhost:{port}", "processes=2",
+         f"processid={pid}", "-c"],
+        env=env2, cwd=cwd, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in range(2)]
+    outs = drain_procs(procs, timeout=240)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2500:]
+    for out in outs:
+        assert "Giant box path (histogram pass)" in out, out[-2500:]
+        # both cache branches ran: exactly one of two timesteps retained
+        assert "retained 1/2" in out, out[-2500:]
+
+    a, b = _dir_bytes(single_dir), _dir_bytes(multi_dir)
+    assert set(a) == set(b), (
+        f"only-single={set(a)-set(b)}, only-multi={set(b)-set(a)}")
+    diff = [k for k in a if a[k] != b[k]]
+    assert not diff, f"bytes differ for {diff}"

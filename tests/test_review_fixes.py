@@ -136,3 +136,25 @@ def test_global_resume_uses_full_histogram(tmp_path):
     assert s2["global_threshold"] == s1["global_threshold"]
     assert s2["files"] == 1 and s2["skipped"] == 3
     assert os.path.exists(comp + "compressed-wavelet-0-0-0-2.xz")
+
+
+def test_write_prep_threads_env_parsing(monkeypatch):
+    """Round-5 review: WAVELET_TPU_WRITE_THREADS='0' must mean the native
+    default (per the docstring), not a 1-thread pin, and a non-integer
+    must fail with a descriptive error instead of a bare ValueError from
+    int() mid-write."""
+    import pytest
+
+    from wavelet_tpu.io.plotfile import _write_prep_threads
+
+    monkeypatch.delenv("WAVELET_TPU_WRITE_THREADS", raising=False)
+    assert _write_prep_threads() == 0        # unset -> native default
+    monkeypatch.setenv("WAVELET_TPU_WRITE_THREADS", "0")
+    assert _write_prep_threads() == 0        # explicit native default
+    monkeypatch.setenv("WAVELET_TPU_WRITE_THREADS", "3")
+    assert _write_prep_threads() == 3
+    monkeypatch.setenv("WAVELET_TPU_WRITE_THREADS", "-2")
+    assert _write_prep_threads() == 0        # clamped, not crashed
+    monkeypatch.setenv("WAVELET_TPU_WRITE_THREADS", "auto")
+    with pytest.raises(ValueError, match="WAVELET_TPU_WRITE_THREADS"):
+        _write_prep_threads()

@@ -16,6 +16,7 @@ key table for the other extension keys).
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 from wavelet_tpu.pipeline import (Config, compress_run, decompress_run,
@@ -212,7 +213,15 @@ def parse_argv(argv):
 
 
 def main(argv=None):
-    logging.basicConfig(level=logging.DEBUG,
+    # INFO default: a DEBUG root logger floods stdout with every jax
+    # internal (cache keys, dispatch traces) — ~70 KB per small run,
+    # enough to fill a 64 KB pipe and stall a coordinated multi-process
+    # run whose parent drains pipes sequentially.  WAVELET_TPU_LOG=debug
+    # restores the firehose when debugging.
+    level = getattr(logging,
+                    os.environ.get("WAVELET_TPU_LOG", "info").upper(),
+                    logging.INFO)
+    logging.basicConfig(level=level,
                         format="[%(asctime)s] [%(levelname)s] %(message)s")
     argv = list(sys.argv[1:] if argv is None else argv)
     mode, cfg = parse_argv(argv)

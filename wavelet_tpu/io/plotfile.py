@@ -454,7 +454,15 @@ def _write_prep_threads() -> int:
     allocation churn), so the writer keeps one ordered overlap worker and
     parallelism lives in the native pool."""
     env = os.environ.get("WAVELET_TPU_WRITE_THREADS")
-    return max(1, int(env)) if env else 0
+    if env is None or env == "":
+        return 0
+    try:
+        v = int(env)
+    except ValueError:
+        raise ValueError(
+            f"WAVELET_TPU_WRITE_THREADS={env!r} must be an integer "
+            "(0 = native default, hardware_concurrency)") from None
+    return max(0, v)   # "0" means the native default, per the docstring
 
 
 def _write_level_vismf(lvl_dir: str, boxes, locations, dimensions, ncomp,

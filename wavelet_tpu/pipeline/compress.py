@@ -153,7 +153,13 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
             pending = pack_pool.submit(*job)
             n_files += (len(subset) if subset is not None
                         else len(batch.items))
-            in_bytes += batch.n_valid * int(np.prod(batch.shape)) * 4
+            # input_bytes counts OWNED items only, like n_files — a
+            # cross-host giant batch contains every process's giant
+            # items (collective transform), and counting them all would
+            # double-count giant bytes process_count times across
+            # per-process stats
+            in_bytes += (len(subset) if subset is not None
+                         else batch.n_valid) * int(np.prod(batch.shape)) * 4
         if pending is not None:
             out_bytes += pending.result()
     return n_files, in_bytes, out_bytes, d2h_bytes
@@ -421,6 +427,21 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
         cache: dict = {}    # t -> (coefficient ShapeBatches, owned set)
         cache_used = 0
         hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
+
+        def _t_bytes_global(t):
+            """Deterministic per-timestep size, identical on every
+            process (from the headers every process reads): under
+            giantmesh=global the admission decision gates COLLECTIVES
+            (the pass-1 gather_giant and pass-2 re-transform), so it
+            must not depend on per-process batch bytes — each process
+            plans only its own item slice, and a divergent keep_t would
+            have one process launch a collective its peer skips
+            (deadlock).  Unpadded geometry; each process actually
+            caches at most its slice of it, so the budget still bounds
+            per-process RAM."""
+            return sum(int(np.prod(d)) * 4 * len(meta.comp_idxs)
+                       for lev in meta.dimensions[t] for d in lev)
+
         for t, (batches, _, owned) in _iter_prefetched(
                 len(meta.files),
                 lambda t: timestep_batches(t, resume_filter=False),
@@ -429,7 +450,8 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             # size as the padded inputs, so the cost is known before the
             # forward runs, and pass 2 never has to re-read a plotfile for
             # just SOME of its batches
-            t_bytes = sum(b.data.nbytes for b in batches)
+            t_bytes = (_t_bytes_global(t) if crosshost
+                       else sum(b.data.nbytes for b in batches))
             keep_t = cache_used + t_bytes <= budget
             cbs = []
             for batch in batches:
@@ -451,9 +473,15 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                 hist += h
                 if keep_t:
                     cbs.append(cb)
-            if keep_t and batches:
-                cache[t] = (cbs, owned)
-                cache_used += t_bytes
+            if keep_t:
+                # crosshost: cache_used must advance on EVERY process
+                # whenever keep_t, even if this process's slice of the
+                # timestep is empty — otherwise budgets drift apart and a
+                # later giant timestep gets divergent keep_t decisions
+                if batches:
+                    cache[t] = (cbs, owned)
+                if batches or crosshost:
+                    cache_used += t_bytes
         if cache or budget:
             log.info("globalcache: retained %d/%d timesteps' coefficients "
                      "(%.2f of %.2f GiB budget); pass 2 re-reads the rest",
@@ -511,7 +539,13 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                                                subset=subset)
                     n_files += (len(subset) if subset is not None
                                 else len(cb.items))
-                    in_bytes += cb.n_valid * int(np.prod(cb.shape)) * 4
+                    # owned items only (see _pack_dense_or_sparse): a
+                    # cross-host giant batch carries every process's
+                    # giant items
+                    n_owned = (cb.n_valid if owned is None
+                               else sum(1 for it in cb.items
+                                        if it in owned))
+                    in_bytes += n_owned * int(np.prod(cb.shape)) * 4
                 # a finished timestep's bundle is closed (atomic-renamed)
                 # right away: a crash costs one timestep, like the per-file
                 # mode (the pack worker must drain first)

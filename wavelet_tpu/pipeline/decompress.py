@@ -174,7 +174,10 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     timesteps (asserted by tests/test_streaming.py).  A ``stats`` dict, if
     given, accumulates ``host_to_device_bytes`` (the actual transport
     bytes, padded arrays included — the number ``transfer=sparse`` is
-    meant to shrink).
+    meant to shrink).  Multi-process: only timesteps THIS process owns
+    are yielded (under ``giantmesh=global`` non-owned timesteps are still
+    decoded — the giant inverse is collective — but never yielded), so
+    writing every yielded timestep is always race-free.
 
     Partial retrieval (extension — the reference always regenerates the
     whole archive): ``cfg.min_time``/``cfg.max_time`` select timesteps by
@@ -282,19 +285,21 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     pad = mesh.size if mesh is not None else 1
     # multi-host fan-out: timesteps are independent units (each regenerates
     # its own plotfile directory), so each process takes a contiguous slice.
-    # giantmesh=global instead keeps EVERY timestep on every process (the
-    # giant inverse is collective across processes — slicing would
-    # deadlock the first giant box) and gates the plotfile WRITE to the
-    # slice owner via stats["owned_times"].
+    # giantmesh=global instead DECODES every timestep on every process
+    # (the giant inverse is collective across processes — slicing would
+    # deadlock the first giant box) but YIELDS only the timesteps this
+    # process owns, so every consumer writes each plotfile exactly once.
     import jax
 
+    owned_times = None
     if jax.process_count() > 1:
         from wavelet_tpu.runtime import mesh as mesh_lib
 
         sl = mesh_lib.process_local_slice(len(sel_times))
         if cfg.giant_mesh == "global":
+            owned_times = set(sel_times[sl])
             if stats is not None:
-                stats["owned_times"] = set(sel_times[sl])
+                stats["owned_times"] = owned_times
         else:
             sel_times = sel_times[sl]
     arena = batching.BufferArena()   # same shape buckets recur every step
@@ -313,6 +318,14 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
         if stats is not None:
             stats["host_to_device_bytes"] = (
                 stats.get("host_to_device_bytes", 0) + h2d)
+        if owned_times is not None and t not in owned_times:
+            # giantmesh=global: this process decoded the timestep only to
+            # participate in the collective giant inverse.  The gate lives
+            # HERE, not in the caller — every consumer of this public
+            # iterator (not just decompress_run) must see only the
+            # timesteps this process may write, or two processes would
+            # race writes to the same plotfile directory.
+            continue
         name = os.path.join(cfg.out_dir, os.path.basename(info.files[t]))
         if preview:
             locs_t = [[tuple(v >> preview for v in loc)
@@ -349,12 +362,8 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
         for (t, name, regen, locs_t, dims_t, rinfo, amrex) in \
                 iter_decompressed_timesteps(cfg, mesh, stats=stats):
             num_levels = len(locs_t)   # the SELECTED level prefix
-            owned_times = stats.get("owned_times")
-            if owned_times is not None and t not in owned_times:
-                # giantmesh=global: this process decoded the timestep only
-                # to participate in the collective giant inverse; the
-                # slice owner writes the plotfile
-                continue
+            # giantmesh=global ownership is gated inside the iterator:
+            # only timesteps this process may write are ever yielded
             log.info("%s", name)
             geom = amrex.geomcellinfo[t]
             job = (plotfile.write_plotfile,

@@ -13,6 +13,7 @@ import dataclasses
 import functools
 import logging
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -903,26 +904,35 @@ class CodecEngine:
     # LRU eviction (touch-on-hit): recurring shapes survive when transient
     # regrid shapes churn the cache (round-4 advisor finding — FIFO
     # evicted the most-recurring shape first once >8 pairs cycled).
+    # The lock makes the touch (a get→pop→reinsert read-modify-write) and
+    # the eviction loop safe if two threads ever share the class-level
+    # cache — the same implicit-single-caller hazard BufferArena was
+    # locked against; map construction runs outside it (idempotent, so a
+    # racing double-build costs one redundant compute, never corruption).
     _ILV_MAPS_MAX = 8
+    _ILV_MAPS_LOCK = threading.Lock()
 
     @classmethod
     def _interleave_maps(cls, dims, eff):
         """(lmap, inv) for the per-item interleaved flat layout (pack=1
         strides): lmap[logical] = stored offset, inv[stored] = logical."""
         key = (tuple(dims), int(eff))
-        hit = cls._ILV_MAPS.get(key)
-        if hit is not None:
-            # touch-on-hit: move to the end so dict order = recency order
-            cls._ILV_MAPS[key] = cls._ILV_MAPS.pop(key)
-        else:
-            x, y, z = dims
-            lmap = np.asarray(haar_pallas.interleave_map_multi(
-                dims, eff, y * z, z, 1), dtype=np.int64)
-            inv = np.empty(lmap.size, np.int32)
-            inv[lmap] = np.arange(lmap.size, dtype=np.int32)
+        with cls._ILV_MAPS_LOCK:
+            hit = cls._ILV_MAPS.pop(key, None)
+            if hit is not None:
+                # touch-on-hit: reinsert so dict order = recency order
+                cls._ILV_MAPS[key] = hit
+                return hit
+        x, y, z = dims
+        lmap = np.asarray(haar_pallas.interleave_map_multi(
+            dims, eff, y * z, z, 1), dtype=np.int64)
+        inv = np.empty(lmap.size, np.int32)
+        inv[lmap] = np.arange(lmap.size, dtype=np.int32)
+        hit = (lmap, inv)
+        with cls._ILV_MAPS_LOCK:
             while len(cls._ILV_MAPS) >= cls._ILV_MAPS_MAX:
                 cls._ILV_MAPS.pop(next(iter(cls._ILV_MAPS)))
-            hit = cls._ILV_MAPS[key] = (lmap, inv)
+            cls._ILV_MAPS[key] = hit
         return hit
 
     def _compact(self, flat, t32_dev, cap: int, dims=None, idx_map=None,
@@ -1121,13 +1131,23 @@ class CodecEngine:
         if self.giant_ok(batch.shape):
             eff = self.eff_scales(batch.shape)
             fwd = self._giant("fwd", eff)
+            log.info("Giant box path (histogram pass): %d box(es) of %s "
+                     "sharding X over %d devices", batch.data.shape[0],
+                     batch.shape, self._giant_mesh().size)
             coeffs = np.empty_like(batch.data) if fetch_coeffs else None
             hist = np.zeros(threshold.EXP_HIST_BINS, np.int64)
             for i in range(batch.data.shape[0]):
                 c = fwd(self._put_giant(batch.data[i]))
+                # the histogram over global-mesh-sharded coefficients is
+                # itself a collective (the reduction crosses processes),
+                # so EVERY process must launch it — ownership only gates
+                # whether the result is COUNTED.  Gating the launch would
+                # desynchronize the SPMD program across processes (the
+                # non-owner would proceed to a different collective) and
+                # deadlock the run.
+                h = np.asarray(_fwd_hist_only(c[None]), dtype=np.int64)
                 if hist_items is None or i in hist_items:
-                    hist += np.asarray(_fwd_hist_only(c[None]),
-                                       dtype=np.int64)
+                    hist += h
                 if fetch_coeffs:
                     coeffs[i] = self._fetch_giant(c)
             if not fetch_coeffs:
