@@ -499,7 +499,7 @@ def test_two_process_crosshost_global_threshold(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2500:]
     for out in outs:
-        assert "Giant box path (histogram pass)" in out, out[-2500:]
+        assert "Giant box path (global threshold)" in out, out[-2500:]
         # both cache branches ran: exactly one of two timesteps retained
         assert "retained 1/2" in out, out[-2500:]
 

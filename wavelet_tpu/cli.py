@@ -218,9 +218,12 @@ def main(argv=None):
     # enough to fill a 64 KB pipe and stall a coordinated multi-process
     # run whose parent drains pipes sequentially.  WAVELET_TPU_LOG=debug
     # restores the firehose when debugging.
-    level = getattr(logging,
-                    os.environ.get("WAVELET_TPU_LOG", "info").upper(),
-                    logging.INFO)
+    level_name = os.environ.get("WAVELET_TPU_LOG", "info").upper()
+    level = logging.getLevelName(level_name)
+    if not isinstance(level, int):    # unknown name -> fail, don't coerce
+        raise SystemExit(
+            f"WAVELET_TPU_LOG={level_name!r} is not a log level "
+            "(debug/info/warning/error)")
     logging.basicConfig(level=level,
                         format="[%(asctime)s] [%(levelname)s] %(message)s")
     argv = list(sys.argv[1:] if argv is None else argv)

@@ -429,18 +429,34 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
         hist = np.zeros(thr.EXP_HIST_BINS, np.int64)
 
         def _t_bytes_global(t):
-            """Deterministic per-timestep size, identical on every
+            """Deterministic per-timestep PADDED size, identical on every
             process (from the headers every process reads): under
             giantmesh=global the admission decision gates COLLECTIVES
             (the pass-1 gather_giant and pass-2 re-transform), so it
             must not depend on per-process batch bytes — each process
             plans only its own item slice, and a divergent keep_t would
             have one process launch a collective its peer skips
-            (deadlock).  Unpadded geometry; each process actually
-            caches at most its slice of it, so the budget still bounds
-            per-process RAM."""
-            return sum(int(np.prod(d)) * 4 * len(meta.comp_idxs)
-                       for lev in meta.dimensions[t] for d in lev)
+            (deadlock).  Applies the same pack/pad/quantum math
+            plan_batches uses to the GLOBAL item multiset; any single
+            process's padded allocation is <= this (its bucket counts
+            are <= the global counts, and cap_pack only halves further
+            for smaller buckets, so its quanta divide these), so the
+            budget still bounds per-process RAM — padding included."""
+            from collections import Counter
+
+            shape_counts: Counter = Counter()
+            for lev in meta.dimensions[t]:
+                for d in lev:
+                    shape_counts[tuple(d)] += len(meta.comp_idxs)
+            total = 0
+            for shape, n in shape_counts.items():
+                quantum = (batching.cap_pack(eng.pack_factor(shape), n,
+                                             shape[-1])
+                           * eng.pad_multiple_for(shape))
+                n_pad = (batching.pad_to_multiple(n, quantum)
+                         if quantum > 1 else n)
+                total += n_pad * int(np.prod(shape)) * 4
+            return total
 
         for t, (batches, _, owned) in _iter_prefetched(
                 len(meta.files),
@@ -539,13 +555,13 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                                                subset=subset)
                     n_files += (len(subset) if subset is not None
                                 else len(cb.items))
-                    # owned items only (see _pack_dense_or_sparse): a
-                    # cross-host giant batch carries every process's
-                    # giant items
-                    n_owned = (cb.n_valid if owned is None
-                               else sum(1 for it in cb.items
-                                        if it in owned))
-                    in_bytes += n_owned * int(np.prod(cb.shape)) * 4
+                    # packed items only, like n_files: not the non-owned
+                    # giant copies a cross-host batch carries, and not
+                    # resume-skipped items (per-file mode filters those
+                    # before batching, so its input_bytes excludes them)
+                    in_bytes += ((len(subset) if subset is not None
+                                  else cb.n_valid)
+                                 * int(np.prod(cb.shape)) * 4)
                 # a finished timestep's bundle is closed (atomic-renamed)
                 # right away: a crash costs one timestep, like the per-file
                 # mode (the pack worker must drain first)

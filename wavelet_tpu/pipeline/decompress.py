@@ -213,6 +213,11 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
                 f"maxlevel={cfg.levels_upto} selects no archive level "
                 f"(archive has levels {full_levels})")
     num_levels = len(levels)   # a PREFIX of the archive's level list
+    if stats is not None:
+        # reported even by a process whose yielded set is empty (under
+        # giantmesh=global a process can own zero timesteps yet still
+        # decode every one collectively)
+        stats["levels_selected"] = num_levels
     if cfg.components:
         missing = [c for c in cfg.components if c not in info.components]
         if missing:
@@ -394,5 +399,10 @@ def decompress_run(cfg: common.Config, mesh=None) -> dict:
     log.info("Sucessfully wrote plotfiles.")
     stats.pop("owned_times", None)   # internal write gate, not a stat
     stats.update({"decompress_seconds": ph.seconds, "times": n_times,
-                  "levels": num_levels, "boxes": n_boxes})
+                  # levels_selected, not the per-yield count: a process
+                  # that owns zero timesteps (giantmesh=global with more
+                  # processes than timesteps) must still report the
+                  # selected level count, not 0
+                  "levels": stats.pop("levels_selected", num_levels),
+                  "boxes": n_boxes})
     return stats

@@ -1131,7 +1131,10 @@ class CodecEngine:
         if self.giant_ok(batch.shape):
             eff = self.eff_scales(batch.shape)
             fwd = self._giant("fwd", eff)
-            log.info("Giant box path (histogram pass): %d box(es) of %s "
+            # phase-neutral wording: this runs in the pass-1 histogram
+            # stream AND in pass-2 re-reads of uncached timesteps (where
+            # the histogram output is discarded)
+            log.info("Giant box path (global threshold): %d box(es) of %s "
                      "sharding X over %d devices", batch.data.shape[0],
                      batch.shape, self._giant_mesh().size)
             coeffs = np.empty_like(batch.data) if fetch_coeffs else None
