@@ -19,6 +19,7 @@ and writes its own shard of ``.xz`` files (runtime/mesh.process_local_slice).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 import logging
 import os
 
@@ -145,21 +146,19 @@ def _pack_dense_or_sparse(batches, eng, packer, out_dir: str, keep: float,
             else:
                 coeffs, t32 = eng.compress_shapebatch(batch, keep)
                 d2h_bytes += coeffs.data.nbytes
-                job = (lambda d, c, t, s=subset:
-                       packer.pack(d, c, t, subset=s), out_dir, coeffs,
-                       t32)
+                job = (functools.partial(packer.pack, subset=subset),
+                       out_dir, coeffs, t32)
             if pending is not None:
                 out_bytes += pending.result()
             pending = pack_pool.submit(*job)
-            n_files += (len(subset) if subset is not None
+            # stats count OWNED items only — a cross-host giant batch
+            # contains every process's giant items (collective
+            # transform), and counting them all would double-count giant
+            # bytes process_count times across per-process stats
+            n_packed = (len(subset) if subset is not None
                         else len(batch.items))
-            # input_bytes counts OWNED items only, like n_files — a
-            # cross-host giant batch contains every process's giant
-            # items (collective transform), and counting them all would
-            # double-count giant bytes process_count times across
-            # per-process stats
-            in_bytes += (len(subset) if subset is not None
-                         else batch.n_valid) * int(np.prod(batch.shape)) * 4
+            n_files += n_packed
+            in_bytes += n_packed * int(np.prod(batch.shape)) * 4
         if pending is not None:
             out_bytes += pending.result()
     return n_files, in_bytes, out_bytes, d2h_bytes
@@ -448,15 +447,11 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
             for lev in meta.dimensions[t]:
                 for d in lev:
                     shape_counts[tuple(d)] += len(meta.comp_idxs)
-            total = 0
-            for shape, n in shape_counts.items():
-                quantum = (batching.cap_pack(eng.pack_factor(shape), n,
-                                             shape[-1])
-                           * eng.pad_multiple_for(shape))
-                n_pad = (batching.pad_to_multiple(n, quantum)
-                         if quantum > 1 else n)
-                total += n_pad * int(np.prod(shape)) * 4
-            return total
+            return sum(
+                batching.dense_batch_nbytes(
+                    n, shape, eng.pack_factor(shape),
+                    eng.pad_multiple_for(shape))
+                for shape, n in shape_counts.items())
 
         for t, (batches, _, owned) in _iter_prefetched(
                 len(meta.files),
@@ -553,15 +548,14 @@ def _compress_streaming(cfg: common.Config, meta: common.RunMeta,
                     pending = pack_pool.submit(packer.pack,
                                                cfg.compressed_dir, cb, t32,
                                                subset=subset)
-                    n_files += (len(subset) if subset is not None
+                    # packed items only: not the non-owned giant copies a
+                    # cross-host batch carries, and not resume-skipped
+                    # items (per-file mode filters those before batching,
+                    # so its input_bytes excludes them too)
+                    n_packed = (len(subset) if subset is not None
                                 else len(cb.items))
-                    # packed items only, like n_files: not the non-owned
-                    # giant copies a cross-host batch carries, and not
-                    # resume-skipped items (per-file mode filters those
-                    # before batching, so its input_bytes excludes them)
-                    in_bytes += ((len(subset) if subset is not None
-                                  else cb.n_valid)
-                                 * int(np.prod(cb.shape)) * 4)
+                    n_files += n_packed
+                    in_bytes += n_packed * int(np.prod(cb.shape)) * 4
                 # a finished timestep's bundle is closed (atomic-renamed)
                 # right away: a crash costs one timestep, like the per-file
                 # mode (the pack worker must drain first)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import threading
+
 import numpy as np
 
 __all__ = ["WorkItem", "ShapeBatch", "plan_batches", "pad_to_multiple",
@@ -182,8 +184,6 @@ class BufferArena:
     """
 
     def __init__(self, keep_generations: int = 1):
-        import threading
-
         self._free: dict = {}          # shape -> [(gen_released, arr), ...]
         self._gen = 0
         self._keep = int(keep_generations)
