@@ -508,3 +508,65 @@ def test_two_process_crosshost_global_threshold(tmp_path):
         f"only-single={set(a)-set(b)}, only-multi={set(b)-set(a)}")
     diff = [k for k in a if a[k] != b[k]]
     assert not diff, f"bytes differ for {diff}"
+
+
+def test_crosshost_decompress_more_processes_than_timesteps(tmp_path):
+    """giantmesh=global decompress with 2 processes and ONE timestep: the
+    non-owner process decodes the timestep collectively (skipping it
+    would deadlock the giant inverse), writes nothing, and still exits
+    cleanly — the round-5 review's zero-owner case.  Output must be
+    byte-identical to a single-process run and written exactly once."""
+    import filecmp
+
+    rng = np.random.default_rng(71)
+    data_dir = tmp_path / "data"
+    boxes = [rng.standard_normal((1, 16, 8, 8)).astype(np.float32),
+             rng.standard_normal((1, 4, 4, 2)).astype(np.float32)]
+    pf.write_plotfile(str(data_dir / "plt00080"), [boxes],
+                      [[(0, 0, 0), (16, 0, 0)]],
+                      [[(16, 8, 8), (4, 4, 2)]],
+                      ["a"], 0.5, [0., 0., 0.], [1., 1., 1.],
+                      (2, 2, 2), (32, 8, 8), [80])
+    args_base = [f"datadir={data_dir}", "minfile=plt00080",
+                 "maxfile=plt00080", "minlevel=0", "maxlevel=0",
+                 "components=a", "keep=0.999", "giantbox=2048"]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env1 = dict(os.environ, JAX_PLATFORMS="cpu", WAVELET_TPU_PLATFORM="cpu")
+    env1.pop("XLA_FLAGS", None)
+
+    comp_dir = str(tmp_path / "comp") + os.sep
+    r = subprocess.run([PY, "-m", "wavelet_tpu.cli", *args_base,
+                        f"compresseddir={comp_dir}", "-c"],
+                       env=env1, cwd=cwd, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-2000:]
+    out_s = str(tmp_path / "out_s") + os.sep
+    r = subprocess.run([PY, "-m", "wavelet_tpu.cli",
+                        f"compresseddir={comp_dir}", f"out={out_s}", "-d"],
+                       env=env1, cwd=cwd, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=240)
+    assert r.returncode == 0, r.stdout.decode(errors="replace")[-2000:]
+
+    from tests.conftest import drain_procs
+
+    env2 = dict(env1, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    port = _free_port()
+    out_m = str(tmp_path / "out_m") + os.sep
+    procs = [subprocess.Popen(
+        [PY, "-m", "wavelet_tpu.cli", f"compresseddir={comp_dir}",
+         f"out={out_m}", "giantmesh=global",
+         f"coordinator=localhost:{port}", "processes=2",
+         f"processid={pid}", "-d"],
+        env=env2, cwd=cwd, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in range(2)]
+    outs = drain_procs(procs, timeout=240)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2500:]
+    # exactly one plotfile directory came out (no double write)
+    assert sorted(os.listdir(out_m)) == ["plt00080"]
+    for root, _d, names in os.walk(out_s):
+        rel = os.path.relpath(root, out_s)
+        for n in names:
+            assert filecmp.cmp(os.path.join(root, n),
+                               os.path.join(out_m, rel, n),
+                               shallow=False), f"{rel}/{n} differs"
