@@ -68,7 +68,7 @@ def main():
     dims = (d, d, d)
     nbytes = n * m * 4
     cap = int(np.ceil(0.02 * m / 128) * 128)
-    K = 16
+    K = int(os.environ.get("PROBE13_K", "16"))
     t32 = jax.device_put(jnp.full((n,), 2.6, jnp.float32), dev)
     seeds = [700]
 
@@ -147,7 +147,7 @@ def main():
     out["cap"] = cap
     out["K"] = K
     out["results"] = cases
-    with open("bench_results/kernel_probe13.json", "w") as f:
+    with open(os.environ.get("PROBE13_OUT", "bench_results/kernel_probe13.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
