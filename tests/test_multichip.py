@@ -40,7 +40,9 @@ def test_global_threshold_collective_matches_unsharded(mesh8):
     flat = haar.forward_flat(jnp.asarray(batch))
     thr1 = threshold.global_histogram_threshold(flat, 0.1)
     assert float(thr) == pytest.approx(float(thr1), rel=1e-6)
-    frac = float(kept) / batch.size
+    # kept comes back as two 16-bit limb sums (int32 psum of raw counts
+    # would wrap past 2^31 global kept at pod scale)
+    frac = distributed.kept_count(kept) / batch.size
     assert 0.05 < frac < 0.2
 
 

@@ -104,22 +104,39 @@ class BundleWriter:
 
     def close(self) -> int:
         """Write index + trailer, fsync-rename into place.  Returns total
-        file bytes.  A bundle with zero members is deleted, not renamed."""
-        if self._closed:
-            return 0
-        self._closed = True
-        if not self._index:
+        file bytes.  A bundle with zero members is deleted, not renamed.
+
+        Durability order: data+index+trailer are fsync'd BEFORE the
+        rename, and the directory entry after it — otherwise a crash
+        can commit the rename while the data blocks are still unflushed,
+        leaving a bundle at its FINAL name with torn bytes that resume
+        (which treats finished bundles as immutable) would never
+        rewrite.  Serialized with ``add`` via the same lock: ``add`` is
+        advertised thread-safe, and an in-flight append interleaving
+        with the index write would silently shift every index offset."""
+        with self._lock:
+            if self._closed:
+                return 0
+            self._closed = True
+            if not self._index:
+                self._f.close()
+                os.remove(self._tmp)
+                return 0
+            index_off = self._pos
+            for entry in self._index:
+                self._f.write(_INDEX_ENTRY.pack(*entry))
+            self._f.write(_TRAILER.pack(index_off, len(self._index), MAGIC))
+            self._f.flush()
+            os.fsync(self._f.fileno())
             self._f.close()
-            os.remove(self._tmp)
-            return 0
-        index_off = self._pos
-        for entry in self._index:
-            self._f.write(_INDEX_ENTRY.pack(*entry))
-        self._f.write(_TRAILER.pack(index_off, len(self._index), MAGIC))
-        self._f.close()
-        os.replace(self._tmp, self.path)
-        return (index_off + len(self._index) * _INDEX_ENTRY.size
-                + _TRAILER.size)
+            os.replace(self._tmp, self.path)
+            dfd = os.open(os.path.dirname(self.path) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return (index_off + len(self._index) * _INDEX_ENTRY.size
+                    + _TRAILER.size)
 
     def abort(self):
         if not self._closed:

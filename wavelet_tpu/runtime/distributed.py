@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -33,6 +35,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 __all__ = ["make_parity_compress_step", "make_global_compress_step",
+           "kept_count",
            "make_train_step", "make_sharded_box_forward",
            "make_sharded_box_inverse",
            "make_sharded_box_forward_interleaved",
@@ -53,9 +56,17 @@ def make_parity_compress_step(mesh):
     return step
 
 
+def kept_count(limbs) -> int:
+    """Recombine :func:`make_global_compress_step`'s two-limb kept count
+    (int32 [lo16, hi16] sums) into the exact global count."""
+    lo, hi = (int(v) for v in np.asarray(limbs))
+    return lo + (hi << 16)
+
+
 def make_global_compress_step(mesh, keep_fraction: float):
     """jit(batch [N, X, Y, Z] sharded on N) ->
-    (masked coeffs [N, XYZ], global threshold scalar, kept count scalar).
+    (masked coeffs [N, XYZ], global threshold scalar, kept count int32[2]
+    — two 16-bit limb sums; recombine with :func:`kept_count`).
 
     The threshold is a single magnitude quantile over the *entire* sharded
     batch, reduced across the mesh with a psum'd fixed float-bit histogram
@@ -71,7 +82,13 @@ def make_global_compress_step(mesh, keep_fraction: float):
         thr = threshold.global_histogram_threshold(
             flat, keep_fraction, axis_name=DATA_AXIS)
         mask = jnp.abs(flat) > thr
-        kept = jax.lax.psum(jnp.sum(mask, dtype=jnp.int32), DATA_AXIS)
+        # two 16-bit limbs: a plain int32 psum of per-shard counts wraps
+        # once the GLOBAL kept crosses 2^31 (realistic at pod scale —
+        # the same overflow threshold_from_histogram_device's limb psum
+        # avoids); limb sums stay exact for any pod size <= 32k shards
+        local = jnp.sum(mask, dtype=jnp.int32)
+        kept = jax.lax.psum(
+            jnp.stack([local & 0xFFFF, local >> 16]), DATA_AXIS)
         return jnp.where(mask, flat, jnp.zeros_like(flat)), thr, kept
 
     return jax.jit(step)
@@ -268,11 +285,12 @@ def giant_from_process_slabs(mesh, local_slab, global_shape):
 def gather_giant(arr):
     """Fetch a globally-sharded giant array to EVERY process's host memory
     (jax.experimental.multihost_utils allgather over DCN); the work-item
-    owner packs from its copy.  For a single-process mesh this is a plain
-    fetch."""
-    import numpy as np
-
-    if jax.process_count() == 1:
+    owner packs from its copy.  A fully-addressable array — single
+    process, OR a process-LOCAL giant mesh in a multi-process run — is a
+    plain fetch: routing it through ``process_allgather(tiled=True)``
+    would CONCATENATE each process's (different) local array along X and
+    return mixed garbage, so the guard lives here, not in the caller."""
+    if arr.is_fully_addressable:
         return np.asarray(arr)
     from jax.experimental import multihost_utils
 
