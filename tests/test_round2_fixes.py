@@ -305,7 +305,11 @@ def test_xz_delta_filter_end_to_end(tmp_path):
     {"codec": "raw"},
     {"scales": 2},
     {"scales": 2, "threshold_mode": "global", "keep_fraction": 0.1},
-], ids=["box", "global", "q16", "raw", "scales2", "scales2_global"])
+    # bundle: the fast path must model the .wtb container's exact
+    # magic+index+trailer overhead, not just sum blob lengths
+    {"archive": "bundle", "codec": "raw"},
+], ids=["box", "global", "q16", "raw", "scales2", "scales2_global",
+        "bundle_raw"])
 def test_fast_estimate_matches_disk_estimate(tmp_path, extra):
     from wavelet_tpu.pipeline import Config, estimate_run
 

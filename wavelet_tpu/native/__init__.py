@@ -22,7 +22,8 @@ __all__ = ["available", "pack_batch", "unpack_batch",
            "pack_indexed", "unpack_indexed",
            "pack_mapped", "unpack_mapped",
            "encode_strided", "encode_indexed", "encode_mapped",
-           "unpack_strided_mem", "unpack_indexed_mem", "unpack_mapped_mem"]
+           "unpack_strided_mem", "unpack_indexed_mem", "unpack_mapped_mem",
+           "fab_from_boxes", "boxes_from_fab"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -46,12 +47,23 @@ def _try_load():
              or (os.path.exists(_SRC_PATH)
                  and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)))
     if stale and os.path.exists(_SRC_PATH):
+        # build to a per-process temp name, then atomic-rename: two
+        # processes importing concurrently after a source change (multi-
+        # process jax, pytest-xdist) must never CDLL a half-written .so —
+        # a torn file with a fresh mtime would pass the staleness check
+        # forever and silently pin every later run to the python packer
+        tmp_so = f"{_SO_PATH}.{os.getpid()}.tmp"
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                 "-fPIC", "-o", _SO_PATH, _SRC_PATH, "-llzma", "-lpthread"],
+                 "-fPIC", "-o", tmp_so, _SRC_PATH, "-llzma", "-lpthread"],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp_so, _SO_PATH)
         except Exception:
+            try:
+                os.remove(tmp_so)
+            except OSError:
+                pass
             return
     if not os.path.exists(_SO_PATH):
         return

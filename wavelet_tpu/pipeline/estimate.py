@@ -51,7 +51,9 @@ def _fast_codec_regen(run, cfg, eng, comp_pos, buckets, flats, t32s):
     """Masked coefficients -> serialized sizes -> device inverse -> regen.
     The compressed-size metric is the sum of the encoded blob lengths —
     numerically identical to ``dir_size(scratch)`` (st_size sums = blob
-    lengths), and RMSE comes from the same masked coefficients, so every
+    lengths; for ``archive=bundle`` the container's exact magic + index +
+    trailer overhead is added so the number still matches the disk
+    path), and RMSE comes from the same masked coefficients, so every
     reported number matches the disk path exactly."""
     from wavelet_tpu.core import rle
 
@@ -80,17 +82,33 @@ def _fast_codec_regen(run, cfg, eng, comp_pos, buckets, flats, t32s):
         recon = eng.decompress_batch(masked, dims)
         for i, (b, ci) in enumerate(pairs):
             regen[b][comp_pos[ci]] = recon[i]
+    if cfg.archive == "bundle":
+        # exact .wtb container bytes (magic + per-member index entry +
+        # trailer; one bundle — single timestep, single process here), so
+        # fastestimate=1 reports the same size the scratch/real bundle
+        # path measures from disk
+        from wavelet_tpu.io import bundle as bundle_mod
+
+        n_members = sum(len(p) for p in buckets.values())
+        total_bytes += (len(bundle_mod.MAGIC)
+                        + n_members * bundle_mod._INDEX_ENTRY.size
+                        + bundle_mod._TRAILER.size)
     return regen, total_bytes
 
 
 def _metrics_result(run, cfg, mesh, regen, comp_size, files, levels,
-                    keep: float) -> dict:
+                    keep: float, eng=None, raw_size=None) -> dict:
     """Per-component mean RMSE (unweighted over boxes, modes.cpp:269-291),
-    adjusted loss, and size percentage (modes.cpp:294-324)."""
+    adjusted loss, and size percentage (modes.cpp:294-324).
+
+    ``eng``/``raw_size`` let sweep callers hoist the sweep-invariant work
+    (engine construction with its kernel caches; the os.walk over every
+    raw FAB file) out of the per-value loop."""
     lv = run.levels_data[0][0]
     if cfg.device_metrics:
-        eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
-                             giant_box_bytes=cfg.giant_box_bytes)
+        if eng is None:
+            eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
+                                     giant_box_bytes=cfg.giant_box_bytes)
         per_box = [eng.rmse_batch(a, p) for a, p in zip(lv.boxes, regen)]
     else:
         per_box = [metrics.rmse_per_box(a, p)
@@ -105,9 +123,11 @@ def _metrics_result(run, cfg, mesh, regen, comp_size, files, levels,
         log.info("Predicted Adjusted loss, %s = %s", name, loss)
         result["components"][name] = {
             "rmse": float(mean_rmse[c]), "adjusted_loss": float(loss)}
-    h = plotfile.read_header(files[0])
-    raw_path = os.path.join(files[0], f"Level_{levels[0]}")
-    raw_size = metrics.dir_size(raw_path) / h.n_comp * len(cfg.components)
+    if raw_size is None:
+        h = plotfile.read_header(files[0])
+        raw_path = os.path.join(files[0], f"Level_{levels[0]}")
+        raw_size = (metrics.dir_size(raw_path) / h.n_comp
+                    * len(cfg.components))
     pct = comp_size / raw_size * 100.0
     log.info("Predicted compressed size: %s%%", pct)
     result["compressed_size_pct"] = pct
@@ -121,6 +141,11 @@ def _fast_estimate(run, cfg, mesh, files, levels) -> dict:
     eng = engine.CodecEngine(mesh=mesh, scales=cfg.scales,
                              giant_box_bytes=cfg.giant_box_bytes)
     _lv, comp_pos, buckets, stacked = _fast_buckets(run)
+    # sweep-invariant: one raw-size walk and one engine for every value
+    hdr = plotfile.read_header(files[0])
+    raw_size = (metrics.dir_size(os.path.join(files[0],
+                                              f"Level_{levels[0]}"))
+                / hdr.n_comp * len(cfg.components))
     if cfg.threshold_mode == "global":
         # ONE forward + histogram serves any number of keep fractions
         # (the fixed-bin histogram is fraction-independent)
@@ -142,7 +167,8 @@ def _fast_estimate(run, cfg, mesh, files, levels) -> dict:
             log.info("Decompression complete.")
             log.info("keep_fraction = %s (threshold %s):", frac, tval)
             r = _metrics_result(run, cfg, mesh, regen, comp_size, files,
-                                levels, cfg.keep)
+                                levels, cfg.keep, eng=eng,
+                                raw_size=raw_size)
             r["keep_fraction"] = float(frac)
             r["global_threshold"] = float(tval)
             sweep[repr(frac)] = r
@@ -165,7 +191,8 @@ def _fast_estimate(run, cfg, mesh, files, levels) -> dict:
         log.info("Decompression complete.")
         log.info("keep = %s:", keep)
         sweep[repr(keep)] = _metrics_result(run, cfg, mesh, regen,
-                                            comp_size, files, levels, keep)
+                                            comp_size, files, levels, keep,
+                                            eng=eng, raw_size=raw_size)
     if len(keeps) == 1:
         return sweep[repr(keeps[0])]
     return {"keep_sweep": sweep}
@@ -225,13 +252,18 @@ def _estimate_scratch(run, cfg, mesh, files, levels) -> dict:
 def estimate_run(cfg: common.Config, mesh=None) -> dict:
     import jax
 
-    if cfg.giant_mesh == "global" and jax.process_count() > 1:
-        # estimate's collected path slices items per process with no
-        # collective item discipline — the compress/decompress pipelines
-        # carry the cross-host giant wiring; estimate locally instead
-        raise ValueError("giantmesh=global is supported by -c and -d "
-                         "only; run the estimate with the default local "
-                         "giant mesh (or single-process)")
+    if jax.process_count() > 1:
+        # the real invariant, not a giantmesh special case (round-5
+        # review): the scratch path's compress_collected slices items per
+        # process, but the decompress walk unpacks EVERY item from the
+        # process-local scratch dir — multi-process estimate would crash
+        # on the first out-of-slice payload (and the fast path would
+        # just repeat identical work on every process).  The reference's
+        # estimate is serial (modes.cpp:209-328); run it that way.
+        raise ValueError("'-estimate' runs single-process; drop "
+                         "coordinator=/processes= for the estimate "
+                         "(compress/decompress are the multi-process "
+                         "modes)")
     files = common.format_files(cfg.data_dir, cfg.min_time, cfg.min_time)
     levels = [cfg.min_level]
 
@@ -242,9 +274,18 @@ def estimate_run(cfg: common.Config, mesh=None) -> dict:
         raise ValueError("keep sweep requires the box threshold mode "
                          "(global mode thresholds by keepfraction)")
     fracs = cfg.keep_fraction_sweep or []
-    if len(fracs) > 1 and cfg.threshold_mode != "global":
+    if fracs and cfg.threshold_mode != "global":
+        # a ONE-element sweep must be rejected too: box-mode
+        # compress_collected never reads keep_fraction, so it would
+        # silently return a keep=cfg.keep box result labeled as the
+        # user's keep-fraction run
         raise ValueError("keepfraction sweep requires "
                          "thresholdmode=global")
+    if cfg.threshold_mode == "global" and cfg.keep_fraction is None \
+            and not fracs:
+        # the scratch path raises this inside compress_collected; the
+        # fast path would otherwise die on `None * total` (TypeError)
+        raise ValueError("global threshold mode requires keep_fraction")
     if cfg.fast_estimate:
         # the fast path stacks plain arrays (no ShapeBatch routing), so it
         # cannot take the giant-box sharded transform — a box that NEEDS

@@ -25,12 +25,24 @@ DATA_AXIS = "data"
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
-    """Initialize multi-host JAX (DCN across hosts, ICI within a slice)."""
-    kwargs = {}
-    if coordinator is not None:
-        kwargs = dict(coordinator_address=coordinator,
-                      num_processes=num_processes, process_id=process_id)
-    jax.distributed.initialize(**kwargs)
+    """Initialize multi-host JAX (DCN across hosts, ICI within a slice).
+
+    Explicit topology without a coordinator address is rejected rather
+    than silently dropped: ``jax.distributed.initialize()`` in
+    auto-detect mode would ignore the caller's num_processes/process_id
+    and (on a rig without env-based detection) come up as a 1-process
+    world, mis-partitioning every process_local_slice with no error."""
+    if coordinator is None:
+        if num_processes is not None or process_id is not None:
+            raise ValueError(
+                "num_processes/process_id require a coordinator address "
+                "(coordinator=host:port); without one jax auto-detects "
+                "the topology and would ignore them")
+        jax.distributed.initialize()
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def data_mesh(devices=None) -> Mesh:
