@@ -181,3 +181,90 @@ def test_randomized_roundtrip_property():
                 np.where(want_mask, want_c, 0.0), x, y, z)
             np.testing.assert_array_equal(
                 recon[i].view(np.int32), want_r.view(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions: clean errors + interop quirks
+# ---------------------------------------------------------------------------
+
+def test_q16_rejects_nonfinite_and_handles_all_zero():
+    from wavelet_tpu.io import archive
+
+    runs = np.zeros(2, np.int32)
+    with pytest.raises(ValueError, match="non-finite"):
+        archive.serialize_payload_q16(
+            (2, 2, 1), runs, np.array([np.inf, 1.0], np.float32))
+    with pytest.raises(ValueError, match="non-finite"):
+        archive.serialize_payload_q16(
+            (2, 2, 1), runs, np.array([np.nan, 1.0], np.float32))
+    # all kept values exactly zero: scale 0, q all zeros, decodes to zeros
+    payload = archive.serialize_payload_q16(
+        (2, 2, 1), runs, np.zeros(2, np.float32))
+    _shape, total, runs2, vals2 = archive.deserialize_payload_q16(payload)
+    np.testing.assert_array_equal(vals2, np.zeros(2, np.float32))
+
+
+def test_payload_rejects_boxes_beyond_int32_total():
+    from wavelet_tpu.io import archive
+
+    with pytest.raises(ValueError, match="int32 total"):
+        archive.serialize_payload((2048, 2048, 1024), np.zeros(0, np.int32),
+                                  np.zeros(0, np.float32))
+    with pytest.raises(ValueError, match="int32 total"):
+        archive.serialize_payload_q16((2048, 2048, 1024),
+                                      np.zeros(0, np.int32),
+                                      np.zeros(0, np.float32))
+
+
+def test_cli_clean_errors_for_malformed_values(capsys):
+    from wavelet_tpu import cli
+
+    # malformed numerics: clean rc=1, no traceback
+    rc = cli.main(["datadir=/nonexistent", "minfile=a", "maxfile=b",
+                   "minlevel=abc", "maxlevel=0", "components=x", "-c"])
+    assert rc == 1
+    # empty component list: validated up front
+    with pytest.raises(SystemExit):
+        cli.parse_argv(["datadir=/d", "minfile=a", "maxfile=b",
+                        "minlevel=0", "maxlevel=0", "components=", "-c"])
+    # more devices than exist: clean error, not silent truncation
+    rc = cli.main(["datadir=/nonexistent", "minfile=a", "maxfile=b",
+                   "minlevel=0", "maxlevel=0", "components=x", "keep=0.999",
+                   "compresseddir=/tmp/nonexistent-comp/",
+                   "devices=4096", "-c"])
+    assert rc == 1
+
+
+def test_reference_ref_ratio_quirk_normalized(tmp_path):
+    """A reference-written archive stores ref_ratios {r,0,0}
+    (preprocess.cpp:211-221 stream-extracts three ints from a scalar
+    line); decompress must normalize to {r,r,r} instead of writing a
+    Header with zero y/z domain dims (ZeroDivisionError)."""
+    import filecmp
+    import os
+    import shutil
+
+    from wavelet_tpu.io import archive
+
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "interop_matrix")
+    arch = tmp_path / "arch"
+    shutil.copytree(src, arch)
+    am = archive.read_amrexinfo(str(arch) + os.sep)
+    assert am.ref_ratios == [2, 2, 2]
+    quirked = archive.AMReXInfo(am.geomcellinfo, [2, 0, 0], am.true_times,
+                                am.level_steps, am.x_dim, am.y_dim,
+                                am.z_dim)
+    archive.write_amrexinfo(quirked, str(arch) + os.sep)
+
+    out_ref = str(tmp_path / "out_ref") + os.sep
+    decompress_run(Config(compressed_dir=src + os.sep, out_dir=out_ref))
+    out_q = str(tmp_path / "out_q") + os.sep
+    decompress_run(Config(compressed_dir=str(arch) + os.sep,
+                          out_dir=out_q))
+    for root, _d, names in os.walk(out_ref):
+        rel = os.path.relpath(root, out_ref)
+        for n in names:
+            assert filecmp.cmp(os.path.join(root, n),
+                               os.path.join(out_q, rel, n),
+                               shallow=False), f"{rel}/{n}"

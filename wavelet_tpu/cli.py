@@ -133,6 +133,10 @@ def parse_argv(argv):
         cfg.min_level = int(need("minlevel"))
         cfg.max_level = int(need("maxlevel")) if mode == "c" else int(kv.get("maxlevel", kv["minlevel"]))
         cfg.components = need("components").split()
+        if not cfg.components:
+            # an empty selection would surface as a numpy reshape error
+            # deep in the plotfile reader
+            raise SystemExit("components= must name at least one component")
         cfg.resume = kv.get("resume", "0") in ("1", "true", "yes")
         cfg.scales = int(kv.get("scales", "1"))
         cfg.payload = kv.get("payload", "f32")
@@ -227,7 +231,14 @@ def main(argv=None):
     logging.basicConfig(level=level,
                         format="[%(asctime)s] [%(levelname)s] %(message)s")
     argv = list(sys.argv[1:] if argv is None else argv)
-    mode, cfg = parse_argv(argv)
+    try:
+        mode, cfg = parse_argv(argv)
+    except (KeyError, ValueError) as e:
+        # malformed numeric values (minlevel=abc, keep=x, giantbox=2G …)
+        # are user-input problems: the same clean error as below, not a
+        # traceback from int()/float()
+        log.error("bad argument: %s", e)
+        return 1
 
     from wavelet_tpu.runtime import debug
 
@@ -237,16 +248,30 @@ def main(argv=None):
 
     mesh = None
     kv = _kv(argv)
-    if kv.get("coordinator"):
-        # multi-host: coordinator=host:port processid=I processes=N
-        from wavelet_tpu.runtime import mesh as mesh_lib
-        mesh_lib.init_distributed(kv["coordinator"],
-                                  int(kv["processes"]),
-                                  int(kv["processid"]))
-    if int(kv.get("devices", "1")) > 1:
-        import jax
-        from wavelet_tpu.runtime import mesh as mesh_lib
-        mesh = mesh_lib.data_mesh(jax.devices()[: int(kv["devices"])])
+    try:
+        if kv.get("coordinator"):
+            # multi-host: coordinator=host:port processid=I processes=N
+            if "processes" not in kv or "processid" not in kv:
+                raise ValueError("coordinator= requires processes=N and "
+                                 "processid=I")
+            from wavelet_tpu.runtime import mesh as mesh_lib
+            mesh_lib.init_distributed(kv["coordinator"],
+                                      int(kv["processes"]),
+                                      int(kv["processid"]))
+        n_dev = int(kv.get("devices", "1"))
+        if n_dev > 1:
+            import jax
+            from wavelet_tpu.runtime import mesh as mesh_lib
+            have = len(jax.devices())
+            if n_dev > have:
+                # jax.devices()[:n] would silently truncate and run the
+                # "sharded" program on fewer chips than the user asked for
+                raise ValueError(
+                    f"devices={n_dev} but only {have} device(s) available")
+            mesh = mesh_lib.data_mesh(jax.devices()[:n_dev])
+    except (KeyError, ValueError) as e:
+        log.error("bad argument: %s", e)
+        return 1
 
     try:
         with debug.maybe_profile(kv.get("profile")):

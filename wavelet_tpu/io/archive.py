@@ -47,9 +47,6 @@ __all__ = [
     "META_NAME", "write_meta", "read_meta",
 ]
 
-_XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
-
-
 def _atomic_write_bytes(path: str, blob: bytes) -> None:
     """Write via a per-process temp name + rename: concurrent writers (every
     host writes identical sidecars in a multi-process run) can never leave a
@@ -67,6 +64,13 @@ def _atomic_write_bytes(path: str, blob: bytes) -> None:
 def serialize_payload(shape, runs: np.ndarray, vals: np.ndarray) -> bytes:
     """Pack one box's compressed coefficients (compressor.cpp:55-80 layout)."""
     x, y, z = (int(v) for v in shape)
+    if x * y * z > 0x7FFFFFFF:
+        # the reference's int32 header field cannot represent it; a clean
+        # error beats struct.error (outside the CLI's clean-error family)
+        raise ValueError(
+            f"box {x}x{y}x{z} has {x * y * z} coefficients — beyond the "
+            "archive format's int32 total; split the domain into smaller "
+            "boxes")
     n_pairs = len(runs)
     head = struct.pack("<5i", x, y, z, x * y * z, n_pairs)
     if n_pairs == 0:
@@ -129,8 +133,6 @@ def xz_compress(payload: bytes, preset: int = 6) -> bytes:
     if delta:
         filters = [{"id": lzma.FILTER_DELTA, "dist": delta},
                    {"id": lzma.FILTER_LZMA2, "preset": p}]
-    elif p == 6:
-        filters = _XZ_FILTERS
     else:
         filters = [{"id": lzma.FILTER_LZMA2, "preset": p}]
     blob = lzma.compress(payload, format=lzma.FORMAT_XZ,
@@ -318,13 +320,30 @@ def serialize_payload_q16(shape, runs: np.ndarray, vals: np.ndarray) -> bytes:
     written when wtc-meta.json declares ``payload: "q16"`` — reference
     archives never contain it."""
     x, y, z = (int(v) for v in shape)
+    if x * y * z > 0x7FFFFFFF:
+        raise ValueError(
+            f"box {x}x{y}x{z} has {x * y * z} coefficients — beyond the "
+            "archive format's int32 total; split the domain into smaller "
+            "boxes")
     n_pairs = len(runs)
     vals = np.asarray(vals, np.float32)
+    if n_pairs and not np.isfinite(vals).all():
+        # a quantized format cannot represent inf/NaN; silently encoding
+        # them would store scale=inf/NaN and decode EVERY value in the
+        # box as NaN.  The f32 payload path round-trips them faithfully.
+        raise ValueError("payload=q16 cannot encode non-finite "
+                         "coefficients; use the default f32 payload for "
+                         "data containing inf/NaN")
     scale = float(np.max(np.abs(vals))) / 32767.0 if n_pairs else 0.0
     head = struct.pack("<5if", x, y, z, x * y * z, n_pairs, scale)
     if n_pairs == 0:
         return head
-    q = np.clip(np.rint(vals / np.float32(scale)), -32767, 32767)
+    if scale == 0.0:
+        # every kept value is exactly 0.0 (threshold 0): q must be all
+        # zeros, not the 0/0 NaN an unguarded divide would cast to int16
+        q = np.zeros(n_pairs, np.float32)
+    else:
+        q = np.clip(np.rint(vals / np.float32(scale)), -32767, 32767)
     pairs = np.empty(n_pairs, dtype=_Q16)
     pairs["run"] = runs
     pairs["val"] = q.astype(np.int16)

@@ -202,6 +202,19 @@ def iter_decompressed_timesteps(cfg: common.Config, mesh=None, stats=None):
     dimensions = archive.read_locdim(cfg.compressed_dir, "dimensions.raw",
                                      counts)
     amrex = archive.read_amrexinfo(cfg.compressed_dir)
+    rr = amrex.ref_ratios
+    if len(rr) == 3 and rr[0] > 0 and rr[1] == 0 and rr[2] == 0:
+        # a REFERENCE-written archive: its Header parse stream-extracts 3
+        # ints from a per-boundary scalar line (preprocess.cpp:211-221),
+        # so it stores {r, 0, 0}.  The ratio is per-dim uniform in every
+        # plotfile either tool writes; taking {r, r, r} regenerates the
+        # correct domain dims where the raw triple would zero the y/z
+        # extents and crash the Header write (round-5 interop review).
+        log.info("amrexinfo ref_ratios %s normalized to {%d,%d,%d} "
+                 "(reference writer quirk)", rr, rr[0], rr[0], rr[0])
+        amrex = archive.AMReXInfo(
+            amrex.geomcellinfo, [rr[0]] * 3, amrex.true_times,
+            amrex.level_steps, amrex.x_dim, amrex.y_dim, amrex.z_dim)
     meta = archive.read_meta(cfg.compressed_dir)
 
     # --- selection (defaults = everything, the reference behavior) ------
