@@ -630,3 +630,62 @@ def test_injected_link_values_never_reprobed(monkeypatch):
     assert e.transfer_mode((16, 16, 16), "auto") == "dense"
     engine.CodecEngine.reprobe_link_if_stale()   # must also respect pins
     assert e.transfer_mode((16, 16, 16), "auto") == "dense"
+
+
+def test_sparse_compact_sharded_matches_unsharded():
+    """The compact stage's Pallas/jnp program is a per-device program XLA
+    cannot auto-partition (round-5 review): on a mesh it must run under
+    shard_map.  The mesh-engine's sparse pairs must equal the meshless
+    engine's bitwise (rows are independent), and indivisible batches must
+    fall back unsharded."""
+    from wavelet_tpu.runtime import mesh as mesh_lib
+
+    import jax
+
+    mesh = mesh_lib.data_mesh(jax.devices("cpu")[:8])
+    rng = np.random.default_rng(5)
+    for n in (8, 16, 5):            # divisible x2 + the fallback case
+        data = (rng.standard_normal((n, 8, 8, 8)).astype(np.float32)
+                * (rng.random((n, 8, 8, 8)) < 0.03))
+        items = [batching.WorkItem(0, 0, 0, b) for b in range(n)]
+        entries = [(it, data[i]) for i, it in enumerate(items)]
+        eng_m = engine.CodecEngine(mesh=mesh)
+        [bm] = batching.plan_batches(entries, pad_multiple=mesh.size,
+                                     pack_fn=eng_m.pack_factor,
+                                     pad_fn=eng_m.pad_multiple_for)
+        sp_m, t32_m = eng_m.compress_shapebatch_sparse(bm, 0.999)
+        eng_1 = engine.CodecEngine()
+        [b1] = batching.plan_batches(entries, pack_fn=eng_1.pack_factor,
+                                     pad_fn=eng_1.pad_multiple_for)
+        sp_1, t32_1 = eng_1.compress_shapebatch_sparse(b1, 0.999)
+        np.testing.assert_array_equal(t32_m[:n], t32_1[:n])
+        for i in range(n):
+            im, vm = sp_m.item_pairs(i, float(t32_m[i]))
+            i1, v1 = sp_1.item_pairs(i, float(t32_1[i]))
+            np.testing.assert_array_equal(im, i1, err_msg=f"n={n} row {i}")
+            np.testing.assert_array_equal(vm, v1, err_msg=f"n={n} row {i}")
+
+
+def test_sparse_rejects_giant_shapes():
+    """transfer_mode routes giant shapes dense; the sparse entry points
+    enforce that themselves instead of trusting every caller."""
+    from wavelet_tpu.runtime import mesh as mesh_lib
+
+    import jax
+
+    mesh = mesh_lib.data_mesh(jax.devices("cpu")[:4])
+    eng = engine.CodecEngine(mesh=mesh, giant_box_bytes=1024)
+    dims = (16, 8, 8)
+    assert eng.giant_ok(dims)
+    assert eng.transfer_mode(dims, "sparse") == "dense"
+    item = batching.WorkItem(0, 0, 0, 0)
+    arr = np.zeros(dims, np.float32)
+    [batch] = batching.plan_batches([(item, arr)],
+                                    pack_fn=eng.pack_factor,
+                                    pad_fn=eng.pad_multiple_for)
+    with pytest.raises(ValueError, match="giant"):
+        eng.compress_shapebatch_sparse(batch, 0.999)
+    with pytest.raises(ValueError, match="giant"):
+        eng.decompress_shapebatch_sparse(
+            batch, np.zeros((1, 128), np.int32),
+            np.zeros((1, 128), np.float32))

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["rle_encode_mask", "rle_decode", "rle_decode_pairs"]
+__all__ = ["rle_encode_mask", "rle_encode_pairs", "rle_decode",
+           "rle_decode_pairs"]
 
 
 def rle_encode_mask(mask: np.ndarray, values_src: np.ndarray):
@@ -26,8 +27,17 @@ def rle_encode_mask(mask: np.ndarray, values_src: np.ndarray):
     kept value, exactly the pair stream of compressor.cpp:24-42.
     """
     idx = np.flatnonzero(mask)
-    runs = np.diff(idx, prepend=np.int64(-1)) - 1
-    return runs.astype(np.int32), values_src[idx].astype(np.float32, copy=False)
+    return rle_encode_pairs(idx), \
+        values_src[idx].astype(np.float32, copy=False)
+
+
+def rle_encode_pairs(idx: np.ndarray) -> np.ndarray:
+    """Sorted kept POSITIONS -> runs of zeros before each kept value —
+    the sparse transport's encode direction (engine.HostPacker.pack_
+    sparse), kept here beside :func:`rle_decode_pairs` so the dense and
+    sparse paths share one definition of the run convention and can
+    never drift apart."""
+    return (np.diff(idx, prepend=np.int64(-1)) - 1).astype(np.int32)
 
 
 def rle_decode(runs: np.ndarray, vals: np.ndarray, total: int) -> np.ndarray:

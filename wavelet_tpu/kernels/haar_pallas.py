@@ -367,9 +367,27 @@ def interleave_coords_multi(dims, scales: int):
 def interleave_map_multi(dims, scales: int, sx: int, sy: int, sz: int = 1):
     """Flat physical element offsets per logical position: int64[X*Y*Z]
     with strides (sx, sy, sz) — the host packer's walk table for the
-    multi-scale interleaved layout."""
-    PX, PY, PZ = interleave_coords_multi(dims, scales)
-    return (PX * sx + PY * sy + PZ * sz).reshape(-1)
+    multi-scale interleaved layout.
+
+    Built directly in flat form: the corner block's recursive map uses
+    the PARENT's strides throughout (physical coords double per scale, so
+    ``corner = 2 * submap`` with the same (sx, sy, sz)), which means the
+    three int64 [X, Y, Z] coordinate temporaries of
+    :func:`interleave_coords_multi` (24 B/element on top of the 8 B
+    result — prohibitive for giant boxes) are never materialized; peak is
+    the result plus broadcast scratch.  Bitwise-identical to the
+    coordinate route (tests/test_interleaved.py)."""
+    import numpy as np
+
+    x, y, z = (int(d) for d in dims)
+    px1, py1, pz1 = (interleave_perm(n) for n in (x, y, z))
+    m = (px1[:, None, None] * sx + py1[None, :, None] * sy
+         + pz1[None, None, :] * sz)
+    if scales > 1 and x % 2 == 0 and y % 2 == 0 and z % 2 == 0:
+        hx, hy, hz = x // 2, y // 2, z // 2
+        m[:hx, :hy, :hz] = 2 * interleave_map_multi(
+            (hx, hy, hz), scales - 1, sx, sy, sz).reshape(hx, hy, hz)
+    return m.reshape(-1)
 
 
 def interleave_perm(n: int) -> "jnp.ndarray":

@@ -339,6 +339,7 @@ class CodecEngine:
         # auto-partition, so they run under shard_map (batch axis sharded
         # over the data mesh); cache the wrapped jits per (kind, pack)
         self._sharded_kernels: dict = {}
+        self._sharded_compacts: dict = {}
         self._sparse_cap_hint: dict = {}   # shape -> adaptive cap fraction
         # coefficient layout for the fused kernels: "halves" (round-1
         # kernels, reference order on device) or "interleaved" (in-place
@@ -935,6 +936,53 @@ class CodecEngine:
             cls._ILV_MAPS[key] = hit
         return hit
 
+    def _compact_fast_call(self, flat, t32_dev, cap, dims, idx_map,
+                           ilv1_dims, K, impl):
+        """Invoke compact_fast, shard_map'd over the mesh when one is set.
+
+        Like every Pallas entry (see ``_kernel``), the Mosaic custom call
+        is a per-device program XLA cannot auto-partition — under a plain
+        jit on a mesh-sharded batch GSPMD would replicate the whole
+        coefficient array onto every chip (or reject the lowering), so
+        the compact runs under shard_map with the batch axis sharded;
+        rows are independent, so per-shard output equals the single-
+        device result row for row.  Indivisible batches run unsharded,
+        mirroring the kernel wrapper's fallback."""
+        kwargs = dict(dims=dims, ilv1_dims=ilv1_dims, K=K, impl=impl,
+                      assemble=impl)
+        if self.mesh is None or self.mesh.size == 1 \
+                or flat.shape[0] % self.mesh.size:
+            return compact_pallas.compact_fast(flat, t32_dev, cap,
+                                               idx_map=idx_map, **kwargs)
+        key = (cap, dims, ilv1_dims, K, impl, idx_map is not None)
+        fn = self._sharded_compacts.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            spec = P(mesh_lib.DATA_AXIS)
+            if idx_map is None:
+                fn = jax.jit(shard_map(
+                    lambda f, t: compact_pallas.compact_fast(
+                        f, t, cap, idx_map=None, **kwargs),
+                    mesh=self.mesh, in_specs=(spec, spec),
+                    out_specs=(spec,) * 4, check_vma=False))
+            else:
+                # the inverse interleave table is replicated (every shard
+                # translates its own kept indices through the same map)
+                fn = jax.jit(shard_map(
+                    lambda f, t, im: compact_pallas.compact_fast(
+                        f, t, cap, idx_map=im, **kwargs),
+                    mesh=self.mesh, in_specs=(spec, spec, P()),
+                    out_specs=(spec,) * 4, check_vma=False))
+            self._sharded_compacts[key] = fn
+        if idx_map is None:
+            return fn(flat, t32_dev)
+        return fn(flat, t32_dev, idx_map)
+
     def _compact(self, flat, t32_dev, cap: int, dims=None, idx_map=None,
                  ilv1_dims=None, regather=None):
         """On-device sparsification with the sort-free fast path.
@@ -970,10 +1018,9 @@ class CodecEngine:
             # knob and c stays 512.
             capf = cap / m
             K = 12 if capf <= 0.015 else (32 if capf <= 0.05 else 64)
-            counts, idxs, vals, over = compact_pallas.compact_fast(
-                flat, t32_dev, cap, dims=tuple(dims) if dims else None,
-                idx_map=idx_map, ilv1_dims=ilv1_dims, K=K, impl=impl,
-                assemble=impl)
+            counts, idxs, vals, over = self._compact_fast_call(
+                flat, t32_dev, cap, tuple(dims) if dims else None,
+                idx_map, ilv1_dims, K, impl)
             if not bool(np.asarray(jnp.any(over))):
                 return counts, idxs, vals
             log.info("compact fast path: per-chunk overflow (K=%d) — "
@@ -1008,6 +1055,16 @@ class CodecEngine:
         regathered to logical order on device before sparsification — the
         kept (index, value) pairs are layout-independent either way.
         """
+        if self.giant_ok(batch.shape):
+            # self-enforcing invariant (round-5 review): transfer_mode
+            # forces giant shapes dense, and coeff_layout's "interleaved"
+            # answer for them means the SHARDED giant transform — routing
+            # one through the per-device kernels below would run a whole
+            # giant box unsharded on one chip (the HBM blow-up the giant
+            # path exists to avoid), silently
+            raise ValueError(
+                f"sparse transfer does not take giant shapes {batch.shape}"
+                " — transfer_mode routes them dense (sharded giant path)")
         adaptive = cap_fraction is None
         if adaptive:
             cap_fraction = self._sparse_cap_hint.get(batch.shape, 0.25)
@@ -1139,6 +1196,18 @@ class CodecEngine:
                      batch.shape, self._giant_mesh().size)
             coeffs = np.empty_like(batch.data) if fetch_coeffs else None
             hist = np.zeros(threshold.EXP_HIST_BINS, np.int64)
+            # abs_exponent_histogram accumulates uint32 on device, exact
+            # only below 2^32 elements per call — and giant boxes are
+            # exactly where that can be exceeded (a 16 GiB f32 box is
+            # 4.3e9 coefficients; a smooth field concentrates most of
+            # them in a few bins, which would WRAP silently and derive a
+            # wrong global threshold).  Segment along X so each call
+            # counts < 2^31 elements; the int64 accumulation happens
+            # here on host.  Segment boundaries derive from the global
+            # shape, so every process launches the identical collective
+            # sequence.
+            x, yz = int(batch.shape[0]), int(np.prod(batch.shape[1:]))
+            seg = x if x * yz < (1 << 31) else max(1, (1 << 31) // yz)
             for i in range(batch.data.shape[0]):
                 c = fwd(self._put_giant(batch.data[i]))
                 # the histogram over global-mesh-sharded coefficients is
@@ -1148,7 +1217,11 @@ class CodecEngine:
                 # desynchronize the SPMD program across processes (the
                 # non-owner would proceed to a different collective) and
                 # deadlock the run.
-                h = np.asarray(_fwd_hist_only(c[None]), dtype=np.int64)
+                h = np.zeros(threshold.EXP_HIST_BINS, np.int64)
+                for lo in range(0, x, seg):
+                    h += np.asarray(
+                        _fwd_hist_only(c[lo:lo + seg][None]),
+                        dtype=np.int64)
                 if hist_items is None or i in hist_items:
                     hist += h
                 if fetch_coeffs:
@@ -1292,6 +1365,13 @@ class CodecEngine:
         """
         dims = tuple(int(d) for d in batch.shape)
         m = int(np.prod(dims))
+        if self.giant_ok(dims):
+            # mirror of the compress-side guard: transfer_mode routes
+            # giant shapes dense; the per-device scatter/inverse below
+            # would run a whole giant box unsharded on one chip
+            raise ValueError(
+                f"sparse transfer does not take giant shapes {dims} — "
+                "transfer_mode routes them dense (sharded giant path)")
         if self.coeff_layout(dims) == "interleaved":
             out = self._decompress_sparse_interleaved(batch, idx, vals)
             if out is not None:
@@ -1622,7 +1702,7 @@ class HostPacker:
 
         def one(i):
             idx, vals = sparse.item_pairs(i, float(t32[i]))
-            runs = np.diff(idx, prepend=np.int32(-1)).astype(np.int32) - 1
+            runs = rle.rle_encode_pairs(idx)
             blob = archive.encode_blob(serialize(sparse.shape, runs, vals),
                                        self.codec, self.xz_preset)
             if bundled:
