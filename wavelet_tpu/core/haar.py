@@ -94,15 +94,24 @@ def haar3d_forward_multi(x: jax.Array, scales: int) -> jax.Array:
     Extension beyond the reference, which applies exactly one scale
     (SURVEY.md §5.1 — its "multi-level" means AMR refinement levels; its
     TODO.txt wishes for better coefficient compaction, which deeper scales
-    deliver).  Trailing dims must be divisible by 2**scales.
+    deliver).
+
+    Divisibility rule (odd-tolerant, matching the single-scale
+    transform): scale 0 runs on ANY dims — an odd axis's last element
+    passes through untransformed, exactly like haar3d_forward — but each
+    DEEPER scale's corner block must have even dims, i.e. every trailing
+    dim must be odd-or-divisible-by-2**scales.  (The engine's
+    ``eff_scales`` clamps scales so production shapes always satisfy
+    this; the error below names the corner that fails.)
     """
     X, Y, Z = x.shape[-3:]
     for s in range(scales):
         cx, cy, cz = X >> s, Y >> s, Z >> s
         if s and (cx % 2 or cy % 2 or cz % 2):
             raise ValueError(
-                f"dims {(X, Y, Z)} not divisible by 2**{scales} for "
-                f"{scales}-scale transform")
+                f"dims {(X, Y, Z)}: scale-{s} corner {(cx, cy, cz)} has "
+                f"odd extent — deeper scales need even corner dims "
+                f"(scale 0 alone tolerates odd axes)")
         sub = haar3d_forward(x[..., :cx, :cy, :cz])
         x = x.at[..., :cx, :cy, :cz].set(sub)
     return x

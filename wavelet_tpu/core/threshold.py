@@ -68,9 +68,13 @@ def mask_coefficients(coeffs: jax.Array, t32: jax.Array) -> jax.Array:
     return jnp.abs(coeffs) > t32[..., None]
 
 
-# 12-bit keys: sign-stripped float32 bits >> 20 = 8 exponent bits + 3
+# 11-bit keys: sign-stripped float32 bits >> 20 = 8 exponent bits + 3
 # mantissa bits, monotone in |c|; quantile resolution ~2^-4 relative.
-EXP_HIST_BINS = 4096
+# (abs clears the sign bit, so 31 bits >> 20 caps the key at 0x7FF = 2047
+# — the round-4 4096-bin table's top half was provably always zero, and
+# every host accumulation, DCN allgather and two-limb psum moved 2x the
+# needed bytes.)
+EXP_HIST_BINS = 2048
 _EXP_SHIFT = 20
 
 
@@ -127,7 +131,8 @@ def threshold_from_histogram_device(hist: jax.Array,
                                     keep_fraction: float,
                                     total,
                                     *,
-                                    axis_name: str | None = None) -> jax.Array:
+                                    axis_name: str | None = None,
+                                    pad_zeros: int = 0) -> jax.Array:
     """In-jit :func:`threshold_from_histogram` — bin-for-bin identical
     semantics to the host version, so the shard_map collective path and the
     CLI pipeline derive the *same* threshold (and therefore identical
@@ -154,6 +159,11 @@ def threshold_from_histogram_device(hist: jax.Array,
         histf = hi.astype(jnp.float32) * 65536.0 + lo.astype(jnp.float32)
     else:
         histf = hist.astype(jnp.float32)
+    if pad_zeros:
+        # applied AFTER the psum: zero padding rows land in bin 0 on
+        # whichever shards hold them, so one global correction — the
+        # same hist[0] -= n_pad * m the CLI host path performs
+        histf = histf.at[0].add(jnp.float32(-int(pad_zeros)))
     above = jnp.cumsum(histf[::-1])[::-1]  # above[k] = count in bins >= k
     if isinstance(total, (int, float)):
         # static total: the host compares integer counts against the f64
@@ -166,6 +176,12 @@ def threshold_from_histogram_device(hist: jax.Array,
 
         target = jnp.float32(math.floor(float(keep_fraction) * float(total)))
     else:
+        # traced total: the f32 product cannot take the exact f64 floor
+        # above, so at a knife-edge integer boundary (e.g. 0.29 * 100)
+        # the selection can land one bin off the host's.  Every
+        # production path passes a STATIC total (batch shapes are
+        # static), which is the configuration the bit-parity guarantee
+        # covers; traced totals trade that corner for in-jit dynamism.
         target = total.astype(jnp.float32) * jnp.float32(keep_fraction)
     le = above <= target
     # host: smallest k with above[k] <= target, else EXP_HIST_BINS
@@ -182,7 +198,8 @@ def threshold_from_histogram_device(hist: jax.Array,
 def global_histogram_threshold(coeffs: jax.Array,
                                keep_fraction: float,
                                *,
-                               axis_name: str | None = None) -> jax.Array:
+                               axis_name: str | None = None,
+                               n_pad_coeffs: int = 0) -> jax.Array:
     """Global coefficient-magnitude quantile via an all-reduced histogram.
 
     This is the *new* TPU-native thresholding mode mandated by BASELINE.json's
@@ -205,5 +222,11 @@ def global_histogram_threshold(coeffs: jax.Array,
     total = coeffs.size
     if axis_name is not None:
         total = total * jax.lax.axis_size(axis_name)
-    return threshold_from_histogram_device(hist, keep_fraction, total,
-                                           axis_name=axis_name)
+    # n_pad_coeffs: zero coefficients contributed by PADDING rows (a batch
+    # padded to a mesh multiple) — counted out of both the histogram's
+    # bin 0 and the total so the quantile matches the CLI host path,
+    # which performs the same correction (engine.forward_hist_shapebatch)
+    return threshold_from_histogram_device(hist, keep_fraction,
+                                           total - int(n_pad_coeffs),
+                                           axis_name=axis_name,
+                                           pad_zeros=n_pad_coeffs)

@@ -121,6 +121,12 @@ def format_files(data_dir: str, min_time: str, max_time: str):
     files = [os.path.join(data_dir, e) for e in os.listdir(data_dir)
              if first <= clean_string(e) <= last]
     files.sort(key=lambda p: clean_string(os.path.basename(p)))
+    if not files:
+        # an empty selection would otherwise crash deep in the metadata
+        # collectors (base_dims stays None); name the range instead
+        raise ValueError(
+            f"no plotfiles in {data_dir} match minfile={min_time} .. "
+            f"maxfile={max_time}")
     return files
 
 

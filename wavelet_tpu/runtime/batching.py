@@ -11,7 +11,7 @@ to a multiple of the mesh size so the leading axis shards evenly.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import threading
 
@@ -61,8 +61,14 @@ class ShapeBatch:
     # batches are always natural order and keep the defaults.
     layout: str = "halves"
     scales: int = 1
-    _map_cache: object = None   # lazily built logical->physical flat map
-    _offsets_cache: object = None
+    # lazily built caches, EXCLUDED from dataclasses.replace (init=False):
+    # both depend on (pack, scales, layout), which the engine routinely
+    # rewrites via replace() — carrying a stale cache across a geometry
+    # change would read coefficients at wrong offsets with no error
+    _map_cache: object = field(default=None, init=False, repr=False,
+                               compare=False)
+    _offsets_cache: object = field(default=None, init=False, repr=False,
+                                   compare=False)
 
     def _logical_map(self):
         """Flat logical->physical element offsets within an item region
@@ -280,7 +286,10 @@ def plan_batches(entries, pad_multiple: int = 1, max_batch_bytes: int = 1 << 30,
         quantum = pack * pad_m
         per_item = int(np.prod(shape)) * 4
         chunk = max(quantum, (max_batch_bytes // max(per_item, 1)) or 1)
-        chunk = pad_to_multiple(chunk, quantum) or quantum
+        # round DOWN to the quantum so a chunk never exceeds
+        # max_batch_bytes by up to quantum-1 items (the unavoidable
+        # single-quantum minimum is the only sanctioned overshoot)
+        chunk = max(quantum, chunk - chunk % quantum)
         x, y, z = shape
         for start in range(0, len(pairs), chunk):
             part = pairs[start : start + chunk]

@@ -63,7 +63,8 @@ def kept_count(limbs) -> int:
     return lo + (hi << 16)
 
 
-def make_global_compress_step(mesh, keep_fraction: float):
+def make_global_compress_step(mesh, keep_fraction: float,
+                              n_pad_rows: int = 0):
     """jit(batch [N, X, Y, Z] sharded on N) ->
     (masked coeffs [N, XYZ], global threshold scalar, kept count int32[2]
     — two 16-bit limb sums; recombine with :func:`kept_count`).
@@ -79,8 +80,12 @@ def make_global_compress_step(mesh, keep_fraction: float):
              out_specs=(P(DATA_AXIS), P(), P()))
     def step(batch):
         flat = haar.forward_flat(batch)
+        # n_pad_rows: zero rows appended to reach a mesh multiple must
+        # not skew the quantile (the CLI host path subtracts the same
+        # padding from its histogram)
         thr = threshold.global_histogram_threshold(
-            flat, keep_fraction, axis_name=DATA_AXIS)
+            flat, keep_fraction, axis_name=DATA_AXIS,
+            n_pad_coeffs=n_pad_rows * flat.shape[1])
         mask = jnp.abs(flat) > thr
         # two 16-bit limbs: a plain int32 psum of per-shard counts wraps
         # once the GLOBAL kept crosses 2^31 (realistic at pod scale —

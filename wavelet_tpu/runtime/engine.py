@@ -79,7 +79,7 @@ def _rmse_step(a: jax.Array, b: jax.Array):
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _fwd_hist_step(batch: jax.Array):
-    """[N, X, Y, Z] -> (flat coeffs [N, XYZ], magnitude histogram [4096]).
+    """[N, X, Y, Z] -> (flat coeffs [N, XYZ], magnitude histogram [EXP_HIST_BINS]).
 
     Device side of the global-threshold mode: fixed float-bit bins merge by
     addition across batches, shapes, chips and hosts.
@@ -1448,7 +1448,7 @@ class CodecEngine:
                           pack=pack, layout="halves")
 
     def forward_hist_batch(self, data: np.ndarray, n_pad_rows: int = 0):
-        """-> (flat [N, XYZ], magnitude histogram int64[4096]).
+        """-> (flat [N, XYZ], magnitude histogram int64[EXP_HIST_BINS]).
 
         ``n_pad_rows`` all-zero padding rows are removed from the zero bin so
         the global quantile only counts real coefficients.
