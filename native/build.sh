@@ -1,7 +1,13 @@
 #!/bin/sh
 # Build the native host codec shared library.
+#
+# Usage: build.sh [OUTPUT_PATH]   (default: libwtc_codec.so next to the
+# source).  The auto-rebuild in wavelet_tpu/native/__init__.py calls this
+# with a temp path and atomic-renames — this script is the single home of
+# the compile flags.
 set -e
 cd "$(dirname "$0")"
-g++ -O3 -march=native -std=c++17 -shared -fPIC -o libwtc_codec.so \
+OUT=${1:-libwtc_codec.so}
+g++ -O3 -march=native -std=c++17 -shared -fPIC -o "$OUT" \
     wtc_codec.cpp -llzma -lpthread
-echo "built $(pwd)/libwtc_codec.so"
+echo "built $OUT"

@@ -22,6 +22,7 @@
 // Build: see native/build.sh (g++ -O3 -march=native -shared ... -llzma).
 
 #include <lzma.h>
+#include <unistd.h>
 
 #include <algorithm>
 #include <atomic>
@@ -198,8 +199,12 @@ std::string serialize_payload_q16(const int32_t shape[3], int64_t total,
     buf.append(reinterpret_cast<const char*>(&scale), sizeof(scale));
     std::vector<PairQ16> q(pairs.size());
     for (size_t i = 0; i < pairs.size(); ++i) {
-        // numpy: np.clip(np.rint(v / float32(scale)), -32767, 32767)
-        float r = std::nearbyintf(pairs[i].val / scale);
+        // numpy: np.clip(np.rint(v / float32(scale)), -32767, 32767).
+        // scale == 0 (every kept value exactly 0.0): q must be 0, not
+        // the clamp of 0/0 = NaN — the Python packer writes q=0 and the
+        // two backends must stay byte-identical (io/archive.py).
+        float r = scale == 0.0f ? 0.0f
+                                : std::nearbyintf(pairs[i].val / scale);
         r = std::min(32767.0f, std::max(-32767.0f, r));
         q[i] = {pairs[i].run, static_cast<int16_t>(r)};
     }
@@ -207,6 +212,15 @@ std::string serialize_payload_q16(const int32_t shape[3], int64_t total,
         buf.append(reinterpret_cast<const char*>(q.data()),
                    q.size() * sizeof(PairQ16));
     return buf;
+}
+
+// q16 cannot represent inf/NaN: scale=inf would decode EVERY value in
+// the box as NaN.  The Python packer raises for this (io/archive.py);
+// the native walkers fail the item instead of silently destroying it.
+static bool pairs_q16_ok(int payload_fmt, const std::vector<Pair>& pairs) {
+    if (payload_fmt != 1) return true;
+    for (const auto& p : pairs) if (!std::isfinite(p.val)) return false;
+    return true;
 }
 
 std::string make_payload(int payload_fmt, const int32_t shape[3],
@@ -294,13 +308,19 @@ int64_t encode_to_file(const std::string& payload, const char* path,
     size_t size;
     if (!encode_container(payload, codec, preset, scratch, &data, &size))
         return -1;
-    std::string tmp = std::string(path) + ".tmp";
+    // per-process temp name (two processes packing the same path must
+    // not interleave into one temp file), removed on every failure path
+    // so a full disk cannot strew orphan temps across the archive
+    std::string tmp = std::string(path) + ".tmp." +
+                      std::to_string(static_cast<long>(::getpid()));
     FILE* f = std::fopen(tmp.c_str(), "wb");
     if (!f) return -1;
     size_t w = std::fwrite(data, 1, size, f);
     std::fclose(f);
-    if (w != size) return -1;
-    if (std::rename(tmp.c_str(), path) != 0) return -1;
+    if (w != size || std::rename(tmp.c_str(), path) != 0) {
+        std::remove(tmp.c_str());
+        return -1;
+    }
     return static_cast<int64_t>(size);
 }
 
@@ -440,6 +460,11 @@ int64_t pack_core_strided(const float* coeffs, const float* t32,
         int32_t run = 0;
         for (int64_t r = 0; r < rows; ++r)
             scan_row(base + r * row_stride, row_len, thresh, run, pairs);
+        if (!pairs_q16_ok(payload_fmt, pairs)) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
         int64_t n = emit(i, make_payload(payload_fmt, shape, n_coeffs,
                                          pairs));
         if (n < 0) {
@@ -495,6 +520,11 @@ int64_t pack_core_indexed(const float* coeffs, const float* t32,
                 scan_row(buf.data(), nz, thresh, run, pairs);
             }
         }
+        if (!pairs_q16_ok(payload_fmt, pairs)) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
+        }
         int64_t n = emit(i, make_payload(payload_fmt, shape, n_coeffs,
                                          pairs));
         if (n < 0) {
@@ -537,6 +567,11 @@ int64_t pack_core_mapped(const float* coeffs, const float* t32,
             const int64_t* mp = map + t0;
             for (int64_t j = 0; j < c; ++j) buf[j] = base[mp[j]];
             scan_row(buf.data(), c, thresh, run, pairs);
+        }
+        if (!pairs_q16_ok(payload_fmt, pairs)) {
+            int64_t expect = -1;
+            first_err.compare_exchange_strong(expect, i);
+            return;
         }
         int64_t n = emit(i, make_payload(payload_fmt, shape, n_coeffs,
                                          pairs));

@@ -156,3 +156,40 @@ def test_native_q16_unpack_roundtrip(tmp_path):
     engine.HostPacker(use_native=False, payload="q16").unpack_into(
         str(tmp_path), dest2)
     np.testing.assert_array_equal(dest.data, dest2.data)
+
+
+def test_native_q16_zero_scale_matches_python():
+    """All kept values exactly 0.0 (negative-absmax regime): both
+    backends must emit q=0, not the int16 cast of 0/0 = NaN (round-5
+    review: the native path clamped NaN to -32767, diverging byte-wise
+    from the python packer)."""
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    from wavelet_tpu.io import archive
+
+    dims = (2, 2, 2)
+    flat = np.zeros((1, 8), np.float32)
+    t32 = np.full(1, np.float32(-1.0))          # threshold < 0 keeps all
+    offs = np.zeros(1, np.int64)
+    blobs = native.encode_strided(flat, t32, dims, 1, 8, 8, offs,
+                                  payload="q16", codec="raw")
+    py_runs = np.zeros(8, np.int32)
+    py_payload = archive.serialize_payload_q16(dims, py_runs,
+                                               np.zeros(8, np.float32))
+    py_blob = archive.encode_blob(py_payload, "raw", 6)
+    assert blobs[0] == py_blob
+
+
+def test_native_q16_rejects_nonfinite():
+    """inf/NaN kept coefficients must fail the item (the python packer
+    raises ValueError; silently encoding scale=inf would decode the whole
+    box as NaN)."""
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    flat = np.array([[np.inf, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]],
+                    np.float32)
+    t32 = np.full(1, np.float32(0.5))
+    offs = np.zeros(1, np.int64)
+    with pytest.raises(IOError):
+        native.encode_strided(flat, t32, (2, 2, 2), 1, 8, 8, offs,
+                              payload="q16", codec="raw")

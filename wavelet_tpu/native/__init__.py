@@ -54,9 +54,11 @@ def _try_load():
         # forever and silently pin every later run to the python packer
         tmp_so = f"{_SO_PATH}.{os.getpid()}.tmp"
         try:
+            # native/build.sh is the single home of the compile flags —
+            # a hardcoded copy here drifted from it once already
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                 "-fPIC", "-o", tmp_so, _SRC_PATH, "-llzma", "-lpthread"],
+                ["sh", os.path.join(_REPO_ROOT, "native", "build.sh"),
+                 tmp_so],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp_so, _SO_PATH)
         except Exception:
@@ -165,6 +167,20 @@ _FMT = {"f32": 0, "q16": 1}
 _CODEC = {"xz": 0, "raw": 1}
 
 
+def _check_total(shape):
+    """Same guard as the Python packer (io/archive.py): the reference's
+    int32 payload-header total cannot represent bigger boxes, and the
+    native serializer would silently truncate instead of erroring."""
+    total = 1
+    for v in shape:
+        total *= int(v)
+    if total > 0x7FFFFFFF:
+        raise ValueError(
+            f"box {'x'.join(str(int(v)) for v in shape)} has {total} "
+            "coefficients — beyond the archive format's int32 total; "
+            "split the domain into smaller boxes")
+
+
 def pack_strided(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
                  rows: int, row_len: int, row_stride: int,
                  offsets: np.ndarray, n_threads: int = 0,
@@ -177,6 +193,7 @@ def pack_strided(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
     coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
     t32 = np.ascontiguousarray(t32, dtype=np.float32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    _check_total(shape)
     shp = np.asarray(shape, dtype=np.int32)
     ret = lib.wtc_pack_strided(
         coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
@@ -243,6 +260,7 @@ def pack_indexed(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
     iy = np.ascontiguousarray(iy, dtype=np.int64)
     iz = np.ascontiguousarray(iz, dtype=np.int64)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    _check_total(shape)
     shp = np.asarray(shape, dtype=np.int32)
     ret = lib.wtc_pack_indexed(
         coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
@@ -290,6 +308,7 @@ def pack_mapped(coeffs: np.ndarray, t32: np.ndarray, shape, paths,
     t32 = np.ascontiguousarray(t32, dtype=np.float32)
     coeff_map = np.ascontiguousarray(coeff_map, dtype=np.int64)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    _check_total(shape)
     shp = np.asarray(shape, dtype=np.int32)
     ret = lib.wtc_pack_mapped(
         coeffs.ctypes.data_as(_pf), t32.ctypes.data_as(_pf),
@@ -350,6 +369,7 @@ def encode_strided(coeffs: np.ndarray, t32: np.ndarray, shape,
     coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
     t32 = np.ascontiguousarray(t32, dtype=np.float32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    _check_total(shape)
     shp = np.asarray(shape, dtype=np.int32)
     n = len(offsets)
     blob_ptrs = (_pu8 * n)()
@@ -375,6 +395,7 @@ def encode_indexed(coeffs: np.ndarray, t32: np.ndarray, shape,
     iy = np.ascontiguousarray(iy, dtype=np.int64)
     iz = np.ascontiguousarray(iz, dtype=np.int64)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    _check_total(shape)
     shp = np.asarray(shape, dtype=np.int32)
     n = len(offsets)
     blob_ptrs = (_pu8 * n)()
@@ -399,6 +420,7 @@ def encode_mapped(coeffs: np.ndarray, t32: np.ndarray, shape,
     t32 = np.ascontiguousarray(t32, dtype=np.float32)
     coeff_map = np.ascontiguousarray(coeff_map, dtype=np.int64)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    _check_total(shape)
     shp = np.asarray(shape, dtype=np.int32)
     n = len(offsets)
     blob_ptrs = (_pu8 * n)()
@@ -498,6 +520,10 @@ def fab_from_boxes(arr: np.ndarray, dtype, n_threads: int = 0) -> np.ndarray:
     assert arr.dtype == np.float32 and arr.flags.c_contiguous
     ncomp, x, y, z = arr.shape
     dtype = np.dtype(dtype)
+    if dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        # any other dtype would allocate a smaller output than the
+        # native f32/f64 writer fills — heap corruption, not an error
+        raise ValueError(f"fab dtype must be float32/float64, got {dtype}")
     out = np.empty((ncomp, z, y, x), dtype=dtype)
     ret = lib.wtc_fab_from_boxes(
         arr.ctypes.data_as(_pf), ncomp, x, y, z,
@@ -514,6 +540,13 @@ def boxes_from_fab(fab: np.ndarray, x: int, y: int, z: int,
     (reader direction of :func:`fab_from_boxes`)."""
     assert fab.flags.c_contiguous and fab.dtype in (np.float32, np.float64)
     ncomp = fab.shape[0]
+    if fab.size != ncomp * x * y * z:
+        # the dims are caller-supplied (the FAB header's box extents); a
+        # mismatch with the actual buffer would read out of bounds in
+        # native code with no error
+        raise ValueError(
+            f"FAB buffer holds {fab.size} elements but dims imply "
+            f"{ncomp}x{x}x{y}x{z} = {ncomp * x * y * z}")
     out = np.empty((ncomp, x, y, z), dtype=np.float32)
     ret = lib.wtc_boxes_from_fab(
         fab.ctypes.data_as(ctypes.c_void_p),
