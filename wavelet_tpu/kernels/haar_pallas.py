@@ -390,7 +390,7 @@ def interleave_map_multi(dims, scales: int, sx: int, sy: int, sz: int = 1):
     return m.reshape(-1)
 
 
-def interleave_perm(n: int) -> "jnp.ndarray":
+def interleave_perm(n: int) -> "np.ndarray":
     """Logical (reference halves-order) index -> physical interleaved index.
 
     lows l < n//2 live at 2l; highs at 2(l - n//2) + 1; an odd axis's last
@@ -456,9 +456,11 @@ def _fwd_interleaved_block(v: jax.Array, scales: int = 1,
                            seg: int | None = None) -> jax.Array:
     """(rows, Y, L) forward: per scale, Z, Y, X passes, all in place
     (rows = X chunk; scale s pairs at stride 2**(s-1) within the corner
-    block).  NOTE: multi-scale (scales > 1) is only valid when the block
-    spans the full X extent (the X-axis corner membership is computed from
-    block-local row indices)."""
+    block).  Multi-scale X-blocking is valid whenever the block size is a
+    multiple of 2**scales (what _x_block guarantees): block-local row
+    indices then have the same corner membership and pair parity as the
+    global indices, so a blocked run is bitwise-identical to a
+    whole-extent run (asserted by the multiscale kernel tests)."""
     for s in range(scales):
         st = 1 << s
         member = _scale_member(v.shape, st, seg)
@@ -507,7 +509,10 @@ def _x_block(x: int, y: int, L: int, target_bytes: int = 1 << 20,
     if x % 2:
         return 1
     q = 1 << scales
-    row = y * L * 4
+    # sublane-padded row bytes, like block_rows: Mosaic pads Y to 8
+    # sublanes, so a thin-Y box's real block is up to 8/y x the nominal
+    # estimate — sizing from the unpadded row overshot the VMEM target
+    row = max(y, 8) * L * 4
     xb = max(q, min(x, target_bytes // max(row, 1)))
     while xb > q and (x % xb or xb % q):
         xb -= 1
@@ -562,7 +567,6 @@ def _fwd_interleaved_call(packed: jax.Array, n_seg: int, scales: int = 1,
         compiler_params=_PARALLEL,
     )(flat)
     # finish the reduction: blocks of box (mm, p) are rows mm*x/xb..(mm+1)*x/xb
-    z = L // n_seg
     blocks_per_box = x // xb
     maxv = jnp.max(pmax.reshape(m, blocks_per_box, 8, n_seg, z),
                    axis=(1, 2, 4)).reshape(-1)
@@ -605,10 +609,28 @@ def _fwd_interleaved_nored_call(packed: jax.Array, n_seg: int = 1,
     return out.reshape(m, x, y, L)
 
 
+def _check_interleaved_shape(packed, n_seg: int, scales: int) -> None:
+    """Loud error instead of silent corruption: a shape that fails
+    interleaved_ok would make the X-pass rolls wrap (self-pairing rows)
+    or leave rows uncovered by the block grid, returning plausible but
+    WRONG coefficients.  Production routes through engine.coeff_layout,
+    which gates on the same rule; this guards every other caller."""
+    m, x, y, L = packed.shape
+    if n_seg < 1 or L % n_seg:
+        raise ValueError(f"lane extent {L} not divisible by pack {n_seg}")
+    dims = (x, y, L // n_seg)
+    if not interleaved_ok(dims, scales):
+        raise ValueError(
+            f"interleaved kernels need box dims divisible by "
+            f"2**{max(1, int(scales))}, got {dims} — odd/indivisible "
+            "shapes take the halves or jnp path (engine.coeff_layout)")
+
+
 def fused_forward_interleaved_nored(packed: jax.Array, n_seg: int = 1,
                                     scales: int = 1) -> jax.Array:
     """Interleaved forward, coefficients only (no extrema) — for callers
     that don't threshold per box (global-histogram mode)."""
+    _check_interleaved_shape(packed, n_seg, scales)
     if supported():
         return _fwd_interleaved_nored_call(packed, n_seg, scales)
     return _fwd_interleaved_nored_call(packed, n_seg, scales,
@@ -651,6 +673,7 @@ def fused_forward_interleaved(packed: jax.Array, n_seg: int,
     a ``scales``-deep pyramid when requested; the host packer walks
     :func:`interleave_map_multi` to recover the reference byte order
     exactly."""
+    _check_interleaved_shape(packed, n_seg, scales)
     if supported():
         return _fwd_interleaved_call(packed, n_seg, scales)
     return _fwd_interleaved_call(packed, n_seg, scales, interpret=True)
@@ -659,6 +682,7 @@ def fused_forward_interleaved(packed: jax.Array, n_seg: int,
 def fused_inverse_interleaved(packed: jax.Array, n_seg: int = 1,
                               scales: int = 1) -> jax.Array:
     """Interleaved coeffs [M, X, Y, L] -> natural spatial boxes (packed)."""
+    _check_interleaved_shape(packed, n_seg, scales)
     if supported():
         return _inv_interleaved_call(packed, n_seg, scales)
     return _inv_interleaved_call(packed, n_seg, scales, interpret=True)
